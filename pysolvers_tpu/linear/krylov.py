@@ -1,0 +1,289 @@
+"""Krylov solvers: preconditioned CG and GMRES(m), fully jitted.
+
+Capability parity:
+* PCG — reference PySolvers/Linear/PCGSolver.py:64-145 (right-preconditioned
+  CG with breakdown checks on u·r and p·Ap, convergence on ||r|| <= tau*||b||,
+  trivial-b shortcut).
+* GMRES — reference PySolvers/Linear/GMRESSolver.py:55-180 (right
+  preconditioning A·M⁻¹, modified-Gram-Schmidt Arnoldi, incremental Givens
+  triangularization, implicit residual |g[k+1]|, true-residual recheck on
+  convergence, lucky-breakdown handling).  TPU redesign: fixed restart
+  length m, masked basis in a static (m+1, n) buffer, whole solve under
+  ``lax.while_loop`` — no Python control flow, no dynamic shapes.
+
+Design: solvers are pure functions ``(matvec, b, ...) -> (x, FinalState)``;
+dot products and norms are plain jnp ops so that under ``jit`` with sharded
+operands XLA inserts the all-reduces (the multi-chip story lives in
+``pysolvers_tpu.parallel``).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..core import SolverConfig, StopReason
+
+
+class KrylovState(NamedTuple):
+    k: jax.Array          # iteration count (int32)
+    resid: jax.Array      # current residual norm
+    reason: jax.Array     # StopReason (int32)
+
+
+def _dot(a, b):
+    return jnp.sum(a * b)
+
+
+# ---------------------------------------------------------------------------
+# CG
+# ---------------------------------------------------------------------------
+
+class _CGCarry(NamedTuple):
+    k: jax.Array
+    x: jax.Array
+    r: jax.Array
+    p: jax.Array
+    u_dot_r: jax.Array
+    resid: jax.Array
+    reason: jax.Array
+    history: jax.Array
+
+
+def cg_solve(matvec: Callable, b: jax.Array, x0: Optional[jax.Array] = None,
+             *, maxiter: int = 100, tau: float = 1e-8,
+             precond: Optional[Callable] = None,
+             norm_fn: Optional[Callable] = None):
+    """Preconditioned conjugate gradients.  Returns (x, KrylovState, history).
+
+    ``precond`` applies M⁻¹ (right/SPD preconditioning as in the reference's
+    PCG: u = M⁻¹ r, beta = (u·r)_new/(u·r)_old — PCGSolver.py:109-138).
+    """
+    norm = norm_fn or (lambda v: jnp.sqrt(_dot(v, v)))
+    M = precond or (lambda v: v)
+    if x0 is None:
+        x0 = jnp.zeros_like(b)
+
+    b_norm = norm(b)
+    tol = tau * b_norm
+
+    r0 = b - matvec(x0)
+    u0 = M(r0)
+    udr0 = _dot(u0, r0)
+    resid0 = norm(r0)
+    history0 = jnp.full((maxiter + 1,), jnp.nan, dtype=resid0.dtype)
+    history0 = history0.at[0].set(resid0)
+
+    eps_breakdown = jnp.asarray(0.0, dtype=b.dtype)
+
+    def cond(c: _CGCarry):
+        return c.reason == StopReason.RUNNING
+
+    def body(c: _CGCarry):
+        Ap = matvec(c.p)
+        pAp = _dot(c.p, Ap)
+        breakdown_pap = pAp == eps_breakdown
+        alpha = jnp.where(breakdown_pap, 0.0, c.u_dot_r / pAp)
+        x = c.x + alpha * c.p
+        r = c.r - alpha * Ap
+        resid = norm(r)
+        u = M(r)
+        udr_new = _dot(u, r)
+        breakdown_udr = udr_new == eps_breakdown
+        beta = jnp.where(c.u_dot_r == 0, 0.0, udr_new / c.u_dot_r)
+        p = u + beta * c.p
+        k = c.k + 1
+        history = c.history.at[k].set(resid)
+
+        converged = resid <= tol
+        reason = jnp.where(
+            converged, StopReason.CONVERGED,
+            jnp.where(breakdown_pap | breakdown_udr, StopReason.BREAKDOWN,
+                      jnp.where(k >= maxiter, StopReason.MAXITER,
+                                StopReason.RUNNING))).astype(jnp.int32)
+        return _CGCarry(k, x, r, p, udr_new, resid, reason, history)
+
+    # trivial b / already converged at x0
+    init_reason = jnp.where(
+        resid0 <= tol, StopReason.CONVERGED,
+        jnp.where(udr0 == 0, StopReason.BREAKDOWN,
+                  StopReason.RUNNING)).astype(jnp.int32)
+    init = _CGCarry(jnp.int32(0), x0, r0, u0, udr0, resid0, init_reason,
+                    history0)
+    final = jax.lax.while_loop(cond, body, init)
+    return final.x, KrylovState(final.k, final.resid, final.reason), final.history
+
+
+# ---------------------------------------------------------------------------
+# GMRES(m) with restarts
+# ---------------------------------------------------------------------------
+
+class _GMRESCarry(NamedTuple):
+    k: jax.Array          # inner iteration within current cycle
+    total: jax.Array      # total iterations across restarts
+    x: jax.Array          # current outer solution estimate
+    Q: jax.Array          # (m+1, n) Krylov basis (row-major for locality)
+    H: jax.Array          # (m+1, m) Hessenberg, Givens-triangularized in place
+    g: jax.Array          # (m+1,) rhs of least squares
+    cs: jax.Array         # (m, 2) Givens cosines/sines
+    resid: jax.Array      # implicit residual
+    reason: jax.Array
+    history: jax.Array
+
+
+def _apply_givens_seq(Hcol, cs, k):
+    """Apply rotations 0..k-1 to a new Hessenberg column (masked scan)."""
+    m = cs.shape[0]
+
+    def body(j, h):
+        c, s = cs[j, 0], cs[j, 1]
+        hj, hj1 = h[j], h[j + 1]
+        h = h.at[j].set(c * hj + s * hj1)
+        h = h.at[j + 1].set(-s * hj + c * hj1)
+        return h
+
+    return jax.lax.fori_loop(0, k, body, Hcol)
+
+
+def _givens_coeffs(a, b):
+    """Coefficients (c, s) zeroing b in [a; b] — reference Givens.py:7-12,
+    computed with the hypot-stable formulation."""
+    r = jnp.sqrt(a * a + b * b)
+    safe = r > 0
+    c = jnp.where(safe, a / jnp.where(safe, r, 1.0), 1.0)
+    s = jnp.where(safe, b / jnp.where(safe, r, 1.0), 0.0)
+    return c, s
+
+
+def gmres_solve(matvec: Callable, b: jax.Array, x0: Optional[jax.Array] = None,
+                *, maxiter: int = 100, restart: Optional[int] = None,
+                tau: float = 1e-8, precond: Optional[Callable] = None,
+                norm_fn: Optional[Callable] = None,
+                check_true_residual: bool = True):
+    """Right-preconditioned GMRES(m).  Returns (x, KrylovState, history).
+
+    The reference runs full GMRES with m = maxiter and no restart
+    (GMRESSolver.py:77-83); we default to the same but support restarts.
+    On (implicit) convergence the solution is formed and the true residual
+    recomputed; disagreement flags TRUE_RESID_MISMATCH
+    (behavior parity: GMRESSolver.py:159-174).
+    """
+    norm = norm_fn or (lambda v: jnp.sqrt(_dot(v, v)))
+    M = precond or (lambda v: v)
+    if x0 is None:
+        x0 = jnp.zeros_like(b)
+    n = b.shape[0]
+    m = restart or maxiter
+    m = min(m, maxiter)
+
+    b_norm = norm(b)
+    tol = tau * b_norm
+    dtype = b.dtype
+
+    history0 = jnp.full((maxiter + 1,), jnp.nan, dtype=dtype)
+
+    def start_cycle(x, total, history):
+        r = b - matvec(x)
+        beta = norm(r)
+        Q = jnp.zeros((m + 1, n), dtype=dtype)
+        Q = Q.at[0].set(jnp.where(beta > 0, r / jnp.where(beta > 0, beta, 1.0), r))
+        g = jnp.zeros((m + 1,), dtype=dtype).at[0].set(beta)
+        H = jnp.zeros((m + 1, m), dtype=dtype)
+        cs = jnp.zeros((m, 2), dtype=dtype)
+        history = history.at[total].set(beta)
+        return _GMRESCarry(jnp.int32(0), total, x, Q, H, g, cs, beta,
+                           jnp.where(beta <= tol, StopReason.CONVERGED,
+                                     StopReason.RUNNING).astype(jnp.int32),
+                           history)
+
+    def form_solution(c: _GMRESCarry):
+        """Solve the k×k triangular system and update x (masked, static m)."""
+        k = c.k  # number of completed Arnoldi steps
+        # back substitution on H[0:k,0:k] y = g[0:k], masked to size k
+        def bs_body(i, y):
+            j = m - 1 - i  # j from m-1 down to 0
+            active = j < k
+            s = c.g[j] - jnp.dot(c.H[j, :], y)
+            yj = jnp.where(active, s / jnp.where(c.H[j, j] != 0, c.H[j, j], 1.0), 0.0)
+            return y.at[j].set(yj)
+        y = jax.lax.fori_loop(0, m, bs_body, jnp.zeros((m,), dtype=dtype))
+        # x = x0_cycle + M⁻¹ (Qᵀ... rows) — basis rows 0..k-1
+        z = jnp.einsum("kn,k->n", c.Q[:m], y)
+        return c.x + M(z)
+
+    def cond(c: _GMRESCarry):
+        return c.reason == StopReason.RUNNING
+
+    def body(c: _GMRESCarry):
+        k = c.k
+        qk = c.Q[k]
+        u = matvec(M(qk))
+        # modified Gram-Schmidt against rows 0..k (masked fori over static m+1)
+        def mgs_body(j, carry):
+            u, hcol = carry
+            active = j <= k
+            hj = jnp.where(active, _dot(c.Q[j], u), 0.0)
+            u = u - hj * c.Q[j]
+            return u, hcol.at[j].set(hj)
+        u, hcol = jax.lax.fori_loop(0, m + 1, mgs_body,
+                                    (u, jnp.zeros((m + 1,), dtype=dtype)))
+        hk1 = norm(u)
+        lucky = hk1 == 0
+        hcol = hcol.at[k + 1].set(hk1)
+        Q = c.Q.at[k + 1].set(jnp.where(lucky, u, u / jnp.where(lucky, 1.0, hk1)))
+        # apply previous Givens rotations to the new column
+        hcol = _apply_givens_seq(hcol, c.cs, k)
+        # new rotation zeroing hcol[k+1]
+        ck, sk = _givens_coeffs(hcol[k], hcol[k + 1])
+        cs = c.cs.at[k, 0].set(ck).at[k, 1].set(sk)
+        hkk = ck * hcol[k] + sk * hcol[k + 1]
+        hcol = hcol.at[k].set(hkk).at[k + 1].set(0.0)
+        gk, gk1 = c.g[k], c.g[k + 1]
+        g = c.g.at[k].set(ck * gk + sk * gk1).at[k + 1].set(-sk * gk + ck * gk1)
+        H = c.H.at[:, k].set(hcol[: m + 1])
+        resid = jnp.abs(g[k + 1])
+        k_new = k + 1
+        total = c.total + 1
+        history = c.history.at[total].set(resid)
+
+        converged = resid <= tol
+        at_maxiter = total >= maxiter
+        cycle_full = k_new >= m
+        reason = jnp.where(
+            converged | lucky, StopReason.CONVERGED,
+            jnp.where(at_maxiter, StopReason.MAXITER,
+                      StopReason.RUNNING)).astype(jnp.int32)
+        # cycle_full but not done → handled by outer restart loop
+        c2 = _GMRESCarry(k_new, total, c.x, Q, H, g, cs, resid, reason, history)
+        stop_cycle = (reason != StopReason.RUNNING) | cycle_full
+        return c2._replace(
+            reason=jnp.where(stop_cycle & (reason == StopReason.RUNNING),
+                             jnp.int32(-1),  # sentinel: restart needed
+                             reason).astype(jnp.int32))
+
+    # outer restart loop
+    def outer_cond(c: _GMRESCarry):
+        return c.reason == jnp.int32(-1)
+
+    def outer_body(c: _GMRESCarry):
+        x = form_solution(c)
+        c2 = start_cycle(x, c.total, c.history)
+        c3 = jax.lax.while_loop(cond, body, c2)
+        return c3
+
+    c0 = start_cycle(x0, jnp.int32(0), history0)
+    cf = jax.lax.while_loop(cond, body, c0)
+    cf = jax.lax.while_loop(outer_cond, outer_body, cf)
+
+    x = form_solution(cf)
+    # true-residual verification (reference GMRESSolver.py:163-174)
+    true_resid = norm(b - matvec(x))
+    reason = cf.reason
+    if check_true_residual:
+        mismatch = ((reason == StopReason.CONVERGED) & (true_resid > 10.0 * tol)
+                    & (b_norm > 0))
+        reason = jnp.where(mismatch, StopReason.TRUE_RESID_MISMATCH,
+                           reason).astype(jnp.int32)
+    return x, KrylovState(cf.total, true_resid, reason), cf.history

@@ -1,0 +1,145 @@
+"""Sparse matrix–vector product kernels (the framework's hottest op).
+
+Replaces the reference's delegation to scipy's C CSR SpMV
+(PySolvers/Linear/IterativeLinearSolver.py:94-106 ``mvmult``; used in every
+solver hot loop, e.g. PCGSolver.py:111).
+
+Three TPU execution strategies, dispatched by matrix format:
+
+1. ``DiaMatrix`` → shift-and-fma over static diagonal offsets.  Gather-free,
+   HBM-bandwidth-bound at ~4 bytes/nnz: the speed-of-light path for FD
+   stencils.  Pallas kernel, row-tiled, with the source vector window in VMEM.
+
+2. ``EllMatrix`` → windowed-gather Pallas kernel.  Mosaic TPU supports
+   same-shape ``take_along_axis`` along the sublane axis; we broadcast the
+   source vector across a narrow lane dimension (VMEM cost 512·W bytes for a
+   window of W rows) and gather all row entries in one vector op.  Covers any
+   matrix whose per-row-tile column span (bandwidth after optional RCM
+   reordering) fits one VMEM window; the host planner picks tile/window sizes.
+
+3. XLA fallback (`take`+segment reduction) for f64 and for matrices whose
+   structure defeats windowing.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..sparse.device import DiaMatrix, EllMatrix
+
+
+def _ceil_to(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+# ---------------------------------------------------------------------------
+# XLA fallback: padded-ELL gather (works for all dtypes incl. float64)
+# ---------------------------------------------------------------------------
+
+def ell_spmv_xla(A: EllMatrix, x: jax.Array) -> jax.Array:
+    """General SpMV via XLA gather; correct for every dtype and shape."""
+    n = A.n_rows
+    xp = jnp.zeros((A.n_rows_pad if A.shape[0] == A.shape[1] else A.n_cols_pad,),
+                   dtype=x.dtype)
+    xp = xp.at[: A.n_cols].set(x[: A.n_cols])
+    g = jnp.take(xp, A.cols, axis=0)
+    y = jnp.sum(A.data * g, axis=1)
+    return y[:n]
+
+
+# ---------------------------------------------------------------------------
+# DIA pallas kernel: y = sum_d diag_d * shift(x, off_d)
+# ---------------------------------------------------------------------------
+
+def _dia_kernel(diags_ref, xp_ref, o_ref, *, offsets, tile, wlen):
+    # xp_ref holds the full padded x: [pad_lo zeros | x | pad_hi+ zeros].
+    # Mosaic requires aligned dynamic vector loads, so we load one aligned
+    # window per row-tile and take static (compiler-lowered shift) slices
+    # per diagonal inside registers.
+    row_start = pl.multiple_of(pl.program_id(0) * tile, tile)
+    w = xp_ref[0, pl.ds(row_start, wlen)].reshape(1, wlen)
+    pad_lo = max(0, -min(offsets))
+    acc = jnp.zeros((1, tile), dtype=diags_ref.dtype)
+    for d, off in enumerate(offsets):
+        xs = jax.lax.slice(w, (0, off + pad_lo), (1, off + pad_lo + tile))
+        acc = acc + diags_ref[d, :].reshape(1, tile) * xs
+    o_ref[0, :] = acc[0, :]
+
+
+def dia_spmv_pallas(A: DiaMatrix, x: jax.Array, tile: int = 8192) -> jax.Array:
+    """Row-tiled diagonal SpMV.  The full padded x lives in VMEM (one copy);
+    per-diagonal reads are dynamic in-VMEM slices, so the kernel is a pure
+    shift-and-fma stream over the diagonals at ~4 bytes/nnz of HBM traffic.
+    """
+    n = A.n_rows
+    offsets = A.offsets
+    pad_lo = max(0, -min(offsets))
+    pad_hi = max(0, max(offsets))
+    # rows padded to a whole number of tiles (tile >= 128 for VREG lanes)
+    tile = max(min(tile, _ceil_to(A.diags.shape[1], 128)), 128)
+    n_pad = _ceil_to(A.diags.shape[1], tile)
+    diags = A.diags
+    if diags.shape[1] != n_pad:
+        diags = jnp.pad(diags, ((0, 0), (0, n_pad - diags.shape[1])))
+    # window = tile + band width, rounded up so the padded-x buffer is big
+    # enough for an aligned load at the last row-tile
+    wlen = _ceil_to(tile + pad_lo + pad_hi, 128)
+    xp = jnp.zeros((1, n_pad + (wlen - tile)), dtype=A.dtype)
+    xp = xp.at[0, pad_lo: pad_lo + n].set(x.astype(A.dtype))
+    grid = n_pad // tile
+
+    out = pl.pallas_call(
+        functools.partial(_dia_kernel, offsets=offsets, tile=tile, wlen=wlen),
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((len(offsets), tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # full padded x
+        ],
+        out_specs=pl.BlockSpec((1, tile), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, n_pad), A.dtype),
+    )(diags, xp)
+    return out[0, :n]
+
+
+def dia_spmv_xla(A: DiaMatrix, x: jax.Array) -> jax.Array:
+    """Shift-and-fma SpMV in plain jnp (XLA fuses the static slices)."""
+    n = A.n_rows
+    n_pad = A.diags.shape[1]
+    pad_lo = max(0, -min(A.offsets))
+    pad_hi = max(0, max(A.offsets)) + n_pad - n
+    xp = jnp.concatenate([
+        jnp.zeros(pad_lo, x.dtype), x.astype(A.dtype),
+        jnp.zeros(pad_hi, A.dtype)])
+    acc = jnp.zeros(n_pad, dtype=jnp.result_type(A.dtype, x.dtype))
+    for d, off in enumerate(A.offsets):
+        acc = acc + A.diags[d] * jax.lax.dynamic_slice(
+            xp, (off + pad_lo,), (n_pad,))
+    return acc[:n]
+
+
+# ---------------------------------------------------------------------------
+# Dispatch
+# ---------------------------------------------------------------------------
+
+def matvec(A, x: jax.Array) -> jax.Array:
+    """y = A @ x for any device sparse format (jittable)."""
+    if isinstance(A, DiaMatrix):
+        if A.dtype == jnp.float32 and x.dtype == jnp.float32:
+            return dia_spmv_pallas(A, x)
+        return dia_spmv_xla(A, x)
+    if isinstance(A, EllMatrix):
+        from .gather_spmv import ell_spmv_pallas, pallas_supported
+        if (A.dtype == jnp.float32 and x.dtype == jnp.float32
+                and pallas_supported(A)):
+            return ell_spmv_pallas(A, x)
+        return ell_spmv_xla(A, x)
+    if isinstance(A, jax.Array) or hasattr(A, "ndim") and A.ndim == 2:
+        return A @ x
+    raise TypeError(f"unknown matrix type {type(A)}")

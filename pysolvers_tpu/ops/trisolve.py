@@ -1,0 +1,137 @@
+"""Level-scheduled sparse triangular solves on device.
+
+Replaces the reference's SuperLU triangular-solve delegation
+(ILUTPreconditioner.py:67,78 ``.solve()``; ICPreconditioner.py:61-63
+``spsolve_triangular``).
+
+TPU design: the dependency DAG of a triangular factor is levelized at setup
+(host); rows within a level are independent and solved as one vectorized
+step.  The solve is a ``lax.scan`` over a static (n_levels, max_level_width)
+row schedule — static shapes, no data-dependent control flow, jit/grad safe.
+Each step is gather → fused multiply-reduce → masked scatter.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..sparse.host import HostCSR
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class TriSolvePlan:
+    """Device-resident plan for one triangular factor.
+
+    ell_data:   (n+1, k) off-diagonal values per row (dummy row n)
+    ell_cols:   (n+1, k) column ids (padding → n, reads dummy x slot)
+    diag:       (n+1,)   diagonal values (1.0 for unit-diagonal factors)
+    levels:     (n_levels, width) row ids per level (padding → n)
+    """
+
+    ell_data: jax.Array
+    ell_cols: jax.Array
+    diag: jax.Array
+    levels: jax.Array
+    lower: bool = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def n(self):
+        return self.diag.shape[0] - 1
+
+
+def _levelize(indptr, indices, n, lower: bool) -> np.ndarray:
+    """Topological levels of the triangular dependency DAG (host)."""
+    level = np.zeros(n, dtype=np.int64)
+    if lower:
+        order = range(n)
+    else:
+        order = range(n - 1, -1, -1)
+    for i in order:
+        deps = indices[indptr[i]: indptr[i + 1]]
+        deps = deps[deps < i] if lower else deps[deps > i]
+        if len(deps):
+            level[i] = level[deps].max() + 1
+    return level
+
+
+def build_trisolve_plan(T: HostCSR, lower: bool, unit_diag: bool = False,
+                        dtype=None) -> TriSolvePlan:
+    """Levelize a triangular HostCSR and pack its rows for device execution."""
+    n = T.shape[0]
+    dtype = dtype or T.data.dtype
+    rows, cols, vals = T.to_coo()
+    on_diag = rows == cols
+    diag = np.ones(n + 1, dtype=dtype)
+    if not unit_diag:
+        dv = np.zeros(n, dtype=dtype)
+        dv[rows[on_diag]] = vals[on_diag]
+        if (dv == 0).any():
+            raise ZeroDivisionError("triangular factor has zero diagonal")
+        diag[:n] = dv
+    off = ~on_diag
+    orows, ocols, ovals = rows[off], cols[off], vals[off]
+
+    counts = np.zeros(n + 1, dtype=np.int64)
+    np.add.at(counts, orows, 1)
+    k = max(int(counts.max()), 1)
+    ell_data = np.zeros((n + 1, k), dtype=dtype)
+    ell_cols = np.full((n + 1, k), n, dtype=np.int32)
+    order = np.argsort(orows, kind="stable")
+    orows, ocols, ovals = orows[order], ocols[order], ovals[order]
+    starts = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(counts[:-1], out=starts[1:][: n])
+    slot = np.arange(len(orows)) - starts[orows]
+    ell_data[orows, slot] = ovals
+    ell_cols[orows, slot] = ocols
+
+    level = _levelize(T.indptr, T.indices, n, lower)
+    n_levels = int(level.max()) + 1 if n else 1
+    width = max(int(np.bincount(level, minlength=n_levels).max()), 1)
+    levels = np.full((n_levels, width), n, dtype=np.int32)
+    order = np.argsort(level, kind="stable")
+    lv_sorted = level[order]
+    pos = np.arange(n) - np.searchsorted(lv_sorted, lv_sorted)
+    levels[lv_sorted, pos] = order
+
+    return TriSolvePlan(jnp.asarray(ell_data), jnp.asarray(ell_cols),
+                        jnp.asarray(diag), jnp.asarray(levels), lower)
+
+
+def trisolve(plan: TriSolvePlan, b: jax.Array) -> jax.Array:
+    """Solve T x = b with the level schedule (jittable)."""
+    n = plan.n
+    bp = jnp.concatenate([b, jnp.zeros((1,), dtype=b.dtype)])
+    x0 = jnp.zeros((n + 1,), dtype=b.dtype)
+
+    def step(x, rows):
+        d = plan.ell_data[rows]                        # (width, k)
+        c = plan.ell_cols[rows]
+        acc = jnp.sum(d * x[c], axis=1)
+        xv = (bp[rows] - acc) / plan.diag[rows]
+        return x.at[rows].set(xv), None
+
+    x, _ = jax.lax.scan(step, x0, plan.levels)
+    return x[:n]
+
+
+def trisolve_jacobi(plan: TriSolvePlan, b: jax.Array, sweeps: int = 10
+                    ) -> jax.Array:
+    """Approximate triangular solve by fixed-point (Jacobi) sweeps —
+    the latency-friendly alternative when the level count is large:
+    x_{k+1} = D^{-1}(b - N x_k) with T = D + N.  Converges in ≤ n_levels
+    sweeps (nilpotent N); ``sweeps`` trades accuracy for time."""
+    n = plan.n
+    bp = jnp.concatenate([b, jnp.zeros((1,), dtype=b.dtype)])
+    x = jnp.zeros((n + 1,), dtype=b.dtype)
+
+    def body(_, x):
+        acc = jnp.sum(plan.ell_data * x[plan.ell_cols], axis=1)
+        xn = (bp - acc) / plan.diag
+        return xn.at[n].set(0.0)
+
+    x = jax.lax.fori_loop(0, sweeps, body, x)
+    return x[:n]

@@ -1,0 +1,70 @@
+"""2D Bratu nonlinear test problem.
+
+Capability parity with the reference's examples/FDBratu2D.py:10-29:
+F(u) = A·u − alpha·exp(−u) with A the (negative) 2D FD Laplacian;
+J(u) = A + diag(alpha·exp(−u)).  Note the reference uses exp(−u) (its
+FDBratu2D.py:21 `np.exp(-u)`), giving Jacobian A + alpha·diag(exp(−u))
+(FDBratu2D.py:27-29 adds to the diagonal).  evalF/evalJ run on device
+(SpMV + elementwise); the Jacobian reuses the Laplacian's sparsity so the
+device matrix is rebuilt with a diagonal bump only — no host round-trip.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..sparse.host import HostCSR
+from ..sparse.device import DiaMatrix, EllMatrix
+from .laplacian import fd_laplacian_2d
+
+
+class Bratu2D:
+    """F(u) = A u − alpha e^{−u}, J(u) = A + alpha diag(e^{−u}).
+
+    The device Jacobian is produced by updating the diagonal entries of the
+    stored device matrix in place (both DIA and ELL keep the diagonal at a
+    statically known position), so Newton steps never rebuild from host.
+    """
+
+    def __init__(self, m: int = 100, alpha: float = 0.5, fmt: str = "dia",
+                 dtype=np.float64):
+        self.m = m
+        self.n = m * m
+        self.alpha = alpha
+        self.A_host = fd_laplacian_2d(m, dtype=dtype)
+        if fmt == "dia":
+            self.A = DiaMatrix.from_host_csr(self.A_host)
+            self._diag_idx = self.A.offsets.index(0)
+        elif fmt == "ell":
+            self.A = EllMatrix.from_host_csr(self.A_host)
+            # slot of the diagonal entry within each ELL row
+            cols = np.asarray(self.A.cols)[: self.n]
+            slots = np.argmax(
+                cols == np.arange(self.n)[:, None], axis=1).astype(np.int32)
+            self._diag_slots = jnp.asarray(slots)
+        else:
+            raise ValueError(fmt)
+        self.fmt = fmt
+
+    def eval_f(self, u: jax.Array) -> jax.Array:
+        from ..ops import matvec
+        return matvec(self.A, u) - self.alpha * jnp.exp(-u)
+
+    def eval_j(self, u: jax.Array):
+        """Return the device Jacobian matrix at u (same format as A)."""
+        bump = self.alpha * jnp.exp(-u)
+        if self.fmt == "dia":
+            d = self.A.diags.at[self._diag_idx, : self.n].add(
+                bump.astype(self.A.dtype))
+            return DiaMatrix(d, self.A.offsets, self.A.shape)
+        rows = jnp.arange(self.n)
+        data = self.A.data.at[rows, self._diag_slots].add(
+            bump.astype(self.A.dtype))
+        return EllMatrix(data, self.A.cols, self.A.shape, self.A.n_cols_pad)
+
+    # protocol used by the Newton driver (reference Newton.py:35,59)
+    evalF = eval_f
+    evalJ = eval_j

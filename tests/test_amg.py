@@ -1,0 +1,108 @@
+"""AMG hierarchy + V-cycle + preconditioner tests (SURVEY §4b)."""
+import numpy as np
+
+import jax.numpy as jnp
+
+from pysolvers_tpu.core import SolverConfig, StopReason
+from pysolvers_tpu.linear import cg_solve
+from pysolvers_tpu.linear.amg import (AMG, AMGVCycle, build_aggregates,
+                                      build_sa_hierarchy, sa_coarsen,
+                                      build_device_hierarchy, v_cycle)
+from pysolvers_tpu.ops import matvec
+from pysolvers_tpu.problems import fd_laplacian_2d, dh_test_problem
+from pysolvers_tpu.sparse import EllMatrix
+
+
+class TestSASetup:
+    def test_aggregates_cover_all_nodes(self):
+        H = fd_laplacian_2d(10)
+        agg = build_aggregates(H, 0.08)
+        assert (agg >= 0).all()
+        n_agg = agg.max() + 1
+        assert 1 < n_agg < H.shape[0]
+
+    def test_galerkin_operator_spd(self):
+        H = fd_laplacian_2d(10)
+        P, R, A_c = sa_coarsen(H, 0.08)
+        Ac = A_c.to_dense()
+        # coarse operator of an SPD matrix stays symmetric (up to roundoff
+        # introduced by row-normalized restriction) and positive definite
+        w = np.linalg.eigvals(Ac)
+        assert (w.real > 0).all()
+        assert P.shape == (H.shape[0], A_c.shape[0])
+        assert R.shape == (A_c.shape[0], H.shape[0])
+
+    def test_hierarchy_shapes(self):
+        H = fd_laplacian_2d(12)
+        mlh = build_sa_hierarchy(H, num_levels=3)
+        assert mlh.n_levels >= 2
+        # coarsest first
+        sizes = [A.shape[0] for A in mlh.matrices]
+        assert sizes == sorted(sizes)
+
+
+class TestVCycle:
+    def _converge(self, smoother):
+        H = fd_laplacian_2d(12)
+        n = H.shape[0]
+        rng = np.random.default_rng(0)
+        x_exact = rng.random(n)
+        b = jnp.asarray(H.matvec(x_exact))
+        mlh = build_sa_hierarchy(H, num_levels=3)
+        h = build_device_hierarchy(mlh, smoother, 2, 2)
+        x = jnp.zeros_like(b)
+        A_dev = h.levels[-1].A_dev
+        r0 = float(jnp.linalg.norm(b))
+        for _ in range(60):
+            x = v_cycle(h, b, x)
+            r = float(jnp.linalg.norm(b - matvec(A_dev, x)))
+            if r <= 1e-10 * r0:
+                break
+        assert r <= 1e-10 * r0, f"{smoother}: resid {r / r0:.2e}"
+        np.testing.assert_allclose(np.asarray(x), x_exact, atol=1e-6)
+
+    def test_vcycle_gs(self):
+        self._converge("gs")
+
+    def test_vcycle_jacobi(self):
+        self._converge("jacobi")
+
+    def test_vcycle_chebyshev(self):
+        self._converge("chebyshev")
+
+
+class TestAMGSolverShell:
+    def test_amg_vcycle_solver(self):
+        H = fd_laplacian_2d(12)
+        rng = np.random.default_rng(1)
+        x_exact = rng.random(H.shape[0])
+        b = H.matvec(x_exact)
+        solver = AMGVCycle(SolverConfig(maxiter=60, tau=1e-10),
+                           num_levels=3).make_solver()
+        st = solver.solve(H, b)
+        assert st.success
+        np.testing.assert_allclose(np.asarray(st.soln), x_exact, atol=1e-6)
+
+    def test_hierarchy_frozen_reuse(self):
+        H = fd_laplacian_2d(10)
+        b = np.random.default_rng(2).random(100)
+        solver = AMGVCycle(SolverConfig(maxiter=50, tau=1e-10),
+                           num_levels=2).make_solver()
+        st1 = solver.solve(H, b)
+        solver.freeze_matrix()
+        h_before = solver._hierarchy
+        st2 = solver.solve(H, 2.0 * b)
+        assert solver._hierarchy is h_before
+        assert st1.success and st2.success
+
+    def test_amg_preconditioned_cg(self):
+        H, x_exact, b = dh_test_problem(10)
+        A = EllMatrix.from_host_csr(H)
+        mv = lambda v: matvec(A, v)
+        _, st0, _ = cg_solve(mv, jnp.asarray(b), maxiter=500, tau=1e-10)
+        M = AMG(num_iters=2, num_levels=2).form(H)
+        x, st1, _ = cg_solve(mv, jnp.asarray(b), maxiter=500, tau=1e-10,
+                             precond=M.apply_right)
+        assert int(st1.reason) == StopReason.CONVERGED
+        assert int(st1.k) < int(st0.k)
+        np.testing.assert_allclose(np.asarray(x), x_exact, atol=1e-6)

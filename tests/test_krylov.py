@@ -1,0 +1,138 @@
+"""Krylov solver convergence tests (SURVEY §4b: manufactured solutions)."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from pysolvers_tpu.core import StopReason
+from pysolvers_tpu.linear import cg_solve, gmres_solve
+from pysolvers_tpu.ops import matvec
+from pysolvers_tpu.problems import fd_laplacian_1d, fd_laplacian_2d, dh_test_problem
+from pysolvers_tpu.sparse import EllMatrix, DiaMatrix
+
+
+def manufacture(H, seed=0):
+    rng = np.random.default_rng(seed)
+    x = rng.random(H.shape[0])
+    return jnp.asarray(x), jnp.asarray(H.matvec(x))
+
+
+class TestCG:
+    def test_laplacian_1d_to_1e10(self):
+        H = fd_laplacian_1d(128)
+        A = DiaMatrix.from_host_csr(H)
+        x_exact, b = manufacture(H)
+        x, st, hist = cg_solve(lambda v: matvec(A, v), b, maxiter=400, tau=1e-10)
+        assert int(st.reason) == StopReason.CONVERGED
+        r = np.linalg.norm(H.matvec(np.asarray(x)) - np.asarray(b))
+        assert r <= 1e-10 * np.linalg.norm(np.asarray(b))
+        np.testing.assert_allclose(np.asarray(x), np.asarray(x_exact),
+                                   atol=1e-6)
+
+    def test_laplacian_2d_ell(self):
+        H = fd_laplacian_2d(12)
+        A = EllMatrix.from_host_csr(H)
+        x_exact, b = manufacture(H, seed=1)
+        x, st, _ = cg_solve(lambda v: matvec(A, v), b, maxiter=500, tau=1e-10)
+        assert int(st.reason) == StopReason.CONVERGED
+        np.testing.assert_allclose(np.asarray(x), np.asarray(x_exact), atol=1e-6)
+
+    def test_zero_rhs_returns_zero(self):
+        H = fd_laplacian_1d(16)
+        A = DiaMatrix.from_host_csr(H)
+        b = jnp.zeros(16, dtype=jnp.float64)
+        x, st, _ = cg_solve(lambda v: matvec(A, v), b, maxiter=10, tau=1e-10)
+        assert int(st.reason) == StopReason.CONVERGED
+        assert int(st.k) == 0
+        np.testing.assert_allclose(np.asarray(x), 0.0)
+
+    def test_maxiter_flag(self):
+        H = fd_laplacian_2d(16)
+        A = EllMatrix.from_host_csr(H)
+        _, b = manufacture(H, seed=2)
+        x, st, _ = cg_solve(lambda v: matvec(A, v), b, maxiter=3, tau=1e-14)
+        assert int(st.reason) == StopReason.MAXITER
+        assert int(st.k) == 3
+
+    def test_jacobi_preconditioner(self):
+        H = fd_laplacian_2d(10)
+        A = EllMatrix.from_host_csr(H)
+        dinv = jnp.asarray(1.0 / H.diagonal())
+        _, b = manufacture(H, seed=3)
+        mv = lambda v: matvec(A, v)
+        x1, st1, _ = cg_solve(mv, b, maxiter=300, tau=1e-10)
+        x2, st2, _ = cg_solve(mv, b, maxiter=300, tau=1e-10,
+                              precond=lambda v: dinv * v)
+        assert int(st2.reason) == StopReason.CONVERGED
+        np.testing.assert_allclose(np.asarray(x1), np.asarray(x2), atol=1e-6)
+
+    def test_dh_matrix(self):
+        H, x_exact, b = dh_test_problem(8)
+        A = EllMatrix.from_host_csr(H)
+        x, st, _ = cg_solve(lambda v: matvec(A, v), jnp.asarray(b),
+                            maxiter=600, tau=1e-10)
+        assert int(st.reason) == StopReason.CONVERGED
+        np.testing.assert_allclose(np.asarray(x), x_exact, atol=1e-6)
+
+    def test_jit_wrapped(self):
+        H = fd_laplacian_1d(64)
+        A = DiaMatrix.from_host_csr(H)
+        _, b = manufacture(H, seed=4)
+
+        @jax.jit
+        def solve(A, b):
+            return cg_solve(lambda v: matvec(A, v), b, maxiter=200, tau=1e-10)
+
+        x, st, _ = solve(A, b)
+        assert int(st.reason) == StopReason.CONVERGED
+
+
+class TestGMRES:
+    def test_laplacian_1d(self):
+        H = fd_laplacian_1d(64)
+        A = DiaMatrix.from_host_csr(H)
+        x_exact, b = manufacture(H, seed=5)
+        x, st, _ = gmres_solve(lambda v: matvec(A, v), b, maxiter=100,
+                               tau=1e-10)
+        assert int(st.reason) == StopReason.CONVERGED
+        np.testing.assert_allclose(np.asarray(x), np.asarray(x_exact), atol=1e-6)
+
+    def test_nonsymmetric(self):
+        # convection-diffusion–like perturbation of the Laplacian
+        H = fd_laplacian_1d(48)
+        rows, cols, vals = H.to_coo()
+        vals = vals + np.where(cols == rows + 1, 15.0 * (48 + 1), 0.0)
+        from pysolvers_tpu.sparse import HostCSR
+        Hn = HostCSR.from_coo(rows, cols, vals, H.shape, sum_duplicates=False)
+        A = EllMatrix.from_host_csr(Hn)
+        x_exact = np.random.default_rng(6).random(48)
+        b = jnp.asarray(Hn.matvec(x_exact))
+        x, st, _ = gmres_solve(lambda v: matvec(A, v), b, maxiter=60, tau=1e-12)
+        assert int(st.reason) == StopReason.CONVERGED
+        np.testing.assert_allclose(np.asarray(x), x_exact, atol=1e-7)
+
+    def test_restart(self):
+        H = fd_laplacian_2d(8)
+        A = EllMatrix.from_host_csr(H)
+        x_exact, b = manufacture(H, seed=7)
+        x, st, _ = gmres_solve(lambda v: matvec(A, v), b, maxiter=400,
+                               restart=20, tau=1e-10)
+        assert int(st.reason) == StopReason.CONVERGED
+        np.testing.assert_allclose(np.asarray(x), np.asarray(x_exact), atol=1e-5)
+
+    def test_dh_gmres(self):
+        H, x_exact, b = dh_test_problem(6)
+        A = EllMatrix.from_host_csr(H)
+        x, st, _ = gmres_solve(lambda v: matvec(A, v), jnp.asarray(b),
+                               maxiter=80, tau=1e-10)
+        assert int(st.reason) == StopReason.CONVERGED
+        np.testing.assert_allclose(np.asarray(x), x_exact, atol=1e-6)
+
+    def test_identity_converges_one_iter(self):
+        n = 32
+        b = jnp.asarray(np.random.default_rng(8).random(n))
+        x, st, _ = gmres_solve(lambda v: v, b, maxiter=10, tau=1e-12)
+        assert int(st.reason) == StopReason.CONVERGED
+        assert int(st.k) <= 2
+        np.testing.assert_allclose(np.asarray(x), np.asarray(b), atol=1e-12)

@@ -1,0 +1,132 @@
+"""Container + kernel unit tests against scipy/numpy oracles (SURVEY §4a)."""
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+import jax.numpy as jnp
+
+from pysolvers_tpu.sparse import HostCSR, EllMatrix, DiaMatrix, read_mtx
+from pysolvers_tpu.ops import matvec, ell_spmv_xla, dia_spmv_xla
+from pysolvers_tpu.problems import fd_laplacian_1d, fd_laplacian_2d
+
+
+def random_csr(n, m, density=0.05, seed=0, spd=False):
+    rng = np.random.default_rng(seed)
+    A = sp.random(n, m, density=density, random_state=rng, format="csr")
+    if spd:
+        A = A + A.T + n * sp.eye(n)
+        A = A.tocsr()
+    return A
+
+
+def to_host(A: sp.csr_matrix) -> HostCSR:
+    A = A.tocsr()
+    A.sort_indices()
+    return HostCSR(A.indptr.astype(np.int64), A.indices.astype(np.int32),
+                   A.data.copy(), A.shape)
+
+
+class TestHostCSR:
+    def test_from_coo_roundtrip(self):
+        S = random_csr(40, 30, 0.1)
+        coo = S.tocoo()
+        H = HostCSR.from_coo(coo.row, coo.col, coo.data, S.shape)
+        np.testing.assert_allclose(H.to_dense(), S.toarray(), atol=1e-14)
+
+    def test_duplicates_summed(self):
+        H = HostCSR.from_coo([0, 0, 1], [1, 1, 0], [2.0, 3.0, 1.0], (2, 2))
+        assert H.to_dense()[0, 1] == 5.0
+
+    def test_matvec_oracle(self):
+        S = random_csr(64, 64, 0.1, seed=1)
+        H = to_host(S)
+        x = np.random.default_rng(2).random(64)
+        np.testing.assert_allclose(H.matvec(x), S @ x, rtol=1e-13)
+
+    def test_matmat_oracle(self):
+        A = random_csr(32, 48, 0.15, seed=3)
+        B = random_csr(48, 24, 0.15, seed=4)
+        C = to_host(A).matmat(to_host(B))
+        np.testing.assert_allclose(C.to_dense(), (A @ B).toarray(), atol=1e-13)
+
+    def test_transpose(self):
+        S = random_csr(20, 35, 0.2, seed=5)
+        np.testing.assert_allclose(to_host(S).transpose().to_dense(),
+                                   S.T.toarray(), atol=1e-14)
+
+    def test_diagonal_triangles(self):
+        S = random_csr(30, 30, 0.2, seed=6) + sp.eye(30)
+        H = to_host(S.tocsr())
+        np.testing.assert_allclose(H.diagonal(), S.diagonal(), atol=1e-14)
+        np.testing.assert_allclose(H.extract_lower().to_dense(),
+                                   sp.tril(S).toarray(), atol=1e-14)
+        np.testing.assert_allclose(H.extract_upper().to_dense(),
+                                   sp.triu(S).toarray(), atol=1e-14)
+
+
+class TestDeviceFormats:
+    @pytest.mark.parametrize("n,m,density", [(50, 50, 0.1), (33, 65, 0.2),
+                                             (128, 128, 0.02)])
+    def test_ell_spmv(self, n, m, density):
+        S = random_csr(n, m, density, seed=n)
+        H = to_host(S)
+        E = EllMatrix.from_host_csr(H)
+        x = np.random.default_rng(7).random(m)
+        y = ell_spmv_xla(E, jnp.asarray(x))
+        np.testing.assert_allclose(np.asarray(y), S @ x, rtol=1e-12)
+
+    def test_ell_roundtrip(self):
+        S = random_csr(40, 40, 0.1, seed=8)
+        H = to_host(S)
+        E = EllMatrix.from_host_csr(H)
+        np.testing.assert_allclose(E.to_host_csr().to_dense(), S.toarray(),
+                                   atol=1e-14)
+
+    def test_dia_spmv_laplacian(self):
+        H = fd_laplacian_2d(9)
+        D = DiaMatrix.from_host_csr(H)
+        x = np.random.default_rng(9).random(81)
+        y = dia_spmv_xla(D, jnp.asarray(x))
+        np.testing.assert_allclose(np.asarray(y), H.matvec(x), rtol=1e-12)
+
+    def test_matvec_dispatch(self):
+        H = fd_laplacian_1d(77)
+        x = np.random.default_rng(10).random(77)
+        for M in (EllMatrix.from_host_csr(H), DiaMatrix.from_host_csr(H)):
+            y = matvec(M, jnp.asarray(x))
+            np.testing.assert_allclose(np.asarray(y), H.matvec(x), rtol=1e-12)
+
+
+class TestProblems:
+    def test_laplacian_1d_matches_reference_stencil(self):
+        m = 10
+        H = fd_laplacian_1d(m)
+        h2 = (m + 1.0) ** 2
+        D = H.to_dense()
+        assert np.allclose(np.diag(D), 2 * h2)
+        assert np.allclose(np.diag(D, 1), -h2)
+
+    def test_laplacian_2d_symmetry_and_rowsum(self):
+        H = fd_laplacian_2d(8)
+        D = H.to_dense()
+        np.testing.assert_allclose(D, D.T)
+        # interior rows sum to 0, boundary-adjacent rows positive
+        assert (D.sum(axis=1) >= -1e-9).all()
+
+
+class TestMtxIO:
+    def test_read_dh_matches_scipy(self):
+        import scipy.io as sio
+        path = "/root/reference/TestMatrices/DH-Matrix-5.mtx"
+        H = read_mtx(path)
+        S = sio.mmread(path).tocsr()
+        np.testing.assert_allclose(H.to_dense(), S.toarray(), atol=1e-14)
+
+    def test_write_read_roundtrip(self, tmp_path):
+        from pysolvers_tpu.sparse import write_mtx
+        S = random_csr(25, 25, 0.15, seed=11)
+        H = to_host(S)
+        p = str(tmp_path / "t.mtx")
+        write_mtx(p, H)
+        np.testing.assert_allclose(read_mtx(p).to_dense(), S.toarray(),
+                                   atol=1e-14)

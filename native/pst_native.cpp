@@ -1,0 +1,368 @@
+// pst_native: host-side setup kernels for pysolvers_tpu.
+//
+// The reference delegates its native work to SuperLU/scipy C kernels
+// (SURVEY §2.1); this library is the TPU framework's equivalent runtime:
+// everything latency-critical in the *setup phase* — incomplete
+// factorization, SpGEMM for Galerkin products, aggregation, level
+// scheduling, bandwidth-reducing reordering, MatrixMarket parsing — runs
+// here, producing the static plans the device kernels consume.
+//
+// Exposed as a plain C ABI for ctypes (no pybind11 in this image).
+// Buffers are caller-allocated numpy arrays unless noted; functions that
+// produce variable-size output use an opaque result handle + copy-out.
+//
+// Build: see native/build.sh (g++ -O3 -march=native -shared -fPIC).
+
+#include <algorithm>
+#include <cmath>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <queue>
+#include <vector>
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// Opaque variable-size result: {indptr, indices, data}
+// ---------------------------------------------------------------------------
+
+struct CsrResult {
+  std::vector<int64_t> indptr;
+  std::vector<int32_t> indices;
+  std::vector<double> data;
+};
+
+void* csr_result_new() { return new CsrResult(); }
+void csr_result_free(void* h) { delete static_cast<CsrResult*>(h); }
+int64_t csr_result_nnz(void* h) {
+  return static_cast<int64_t>(static_cast<CsrResult*>(h)->indices.size());
+}
+int64_t csr_result_nrows(void* h) {
+  return static_cast<int64_t>(static_cast<CsrResult*>(h)->indptr.size()) - 1;
+}
+void csr_result_copy(void* h, int64_t* indptr, int32_t* indices,
+                     double* data) {
+  auto* r = static_cast<CsrResult*>(h);
+  std::memcpy(indptr, r->indptr.data(), r->indptr.size() * sizeof(int64_t));
+  std::memcpy(indices, r->indices.data(),
+              r->indices.size() * sizeof(int32_t));
+  std::memcpy(data, r->data.data(), r->data.size() * sizeof(double));
+}
+
+// ---------------------------------------------------------------------------
+// SpGEMM: C = A * B  (Gustavson, dense accumulator)
+// ---------------------------------------------------------------------------
+
+void spgemm(int64_t n, int64_t m, int64_t k, const int64_t* a_indptr,
+            const int32_t* a_indices, const double* a_data,
+            const int64_t* b_indptr, const int32_t* b_indices,
+            const double* b_data, void* out) {
+  auto* r = static_cast<CsrResult*>(out);
+  r->indptr.assign(1, 0);
+  std::vector<double> acc(k, 0.0);
+  std::vector<int64_t> mark(k, -1);
+  std::vector<int32_t> cols;
+  cols.reserve(64);
+  for (int64_t i = 0; i < n; ++i) {
+    cols.clear();
+    for (int64_t p = a_indptr[i]; p < a_indptr[i + 1]; ++p) {
+      const int32_t a_col = a_indices[p];
+      const double a_val = a_data[p];
+      for (int64_t q = b_indptr[a_col]; q < b_indptr[a_col + 1]; ++q) {
+        const int32_t c = b_indices[q];
+        if (mark[c] != i) {
+          mark[c] = i;
+          acc[c] = 0.0;
+          cols.push_back(c);
+        }
+        acc[c] += a_val * b_data[q];
+      }
+    }
+    std::sort(cols.begin(), cols.end());
+    for (int32_t c : cols) {
+      r->indices.push_back(c);
+      r->data.push_back(acc[c]);
+    }
+    r->indptr.push_back(static_cast<int64_t>(r->indices.size()));
+  }
+  (void)m;
+}
+
+// ---------------------------------------------------------------------------
+// ILUT factorization (Saad dual-threshold), CSR in, L/U CSR out.
+// L has unit diagonal stored explicitly; U holds the diagonal first.
+// ---------------------------------------------------------------------------
+
+void ilut(int64_t n, const int64_t* indptr, const int32_t* indices,
+          const double* data, double drop_tol, double fill_factor,
+          void* l_out, void* u_out) {
+  auto* L = static_cast<CsrResult*>(l_out);
+  auto* U = static_cast<CsrResult*>(u_out);
+  L->indptr.assign(1, 0);
+  U->indptr.assign(1, 0);
+
+  // U rows (needed for elimination): store per-row slices into U arrays.
+  std::vector<int64_t> u_row_start(n, 0), u_row_end(n, 0);
+  std::vector<double> u_diag(n, 0.0);
+
+  std::vector<double> w(n, 0.0);      // dense work row
+  std::vector<uint8_t> in_w(n, 0);
+  std::vector<int32_t> touched;
+  touched.reserve(256);
+
+  struct CV {
+    int32_t c;
+    double v;
+  };
+  std::vector<CV> lower, upper;
+
+  for (int64_t i = 0; i < n; ++i) {
+    touched.clear();
+    double row_norm = 0.0;
+    int64_t row_nnz = indptr[i + 1] - indptr[i];
+    for (int64_t p = indptr[i]; p < indptr[i + 1]; ++p) {
+      const int32_t c = indices[p];
+      w[c] = data[p];
+      in_w[c] = 1;
+      touched.push_back(c);
+      row_norm += data[p] * data[p];
+    }
+    row_norm = std::sqrt(row_norm);
+    const double tau_i = drop_tol * row_norm;
+    const int64_t cap =
+        std::max<int64_t>(static_cast<int64_t>(fill_factor * row_nnz),
+                          row_nnz ? row_nnz : 1);
+
+    // eliminate ascending k < i using a small heap over touched lower cols
+    std::priority_queue<int32_t, std::vector<int32_t>,
+                        std::greater<int32_t>>
+        heap;
+    for (int32_t c : touched)
+      if (c < i) heap.push(c);
+    lower.clear();
+    while (!heap.empty()) {
+      const int32_t kk = heap.top();
+      heap.pop();
+      if (!in_w[kk]) continue;
+      const double wk = w[kk];
+      in_w[kk] = 0;
+      w[kk] = 0.0;
+      const double piv = u_diag[kk];
+      if (piv == 0.0) continue;
+      const double lik = wk / piv;
+      if (std::fabs(lik) <= tau_i) continue;
+      lower.push_back({kk, lik});
+      for (int64_t q = u_row_start[kk]; q < u_row_end[kk]; ++q) {
+        const int32_t c = U->indices[q];
+        if (c == kk) continue;
+        const double upd = lik * U->data[q];
+        if (in_w[c]) {
+          w[c] -= upd;
+        } else if (std::fabs(upd) > tau_i) {
+          w[c] = -upd;
+          in_w[c] = 1;
+          touched.push_back(c);
+          if (c < i) heap.push(c);
+        }
+      }
+    }
+
+    // gather upper part + diagonal
+    double diag = 0.0;
+    upper.clear();
+    for (int32_t c : touched) {
+      if (!in_w[c]) continue;
+      const double v = w[c];
+      in_w[c] = 0;
+      w[c] = 0.0;
+      if (c == i) {
+        diag = v;
+      } else if (c > i && std::fabs(v) > tau_i) {
+        upper.push_back({c, v});
+      }
+    }
+    if (diag == 0.0) diag = (tau_i > 0.0) ? tau_i : 1e-12;
+
+    auto keep_largest = [cap](std::vector<CV>& vec) {
+      if (static_cast<int64_t>(vec.size()) > cap) {
+        std::nth_element(vec.begin(), vec.begin() + cap, vec.end(),
+                         [](const CV& a, const CV& b) {
+                           return std::fabs(a.v) > std::fabs(b.v);
+                         });
+        vec.resize(cap);
+      }
+      std::sort(vec.begin(), vec.end(),
+                [](const CV& a, const CV& b) { return a.c < b.c; });
+    };
+    keep_largest(lower);
+    keep_largest(upper);
+
+    for (const CV& cv : lower) {
+      L->indices.push_back(cv.c);
+      L->data.push_back(cv.v);
+    }
+    L->indices.push_back(static_cast<int32_t>(i));
+    L->data.push_back(1.0);
+    L->indptr.push_back(static_cast<int64_t>(L->indices.size()));
+
+    u_row_start[i] = static_cast<int64_t>(U->indices.size());
+    U->indices.push_back(static_cast<int32_t>(i));
+    U->data.push_back(diag);
+    u_diag[i] = diag;
+    for (const CV& cv : upper) {
+      U->indices.push_back(cv.c);
+      U->data.push_back(cv.v);
+    }
+    u_row_end[i] = static_cast<int64_t>(U->indices.size());
+    U->indptr.push_back(static_cast<int64_t>(U->indices.size()));
+  }
+}
+
+// ---------------------------------------------------------------------------
+// Topological levels of a triangular factor (for level-scheduled trisolve)
+// ---------------------------------------------------------------------------
+
+void levelize(int64_t n, const int64_t* indptr, const int32_t* indices,
+              int32_t lower, int64_t* level_out) {
+  if (lower) {
+    for (int64_t i = 0; i < n; ++i) {
+      int64_t lv = 0;
+      for (int64_t p = indptr[i]; p < indptr[i + 1]; ++p) {
+        const int32_t c = indices[p];
+        if (c < i) lv = std::max(lv, level_out[c] + 1);
+      }
+      level_out[i] = lv;
+    }
+  } else {
+    for (int64_t i = n - 1; i >= 0; --i) {
+      int64_t lv = 0;
+      for (int64_t p = indptr[i]; p < indptr[i + 1]; ++p) {
+        const int32_t c = indices[p];
+        if (c > i) lv = std::max(lv, level_out[c] + 1);
+      }
+      level_out[i] = lv;
+    }
+  }
+}
+
+// ---------------------------------------------------------------------------
+// Greedy 3-phase aggregation on a strength graph (SA-AMG setup)
+// graph: CSR adjacency of strong off-diagonal connections
+// ---------------------------------------------------------------------------
+
+int64_t aggregate(int64_t n, const int64_t* indptr, const int32_t* indices,
+                  int64_t* agg_out) {
+  std::fill(agg_out, agg_out + n, -1);
+  int64_t n_agg = 0;
+  for (int64_t i = 0; i < n; ++i) {  // phase 1
+    if (agg_out[i] != -1) continue;
+    bool clean = true;
+    for (int64_t p = indptr[i]; p < indptr[i + 1] && clean; ++p)
+      clean = agg_out[indices[p]] == -1;
+    if (clean) {
+      agg_out[i] = n_agg;
+      for (int64_t p = indptr[i]; p < indptr[i + 1]; ++p)
+        agg_out[indices[p]] = n_agg;
+      ++n_agg;
+    }
+  }
+  for (int64_t i = 0; i < n; ++i) {  // phase 2
+    if (agg_out[i] != -1) continue;
+    for (int64_t p = indptr[i]; p < indptr[i + 1]; ++p) {
+      if (agg_out[indices[p]] != -1) {
+        agg_out[i] = agg_out[indices[p]];
+        break;
+      }
+    }
+  }
+  for (int64_t i = 0; i < n; ++i)  // phase 3
+    if (agg_out[i] == -1) agg_out[i] = n_agg++;
+  return n_agg;
+}
+
+// ---------------------------------------------------------------------------
+// Reverse Cuthill-McKee reordering (bandwidth reduction for windowed SpMV)
+// ---------------------------------------------------------------------------
+
+void rcm(int64_t n, const int64_t* indptr, const int32_t* indices,
+         int64_t* perm_out) {
+  std::vector<int64_t> deg(n);
+  for (int64_t i = 0; i < n; ++i) deg[i] = indptr[i + 1] - indptr[i];
+  std::vector<uint8_t> seen(n, 0);
+  std::vector<int64_t> order;
+  order.reserve(n);
+  std::vector<int64_t> frontier;
+  for (int64_t start = 0; static_cast<int64_t>(order.size()) < n; ++start) {
+    // next unvisited vertex of minimum degree
+    int64_t s = -1;
+    for (int64_t i = 0; i < n; ++i)
+      if (!seen[i] && (s == -1 || deg[i] < deg[s])) s = i;
+    if (s == -1) break;
+    seen[s] = 1;
+    order.push_back(s);
+    size_t head = order.size() - 1;
+    while (head < order.size()) {
+      const int64_t u = order[head++];
+      frontier.clear();
+      for (int64_t p = indptr[u]; p < indptr[u + 1]; ++p) {
+        const int32_t v = indices[p];
+        if (!seen[v]) {
+          seen[v] = 1;
+          frontier.push_back(v);
+        }
+      }
+      std::sort(frontier.begin(), frontier.end(),
+                [&deg](int64_t a, int64_t b) { return deg[a] < deg[b]; });
+      for (int64_t v : frontier) order.push_back(v);
+    }
+  }
+  // reverse
+  for (int64_t i = 0; i < n; ++i) perm_out[i] = order[n - 1 - i];
+}
+
+// ---------------------------------------------------------------------------
+// MatrixMarket coordinate parser (fast path for the DH suite)
+// returns nnz read, fills caller buffers sized via mtx_count
+// ---------------------------------------------------------------------------
+
+int64_t mtx_read(const char* path, int64_t* rows, int64_t* cols, double* vals,
+                 int64_t cap, int64_t* shape_out, int32_t* symmetric_out) {
+  FILE* f = std::fopen(path, "r");
+  if (!f) return -1;
+  char line[512];
+  if (!std::fgets(line, sizeof line, f)) {
+    std::fclose(f);
+    return -1;
+  }
+  *symmetric_out = std::strstr(line, "symmetric") != nullptr;
+  do {
+    if (!std::fgets(line, sizeof line, f)) {
+      std::fclose(f);
+      return -1;
+    }
+  } while (line[0] == '%');
+  long long n = 0, m = 0, nnz = 0;
+  std::sscanf(line, "%lld %lld %lld", &n, &m, &nnz);
+  shape_out[0] = n;
+  shape_out[1] = m;
+  if (nnz > cap) {
+    std::fclose(f);
+    return -2;
+  }
+  int64_t got = 0;
+  while (got < nnz && std::fgets(line, sizeof line, f)) {
+    long long r, c;
+    double v = 1.0;
+    const int k = std::sscanf(line, "%lld %lld %lf", &r, &c, &v);
+    if (k < 2) continue;
+    rows[got] = r - 1;
+    cols[got] = c - 1;
+    vals[got] = v;
+    ++got;
+  }
+  std::fclose(f);
+  return got;
+}
+
+}  // extern "C"

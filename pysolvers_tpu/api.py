@@ -54,6 +54,8 @@ def as_device_matrix(A, dtype=None):
         return A, EllMatrix.from_host_csr(A, dtype=dtype)
     if isinstance(A, np.ndarray) or isinstance(A, jax.Array):
         return None, jnp.asarray(A, dtype=dtype)
+    if hasattr(A, "__matmul__") and getattr(A, "ndim", None) == 2:
+        return None, A   # matrix-free operator (e.g. operator.LinearOperator)
     raise TypeError(f"cannot convert {type(A)} to a device matrix")
 
 
@@ -265,8 +267,16 @@ class DefaultDirectSolver(LinearSolver):
             else:
                 Ad = jnp.asarray(A)
             b = jnp.asarray(b, dtype=Ad.dtype)
-            x = jnp.linalg.solve(Ad, b)
-            resid = float(jnp.linalg.norm(Ad @ x - b))
+            try:
+                x = jnp.linalg.solve(Ad, b)
+                resid = float(jnp.linalg.norm(Ad @ x - b))
+            except Exception:
+                # some TPU runtimes lack the linalg custom calls; fall back
+                # to host LAPACK (the reference's own engine,
+                # DefaultDirectSolver.py:65)
+                xh = np.linalg.solve(np.asarray(Ad), np.asarray(b))
+                x = jnp.asarray(xh)
+                resid = float(np.linalg.norm(np.asarray(Ad) @ xh - np.asarray(b)))
             st = SolveStatus(success=bool(np.isfinite(resid)), soln=x,
                              resid=resid, iters=1)
             if not st.success:

@@ -66,6 +66,11 @@ def build_aggregates(A: HostCSR, tol: float) -> np.ndarray:
     srows, scols = srows[order], scols[order]
     ptr = np.searchsorted(srows, np.arange(n + 1))
 
+    from ..utils import native
+    res = native.aggregate(ptr, scols.astype(np.int32), n)
+    if res is not None:
+        return res[0]
+
     agg = np.full(n, -1, dtype=np.int64)
     n_agg = 0
     # phase 1: seed aggregates from fully-unaggregated neighborhoods
@@ -163,10 +168,14 @@ class MLHierarchy:
 
 
 def build_sa_hierarchy(A: HostCSR, num_levels: int = 2,
-                       base_tol: float = 0.08, min_coarse: int = 8
-                       ) -> MLHierarchy:
+                       base_tol: float = 0.08, min_coarse: int = 8,
+                       coarsening: str = "sa") -> MLHierarchy:
     """Coarsen fine→coarse with tol schedule base_tol·0.5^(lvl−1)
-    (reference SmoothedAggregation.py:62-63, hierarchy loop :20-22)."""
+    (reference SmoothedAggregation.py:62-63, hierarchy loop :20-22).
+
+    ``coarsening``: "sa" (smoothed aggregation, the reference's production
+    path) or "rs" (classical Ruge-Stüben, amg_rs.py — the reference's
+    stashed intent)."""
     mats = [A]
     Ps: List[HostCSR] = []
     Rs: List[HostCSR] = []
@@ -175,7 +184,11 @@ def build_sa_hierarchy(A: HostCSR, num_levels: int = 2,
         A_cur = mats[-1]
         if A_cur.shape[0] <= min_coarse:
             break
-        P, R, A_c = sa_coarsen(A_cur, tol)
+        if coarsening == "rs":
+            from .amg_rs import rs_coarsen
+            P, R, A_c = rs_coarsen(A_cur)
+        else:
+            P, R, A_c = sa_coarsen(A_cur, tol)
         if A_c.shape[0] >= A_cur.shape[0]:
             break  # aggregation stalled
         mats.append(A_c)
@@ -205,7 +218,7 @@ class DeviceLevel:
 @dataclasses.dataclass
 class DeviceHierarchy:
     levels: List[DeviceLevel]
-    A0_dense: jax.Array              # coarsest operator, dense
+    A0_inv: jax.Array                # coarsest operator inverse (dense)
     smoother: str
     nu_pre: int
     nu_post: int
@@ -241,9 +254,13 @@ def build_device_hierarchy(mlh: MLHierarchy, smoother: str = "gs",
             _, R_dev = as_device_matrix(mlh.restrictions[k - 1], dtype=dtype)
         levels.append(DeviceLevel(A_dev, jnp.asarray(1.0 / d), gs_plan,
                                   P_dev, R_dev, cheb))
-    A0 = jnp.asarray(mlh.matrices[0].to_dense(),
-                     dtype=dtype or mlh.matrices[0].data.dtype)
-    return DeviceHierarchy(levels, A0, smoother, nu_pre, nu_post)
+    # coarse direct solve: factor on host at setup (f64), apply on device as
+    # a dense matvec (MXU) — jnp.linalg custom calls are avoided so the cycle
+    # stays portable across TPU runtimes
+    A0 = mlh.matrices[0].to_dense().astype(np.float64)
+    A0_inv = jnp.asarray(np.linalg.inv(A0),
+                         dtype=dtype or mlh.matrices[0].data.dtype)
+    return DeviceHierarchy(levels, A0_inv, smoother, nu_pre, nu_post)
 
 
 def _smooth(level: DeviceLevel, smoother: str, x, f, sweeps: int):
@@ -285,7 +302,7 @@ def v_cycle(h: DeviceHierarchy, f: jax.Array, x: jax.Array) -> jax.Array:
     def run(k, f_k, x_k):
         lev = h.levels[k]
         if k == 0:
-            return jnp.linalg.solve(h.A0_dense.astype(f_k.dtype), f_k)
+            return h.A0_inv.astype(f_k.dtype) @ f_k
         x_k = _smooth(lev, h.smoother, x_k, f_k, h.nu_pre)
         r = f_k - matvec(lev.A_dev, x_k)
         f_c = matvec(lev.R_dev, r)

@@ -30,9 +30,20 @@ from .preconditioner import Preconditioner, PreconditionerType
 def ilut_factor(A: HostCSR, drop_tol: float = 1e-3, fill_factor: float = 15.0
                 ) -> Tuple[HostCSR, HostCSR]:
     """Row-wise ILUT.  Returns (L unit-lower with implicit diagonal stored
-    explicitly as 1.0, U upper incl. diagonal) with A ≈ L·U."""
+    explicitly as 1.0, U upper incl. diagonal) with A ≈ L·U.
+
+    Fast path: native C++ (utils/native.py); fallback: pure Python below.
+    """
     n = A.shape[0]
     indptr, indices, data = A.indptr, A.indices, A.data
+
+    from ..utils import native
+    res = native.ilut(indptr, indices, data, n, drop_tol, fill_factor)
+    if res is not None:
+        (Lp, Li, Lx), (Up, Ui, Ux) = res
+        dt = A.data.dtype
+        return (HostCSR(Lp, Li, Lx.astype(dt), (n, n)),
+                HostCSR(Up, Ui, Ux.astype(dt), (n, n)))
 
     # U rows stored as running arrays for fast lookup during elimination
     U_cols: list = [None] * n

@@ -1,0 +1,107 @@
+"""Block-window SELL SpMV kernel (see sparse/bws.py for the format).
+
+Per kernel step (one tile = GT groups = 1024 rows):
+  1. slice the tile's x window (win_blocks × 128) from the block-reshaped
+     source vector resident in VMEM (aligned dynamic sublane slice);
+  2. for each segment s: one-hot select each group's x block
+     (MXU (GT, W)·(W, 128)), pick entries with a same-shape 128-lane
+     gather, fuse-multiply into the accumulator;
+  3. reduce the group_rows×slots slot layout to row sums with a constant
+     (128, group_rows) matmul (MXU).
+
+Every primitive here is one this Mosaic backend supports (sublane-aligned
+dynamic slices, lane-axis take_along_axis at 128 lanes, matmuls); see the
+probe notes in sparse/bws.py.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..sparse.bws import BwsMatrix, GT
+
+
+def _ceil_to(x, m):
+    return ((x + m - 1) // m) * m
+
+
+def _bws_kernel(delta_ref, data_ref, lidx_ref, x2_ref, o_ref, *,
+                S: int, W: int, group_rows: int, interpret: bool):
+    slots = 128 // group_rows
+    t = pl.program_id(0)
+    # window start block in the margin-padded x2 (aligned: mult of 8)
+    row0 = pl.multiple_of(t * (GT * group_rows // 128), 8)
+    xwin = x2_ref[pl.ds(row0, W), :]                     # (W, 128)
+    acc = jnp.zeros((GT, 128), dtype=data_ref.dtype)
+    wids = jax.lax.broadcasted_iota(jnp.int32, (GT, W), 1)
+    # one-hot dots must be exact: default TPU matmul precision is bf16
+    prec = jax.lax.Precision.HIGHEST
+    for s in range(S):
+        d = delta_ref[:, s].reshape(GT, 1)               # (GT, 1)
+        onehot = (wids == d).astype(data_ref.dtype)      # (GT, W)
+        xsel = jnp.dot(onehot, xwin, precision=prec,
+                       preferred_element_type=data_ref.dtype)  # (GT, 128)
+        g = jnp.take_along_axis(xsel, lidx_ref[:, s, :], axis=1)
+        acc = acc + data_ref[:, s, :] * g
+    # slot reduction: lane l contributes to row l // slots
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (128, group_rows), 0)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (128, group_rows), 1)
+    slot_mat = (lanes // slots == rows).astype(acc.dtype)   # (128, group_rows)
+    o_ref[...] = jnp.dot(acc, slot_mat, precision=prec,
+                         preferred_element_type=acc.dtype)  # (GT, group_rows)
+
+
+def bws_spmv(A: BwsMatrix, x: jax.Array, interpret: bool = None
+             ) -> jax.Array:
+    """y' = A' @ x' in PERMUTED ordering (x' = x[perm], y = y'[iperm...]).
+
+    Use ``bws_matvec`` for the user-ordering wrapper.
+    """
+    n = A.shape[0]
+    n_groups = A.n_groups
+    S = A.n_segments
+    W = A.win_blocks
+    group_rows = A.group_rows
+    n_rows_pad = n_groups * group_rows
+    n_blocks = n_rows_pad // 128
+    x2_rows = A.margin_blocks + n_blocks + W   # zero margins both sides
+    xp = jnp.zeros((x2_rows * 128,), dtype=A.dtype)
+    xp = xp.at[A.margin_blocks * 128: A.margin_blocks * 128 + n].set(
+        x.astype(A.dtype))
+    x2 = xp.reshape(x2_rows, 128)
+
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu", "axon")
+    grid = n_groups // GT
+    out = pl.pallas_call(
+        functools.partial(_bws_kernel, S=S, W=W, group_rows=group_rows,
+                          interpret=interpret),
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((GT, S), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((GT, S, 128), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((GT, S, 128), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # x2 resident
+        ],
+        out_specs=pl.BlockSpec((GT, group_rows), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_groups, group_rows), A.dtype),
+        interpret=interpret,
+    )(A.delta, A.data, A.lidx, x2)
+    return out.reshape(-1)[:n]
+
+
+def bws_matvec(A: BwsMatrix, x: jax.Array, interpret: bool = None
+               ) -> jax.Array:
+    """y = A @ x in the user's ordering (permutes in, unpermutes out)."""
+    xp = jnp.take(x, A.perm, axis=0)
+    yp = bws_spmv(A, xp, interpret=interpret)
+    return jnp.take(yp, A.iperm, axis=0)

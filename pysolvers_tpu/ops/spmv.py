@@ -37,6 +37,12 @@ def _ceil_to(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _interpret_mode() -> bool:
+    """Pallas kernels compile only on TPU; elsewhere run interpreted (tests
+    on the virtual CPU mesh still exercise the kernel logic)."""
+    return jax.default_backend() not in ("tpu", "axon")
+
+
 # ---------------------------------------------------------------------------
 # XLA fallback: padded-ELL gather (works for all dtypes incl. float64)
 # ---------------------------------------------------------------------------
@@ -44,8 +50,7 @@ def _ceil_to(x: int, m: int) -> int:
 def ell_spmv_xla(A: EllMatrix, x: jax.Array) -> jax.Array:
     """General SpMV via XLA gather; correct for every dtype and shape."""
     n = A.n_rows
-    xp = jnp.zeros((A.n_rows_pad if A.shape[0] == A.shape[1] else A.n_cols_pad,),
-                   dtype=x.dtype)
+    xp = jnp.zeros((A.n_cols_pad,), dtype=x.dtype)
     xp = xp.at[: A.n_cols].set(x[: A.n_cols])
     g = jnp.take(xp, A.cols, axis=0)
     y = jnp.sum(A.data * g, axis=1)
@@ -56,56 +61,66 @@ def ell_spmv_xla(A: EllMatrix, x: jax.Array) -> jax.Array:
 # DIA pallas kernel: y = sum_d diag_d * shift(x, off_d)
 # ---------------------------------------------------------------------------
 
-def _dia_kernel(diags_ref, xp_ref, o_ref, *, offsets, tile, wlen):
-    # xp_ref holds the full padded x: [pad_lo zeros | x | pad_hi+ zeros].
-    # Mosaic requires aligned dynamic vector loads, so we load one aligned
-    # window per row-tile and take static (compiler-lowered shift) slices
-    # per diagonal inside registers.
-    row_start = pl.multiple_of(pl.program_id(0) * tile, tile)
-    w = xp_ref[0, pl.ds(row_start, wlen)].reshape(1, wlen)
-    pad_lo = max(0, -min(offsets))
-    acc = jnp.zeros((1, tile), dtype=diags_ref.dtype)
+def _dia_kernel(diags_ref, xw_ref, o_ref, *, offsets, tile, pad_lo):
+    # xw_ref block: (8, wlen) — 8 consecutive row-tiles' x windows.  Each
+    # diagonal is a static lane-offset slice of the window (the same
+    # pattern Mosaic compiled for the (1, N) variant, now on 8 sublanes).
+    acc = jnp.zeros(o_ref.shape, dtype=diags_ref.dtype)
     for d, off in enumerate(offsets):
-        xs = jax.lax.slice(w, (0, off + pad_lo), (1, off + pad_lo + tile))
-        acc = acc + diags_ref[d, :].reshape(1, tile) * xs
-    o_ref[0, :] = acc[0, :]
+        xs = xw_ref[:, off + pad_lo: off + pad_lo + tile]
+        acc = acc + diags_ref[d] * xs
+    o_ref[...] = acc
 
 
-def dia_spmv_pallas(A: DiaMatrix, x: jax.Array, tile: int = 8192) -> jax.Array:
-    """Row-tiled diagonal SpMV.  The full padded x lives in VMEM (one copy);
-    per-diagonal reads are dynamic in-VMEM slices, so the kernel is a pure
-    shift-and-fma stream over the diagonals at ~4 bytes/nnz of HBM traffic.
+def dia_spmv_pallas(A: DiaMatrix, x: jax.Array, tile: int = 8192,
+                    interpret: bool = None) -> jax.Array:
+    """Row-tiled diagonal SpMV at ~4·n_diags bytes/nnz of HBM traffic.
+
+    Rows are split into tiles of ``tile``; tiles are grouped 8 per kernel
+    step so the VPU runs on full (8, tile) vregs.  Each tile's x window
+    (tile + band) is materialized once outside the kernel (static slices,
+    one fused XLA copy) and streamed through VMEM by the Pallas pipeline.
     """
     n = A.n_rows
     offsets = A.offsets
     pad_lo = max(0, -min(offsets))
     pad_hi = max(0, max(offsets))
-    # rows padded to a whole number of tiles (tile >= 128 for VREG lanes)
-    tile = max(min(tile, _ceil_to(A.diags.shape[1], 128)), 128)
-    n_pad = _ceil_to(A.diags.shape[1], tile)
+    D = len(offsets)
+
+    n_pad = _ceil_to(A.diags.shape[1], tile * 8)
+    n_tiles = n_pad // tile
     diags = A.diags
     if diags.shape[1] != n_pad:
         diags = jnp.pad(diags, ((0, 0), (0, n_pad - diags.shape[1])))
-    # window = tile + band width, rounded up so the padded-x buffer is big
-    # enough for an aligned load at the last row-tile
-    wlen = _ceil_to(tile + pad_lo + pad_hi, 128)
-    xp = jnp.zeros((1, n_pad + (wlen - tile)), dtype=A.dtype)
-    xp = xp.at[0, pad_lo: pad_lo + n].set(x.astype(A.dtype))
-    grid = n_pad // tile
+    diags3 = diags.reshape(D, n_tiles, tile)
 
+    wlen = _ceil_to(tile + pad_lo + pad_hi, 128)
+    xp = jnp.zeros((n_pad + wlen - tile,), dtype=A.dtype)
+    xp = xp.at[pad_lo: pad_lo + n].set(x.astype(A.dtype))
+    # windowed view: xw[t] = xp[t*tile : t*tile + wlen] (static slices,
+    # fused into one copy by XLA)
+    xw = jnp.stack([jax.lax.slice(xp, (t * tile,), (t * tile + wlen,))
+                    for t in range(n_tiles)])
+
+    grid = n_tiles // 8
+    if interpret is None:
+        interpret = _interpret_mode()
     out = pl.pallas_call(
-        functools.partial(_dia_kernel, offsets=offsets, tile=tile, wlen=wlen),
+        functools.partial(_dia_kernel, offsets=offsets, tile=tile,
+                          pad_lo=pad_lo),
         grid=(grid,),
+        interpret=interpret,
         in_specs=[
-            pl.BlockSpec((len(offsets), tile), lambda i: (0, i),
+            pl.BlockSpec((D, 8, tile), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # full padded x
+            pl.BlockSpec((8, wlen), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, tile), lambda i: (0, i),
+        out_specs=pl.BlockSpec((8, tile), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((1, n_pad), A.dtype),
-    )(diags, xp)
-    return out[0, :n]
+        out_shape=jax.ShapeDtypeStruct((n_tiles, tile), A.dtype),
+    )(diags3, xw)
+    return out.reshape(-1)[:n]
 
 
 def dia_spmv_xla(A: DiaMatrix, x: jax.Array) -> jax.Array:

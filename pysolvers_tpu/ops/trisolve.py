@@ -44,7 +44,12 @@ class TriSolvePlan:
 
 
 def _levelize(indptr, indices, n, lower: bool) -> np.ndarray:
-    """Topological levels of the triangular dependency DAG (host)."""
+    """Topological levels of the triangular dependency DAG (host).
+    Fast path: native C++; fallback below."""
+    from ..utils import native
+    res = native.levelize(indptr, indices, n, lower)
+    if res is not None:
+        return res
     level = np.zeros(n, dtype=np.int64)
     if lower:
         order = range(n)

@@ -35,6 +35,10 @@ class Bratu2D:
         self.n = m * m
         self.alpha = alpha
         self.A_host = fd_laplacian_2d(m, dtype=dtype)
+        # position of each diagonal entry in the host CSR data array, so the
+        # host Jacobian is a vectorized diagonal bump (no reassembly)
+        rows_h, cols_h, _ = self.A_host.to_coo()
+        self._host_diag_pos = np.flatnonzero(rows_h == cols_h)
         if fmt == "dia":
             self.A = DiaMatrix.from_host_csr(self.A_host)
             self._diag_idx = self.A.offsets.index(0)
@@ -54,16 +58,27 @@ class Bratu2D:
         return matvec(self.A, u) - self.alpha * jnp.exp(-u)
 
     def eval_j(self, u: jax.Array):
-        """Return the device Jacobian matrix at u (same format as A)."""
+        """Return the Jacobian at u as a (host, device) pair.
+
+        The device matrix is the stored Laplacian with a diagonal bump (no
+        host round-trip for the SpMV path); the host CSR twin feeds
+        preconditioner setup (formed once per solve under freeze_prec).
+        """
         bump = self.alpha * jnp.exp(-u)
         if self.fmt == "dia":
             d = self.A.diags.at[self._diag_idx, : self.n].add(
                 bump.astype(self.A.dtype))
-            return DiaMatrix(d, self.A.offsets, self.A.shape)
-        rows = jnp.arange(self.n)
-        data = self.A.data.at[rows, self._diag_slots].add(
-            bump.astype(self.A.dtype))
-        return EllMatrix(data, self.A.cols, self.A.shape, self.A.n_cols_pad)
+            J_dev = DiaMatrix(d, self.A.offsets, self.A.shape)
+        else:
+            rows = jnp.arange(self.n)
+            data = self.A.data.at[rows, self._diag_slots].add(
+                bump.astype(self.A.dtype))
+            J_dev = EllMatrix(data, self.A.cols, self.A.shape,
+                              self.A.n_cols_pad)
+        J_host = self.A_host.copy()
+        J_host.data[self._host_diag_pos] += np.asarray(
+            bump, dtype=J_host.data.dtype)
+        return J_host, J_dev
 
     # protocol used by the Newton driver (reference Newton.py:35,59)
     evalF = eval_f

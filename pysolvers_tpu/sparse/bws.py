@@ -1,0 +1,198 @@
+"""Block-window SELL (BWS): the TPU-fast format for unstructured matrices.
+
+Motivation: this backend's Mosaic compiler supports dynamic gather ONLY as
+same-shape lane-axis ``take_along_axis`` over 128 lanes (sublane gather and
+long lane gather crash it), so classic ELL gather is off the table.  BWS
+re-expresses SpMV with exactly the primitives that exist:
+
+* rows are RCM-permuted (native/pst_native.cpp `rcm`) to bound the
+  bandwidth, then grouped ``group_rows`` per *group* (one vreg sublane-row,
+  group_rows × slots = 128 lanes; geometry auto-selected for fill);
+* each group's nnz are partitioned by aligned 128-column block of x; one
+  (group, block) pair is a *segment* holding ≤slots nnz per row (heavier
+  rows spill to extra segment instances);
+* at solve time the kernel selects each segment's x-block from a VMEM
+  window with a tiny one-hot matmul (MXU), picks entries with one
+  (groups, 128) lane gather, and reduces slot groups with a constant
+  (128, 8) matmul.
+
+Replaces the reference's scipy CSR SpMV for FEM-type matrices
+(IterativeLinearSolver.py:94-106) with an architecture-native design.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .host import HostCSR
+
+GT = 128                # groups per kernel tile
+DEFAULT_GROUP_ROWS = 32  # rows per group; slots per row = 128 // group_rows
+
+
+def _ceil_to(x, m):
+    return ((x + m - 1) // m) * m
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class BwsMatrix:
+    """Device buffers (see module docstring).
+
+    delta: (n_groups, S) int32   x-window block index per segment
+    data:  (n_groups, S, 128)    values   (row r, slot j) at lane 16*r+j
+    lidx:  (n_groups, S, 128) int32 ∈ [0,128)  lane of source x entry
+    perm:  (n,) int32  row/col permutation applied (x_perm = x[perm])
+    iperm: (n,) int32  inverse permutation
+    """
+
+    delta: jax.Array
+    data: jax.Array
+    lidx: jax.Array
+    perm: jax.Array
+    iperm: jax.Array
+    shape: tuple = dataclasses.field(metadata=dict(static=True))
+    win_blocks: int = dataclasses.field(metadata=dict(static=True))
+    margin_blocks: int = dataclasses.field(metadata=dict(static=True))
+    group_rows: int = dataclasses.field(default=DEFAULT_GROUP_ROWS,
+                                        metadata=dict(static=True))
+
+    @property
+    def slots(self):
+        return 128 // self.group_rows
+
+    @property
+    def n_groups(self):
+        return self.data.shape[0]
+
+    @property
+    def n_segments(self):
+        return self.data.shape[1]
+
+    @property
+    def dtype(self):
+        return self.data.dtype
+
+    @property
+    def nnz_slots(self):
+        return self.data.shape[0] * self.data.shape[1] * 128
+
+    @staticmethod
+    def from_host_csr(H: HostCSR, dtype=np.float32, use_rcm: bool = True,
+                      group_rows: int = None) -> "BwsMatrix":
+        """Pack; ``group_rows`` in {8,16,32,64} (None = auto: try all, keep
+        the geometry with the fewest padded slots)."""
+        if group_rows is None:
+            best = None
+            for gr in (8, 16, 32, 64):
+                cand = BwsMatrix.from_host_csr(H, dtype, use_rcm, gr)
+                cost = cand.n_groups * cand.n_segments
+                if best is None or cost < best[0]:
+                    best = (cost, cand)
+            return best[1]
+        GROUP_ROWS = group_rows
+        SLOTS = 128 // group_rows
+        n = H.shape[0]
+        if H.shape[0] != H.shape[1]:
+            raise ValueError("BWS requires a square matrix")
+        # ---- permutation (bandwidth reduction) ----
+        from ..utils import native
+        perm = None
+        if use_rcm:
+            # symmetrized adjacency for RCM
+            Hs = H.add(H.transpose())
+            p = native.rcm(Hs.indptr, Hs.indices, n)
+            if p is not None:
+                perm = np.asarray(p, dtype=np.int64)
+        if perm is None:
+            perm = np.arange(n, dtype=np.int64)
+        iperm = np.empty(n, dtype=np.int64)
+        iperm[perm] = np.arange(n)
+
+        rows, cols, vals = H.to_coo()
+        prows = iperm[rows]
+        pcols = iperm[cols]
+
+        # ---- group/segment packing ----
+        n_rows_pad = _ceil_to(n, GROUP_ROWS * GT)
+        n_groups = n_rows_pad // GROUP_ROWS
+        grp = prows // GROUP_ROWS
+        sub = prows % GROUP_ROWS
+        blk = pcols // 128
+        lane = pcols % 128
+
+        # order nnz by (group, block, subrow) to lay out segments
+        order = np.lexsort((lane, sub, blk, grp))
+        grp, sub, blk, lane, vals = (grp[order], sub[order], blk[order],
+                                     lane[order], vals[order])
+
+        # slot index within (group, block, subrow): cumulative count
+        key = (grp * (blk.max() + 2) + blk) * GROUP_ROWS + sub
+        first = np.ones(len(key), dtype=bool)
+        first[1:] = key[1:] != key[:-1]
+        start_of_run = np.flatnonzero(first)
+        run_id = np.cumsum(first) - 1
+        slot = np.arange(len(key)) - start_of_run[run_id]
+        # rows needing >SLOTS nnz in one block spill to an extra instance
+        inst = slot // SLOTS
+        slot = slot % SLOTS
+
+        # re-sort so each (group, block, instance) is one contiguous run
+        # (instances of different subrows would otherwise interleave)
+        order2 = np.lexsort((lane, sub, inst, blk, grp))
+        grp, sub, blk, lane, vals, inst, slot = (
+            grp[order2], sub[order2], blk[order2], lane[order2],
+            vals[order2], inst[order2], slot[order2])
+
+        # segment = unique (group, block, instance); index within group
+        seg_key = (grp * (blk.max() + 2) + blk) * (inst.max() + 1) + inst
+        seg_first = np.ones(len(seg_key), dtype=bool)
+        seg_first[1:] = seg_key[1:] != seg_key[:-1]
+        seg_id_global = np.cumsum(seg_first) - 1
+        # per-group segment counter
+        seg_starts = np.flatnonzero(seg_first)
+        seg_grp = grp[seg_starts]
+        gfirst = np.ones(len(seg_grp), dtype=bool)
+        gfirst[1:] = seg_grp[1:] != seg_grp[:-1]
+        gstart = np.flatnonzero(gfirst)
+        g_run = np.cumsum(gfirst) - 1
+        seg_in_grp = np.arange(len(seg_grp)) - gstart[g_run]
+        S = int(seg_in_grp.max()) + 1 if len(seg_in_grp) else 1
+        seg_of_nnz = seg_in_grp[seg_id_global]
+
+        # ---- window geometry ----
+        # tile t covers groups [t*GT, (t+1)*GT) = rows [t*1024, ...): its
+        # aligned x-window starts at block t*8 in the margin-padded x2.
+        tile_of_grp = grp // GT
+        base_blk = tile_of_grp * (GT * GROUP_ROWS // 128)   # = t*8
+        n_blocks = _ceil_to(n_rows_pad, 128) // 128
+        span = (blk - base_blk)
+        lo = int(span.min()) if len(span) else 0
+        hi = int(span.max()) if len(span) else 0
+        margin_blocks = _ceil_to(max(-lo, 0), 8)
+        win_blocks = _ceil_to(margin_blocks + max(hi, 0) + 1, 8)
+        delta_vals = blk - base_blk + margin_blocks
+        if len(delta_vals) and (delta_vals.min() < 0
+                                or delta_vals.max() >= win_blocks):
+            raise ValueError("BWS window overflow (matrix too unbanded); "
+                             "increase margin or use the ELL path")
+
+        # ---- fill device arrays ----
+        data = np.zeros((n_groups, S, 128), dtype=dtype)
+        lidx = np.zeros((n_groups, S, 128), dtype=np.int32)
+        delta = np.zeros((n_groups, S), dtype=np.int32)
+        lanepos = sub * SLOTS + slot
+        data[grp, seg_of_nnz, lanepos] = vals
+        lidx[grp, seg_of_nnz, lanepos] = lane
+        delta[grp, seg_of_nnz] = delta_vals
+        # unused segments point at the (zeroed) window row 0 — data is 0 so
+        # any lane is safe
+
+        return BwsMatrix(
+            jnp.asarray(delta), jnp.asarray(data), jnp.asarray(lidx),
+            jnp.asarray(perm.astype(np.int32)),
+            jnp.asarray(iperm.astype(np.int32)),
+            (n, n), int(win_blocks), int(margin_blocks), group_rows)

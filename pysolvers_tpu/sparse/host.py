@@ -126,13 +126,22 @@ class HostCSR:
         return out
 
     def matmat(self, other: "HostCSR") -> "HostCSR":
-        """Host SpGEMM via row-merge (Gustavson, vectorized per-row).
+        """Host SpGEMM (Gustavson).
 
         Used for Galerkin triple products R*A*P during AMG setup (the
         reference delegates this to scipy's C SpGEMM at MLHierarchy.py:54).
-        Hot setups move to the native C++ path in pysolvers_tpu.utils.native.
+        Fast path: native C++ (utils/native.py); fallback: vectorized numpy.
         """
         assert self.n_cols == other.n_rows
+        from ..utils import native
+        res = native.spgemm(self.indptr, self.indices, self.data,
+                            other.indptr, other.indices, other.data,
+                            self.shape, other.shape)
+        if res is not None:
+            indptr, indices, data = res
+            return HostCSR(indptr, indices,
+                           data.astype(np.result_type(self.data, other.data)),
+                           (self.n_rows, other.n_cols))
         n = self.n_rows
         out_indptr = np.zeros(n + 1, dtype=np.int64)
         out_rows_idx = []

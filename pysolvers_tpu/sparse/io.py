@@ -8,13 +8,34 @@ format with ``real``/``integer`` fields and ``general``/``symmetric``/
 """
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 from .host import HostCSR
 
 
 def read_mtx(path: str) -> HostCSR:
-    """Read a MatrixMarket coordinate file into a HostCSR."""
+    """Read a MatrixMarket coordinate file into a HostCSR.
+
+    Fast path: native C parser (utils/native.py) for real coordinate files;
+    fallback: the pure-Python parser below (also handles integer fields and
+    skew symmetry)."""
+    from ..utils import native
+    try:
+        cap = max(os.path.getsize(path) // 8, 16)
+        res = native.mtx_read(path, cap)
+    except Exception:
+        res = None
+    if res is not None:
+        rows, cols, vals, shape, symmetric = res
+        if symmetric:
+            off = rows != cols
+            rows, cols, vals = (np.concatenate([rows, cols[off]]),
+                                np.concatenate([cols, rows[off]]),
+                                np.concatenate([vals, vals[off]]))
+        return HostCSR.from_coo(rows, cols, vals, shape,
+                                sum_duplicates=False)
     with open(path, "r") as f:
         header = f.readline().strip().lower().split()
         if len(header) < 5 or header[0] != "%%matrixmarket":

@@ -1,0 +1,52 @@
+"""Block-window SELL format + kernel tests (interpret mode on CPU)."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from pysolvers_tpu.sparse import HostCSR
+from pysolvers_tpu.sparse.bws import BwsMatrix
+from pysolvers_tpu.ops.bws_spmv import bws_matvec
+from pysolvers_tpu.problems import fd_laplacian_2d, dh_test_problem
+
+
+def check(H, seed=0, use_rcm=True):
+    n = H.shape[0]
+    A = BwsMatrix.from_host_csr(H, dtype=np.float32, use_rcm=use_rcm)
+    x = np.random.default_rng(seed).random(n).astype(np.float32)
+    y = bws_matvec(A, jnp.asarray(x), interpret=True)
+    ref = H.matvec(x.astype(np.float64))
+    np.testing.assert_allclose(np.asarray(y), ref, rtol=2e-4, atol=2e-4)
+    return A
+
+
+class TestBws:
+    def test_laplacian_small(self):
+        check(fd_laplacian_2d(12, dtype=np.float64))
+
+    def test_laplacian_no_rcm(self):
+        check(fd_laplacian_2d(10, dtype=np.float64), use_rcm=False)
+
+    def test_dh_matrix(self):
+        A = check(dh_test_problem(10)[0])
+        # DH needs RCM to keep the window small
+        assert A.win_blocks <= 64
+
+    def test_dense_band(self):
+        rng = np.random.default_rng(1)
+        n = 300
+        D = np.zeros((n, n))
+        for off in range(-3, 4):
+            idx = np.arange(max(0, -off), min(n, n - off))
+            D[idx, idx + off] = rng.standard_normal(len(idx))
+        check(HostCSR.from_dense(D))
+
+    def test_row_heavier_than_slots_spills(self):
+        # one row with 40 nnz in the same 128-block → needs spill segments
+        rng = np.random.default_rng(2)
+        n = 200
+        D = np.eye(n)
+        D[5, :40] = rng.standard_normal(40) + 2.0
+        A = check(HostCSR.from_dense(D), use_rcm=False)
+        assert A.n_segments >= 3

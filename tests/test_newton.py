@@ -58,9 +58,13 @@ class TestBratu:
                                    np.asarray(pe.evalF(u)), rtol=1e-12)
         from pysolvers_tpu.ops import matvec
         v = jnp.asarray(np.random.default_rng(1).random(36))
-        np.testing.assert_allclose(np.asarray(matvec(pd.evalJ(u), v)),
-                                   np.asarray(matvec(pe.evalJ(u), v)),
-                                   rtol=1e-12)
+        Jd_host, Jd = pd.evalJ(u)
+        Je_host, Je = pe.evalJ(u)
+        np.testing.assert_allclose(np.asarray(matvec(Jd, v)),
+                                   np.asarray(matvec(Je, v)), rtol=1e-12)
+        # host twin agrees with device Jacobian
+        np.testing.assert_allclose(Jd_host.matvec(np.asarray(v)),
+                                   np.asarray(matvec(Jd, v)), rtol=1e-12)
 
     def test_freeze_prec_reuses_preconditioner(self):
         prob = Bratu2D(m=10, fmt="dia")

@@ -1,0 +1,99 @@
+"""Distributed SpMV + solver tests on the virtual 8-device CPU mesh
+(SURVEY §4d)."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from pysolvers_tpu.core import StopReason
+from pysolvers_tpu.linear import cg_solve
+from pysolvers_tpu.parallel import (make_mesh, shard_dia, shard_ell,
+                                    dist_dia_spmv, dist_ell_spmv,
+                                    pad_vector_dia, pad_vector_ell)
+from pysolvers_tpu.problems import fd_laplacian_1d, fd_laplacian_2d, dh_test_problem
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) >= 8, "conftest must provide 8 CPU devices"
+    return make_mesh(8)
+
+
+class TestDistSpMV:
+    def test_dia_matches_host(self, mesh):
+        H = fd_laplacian_2d(16)   # n=256, bandwidth 16
+        A = shard_dia(H, mesh)
+        x = np.random.default_rng(0).random(256)
+        xd = pad_vector_dia(A, x)
+        y = jax.jit(dist_dia_spmv)(A, xd)
+        np.testing.assert_allclose(np.asarray(y)[:256], H.matvec(x),
+                                   rtol=1e-12)
+
+    def test_dia_small_n_uneven(self, mesh):
+        H = fd_laplacian_1d(100)  # n=100 over 8 shards → padding
+        A = shard_dia(H, mesh)
+        x = np.random.default_rng(1).random(100)
+        xd = pad_vector_dia(A, x)
+        y = jax.jit(dist_dia_spmv)(A, xd)
+        np.testing.assert_allclose(np.asarray(y)[:100], H.matvec(x),
+                                   rtol=1e-12)
+
+    def test_ell_matches_host(self, mesh):
+        H, x_exact, b = dh_test_problem(8)
+        n = H.shape[0]
+        A = shard_ell(H, mesh)
+        x = np.random.default_rng(2).random(n)
+        xd = pad_vector_ell(A, x)
+        y = jax.jit(dist_ell_spmv)(A, xd)
+        np.testing.assert_allclose(np.asarray(y)[:n], H.matvec(x),
+                                   rtol=1e-12)
+
+
+class TestDistSolve:
+    def test_distributed_cg_dia(self, mesh):
+        H = fd_laplacian_2d(16)
+        n = 256
+        A = shard_dia(H, mesh)
+        rng = np.random.default_rng(3)
+        x_exact = rng.random(n)
+        b = pad_vector_dia(A, H.matvec(x_exact))
+
+        @jax.jit
+        def solve(A, b):
+            return cg_solve(lambda v: dist_dia_spmv(A, v), b,
+                            maxiter=600, tau=1e-10)
+
+        x, st, _ = solve(A, b)
+        assert int(st.reason) == StopReason.CONVERGED
+        np.testing.assert_allclose(np.asarray(x)[:n], x_exact, atol=1e-6)
+
+    def test_distributed_cg_ell_dh(self, mesh):
+        H, x_exact, b_host = dh_test_problem(9)
+        n = H.shape[0]
+        A = shard_ell(H, mesh)
+        b = pad_vector_ell(A, b_host)
+
+        @jax.jit
+        def solve(A, b):
+            return cg_solve(lambda v: dist_ell_spmv(A, v), b,
+                            maxiter=800, tau=1e-10)
+
+        x, st, _ = solve(A, b)
+        assert int(st.reason) == StopReason.CONVERGED
+        np.testing.assert_allclose(np.asarray(x)[:n], x_exact, atol=1e-6)
+
+    def test_sharding_preserved(self, mesh):
+        """solution comes back row-sharded (no silent full replication)."""
+        H = fd_laplacian_1d(128)
+        A = shard_dia(H, mesh)
+        b = pad_vector_dia(A, H.matvec(np.ones(128)))
+
+        @jax.jit
+        def solve(A, b):
+            x, st, _ = cg_solve(lambda v: dist_dia_spmv(A, v), b,
+                                maxiter=300, tau=1e-10)
+            return x
+
+        x = solve(A, b)
+        assert not x.sharding.is_fully_replicated

@@ -15,10 +15,14 @@ import time
 import numpy as np
 
 
-def bench_tpu_spmv(m=1448, iters=100, reps=5):
-    """Chained SpMVs inside ONE jit — the shape solver hot loops actually
-    have (whole solve under jit), so per-dispatch host/tunnel latency is
-    excluded, exactly as in production."""
+def bench_tpu_spmv(m=1448, reps=4):
+    """Marginal-cost timing: two in-jit SpMV chains of different lengths,
+    per-iteration time = (t_long - t_short) / (n_long - n_short).
+
+    Robust to this environment's remote-execution artifacts: fixed
+    dispatch/sync overhead cancels, results are data-chained so nothing can
+    be served from a cache, and a scalar fetch forces real completion.
+    """
     import jax
     import jax.numpy as jnp
     import pysolvers_tpu as pst
@@ -29,23 +33,32 @@ def bench_tpu_spmv(m=1448, iters=100, reps=5):
     x = jnp.asarray(np.random.default_rng(0).random(m * m).astype(np.float32))
     scale = np.float32(1.0 / (8.0 * (m + 1.0) ** 2))  # keep values bounded
 
-    @jax.jit
-    def chain(A, v):
-        def body(_, v):
-            return pst.matvec(A, v) * scale
-        return jax.lax.fori_loop(0, iters, body, v)
+    def make_chain(iters):
+        @jax.jit
+        def chain(A, v):
+            def body(_, v):
+                return pst.matvec(A, v) * scale
+            return jax.lax.fori_loop(0, iters, body, v)
+        return chain
 
-    # chain reps through each other: fresh input every dispatch, so remote
-    # executors can't serve a memoized result
-    y = chain(A, x)
-    y.block_until_ready()
-    best = float("inf")
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        y = chain(A, y)
-        y.block_until_ready()
-        best = min(best, (time.perf_counter() - t0) / iters)
-    return nnz / best, nnz, best
+    n_short, n_long = 50, 250
+    c_short, c_long = make_chain(n_short), make_chain(n_long)
+
+    def timed(fn, v):
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            v = fn(A, v)
+            _ = float(v[0])          # force completion
+            best = min(best, time.perf_counter() - t0)
+        return best, v
+
+    _ = float(c_short(A, x)[0])      # compile
+    _ = float(c_long(A, x)[0])
+    t_short, y = timed(c_short, x)
+    t_long, _ = timed(c_long, y)
+    per_iter = max((t_long - t_short) / (n_long - n_short), 1e-9)
+    return nnz / per_iter, nnz, per_iter
 
 
 def bench_scipy_spmv(m=1448, iters=20):

@@ -1,0 +1,90 @@
+#!/usr/bin/env python
+"""Weak-scaling harness: distributed SpMV nnz/s efficiency over a mesh.
+
+Fixed work per shard (rows_per_shard), growing mesh 1..max devices.  The
+north-star metric (BASELINE.json) is >=80% weak-scaling nnz/s efficiency.
+Runs on any device set — the virtual 8-device CPU mesh (default in tests)
+or a real TPU slice.
+
+Emits one JSON line per mesh size:
+  {"devices": d, "n": ..., "nnz": ..., "gnnz_s": ..., "efficiency": ...}
+"""
+import argparse
+import json
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rows-per-shard", type=int, default=65536)
+    ap.add_argument("--iters", type=int, default=50)
+    ap.add_argument("--max-devices", type=int, default=None)
+    ap.add_argument("--cpu-devices", type=int, default=0,
+                    help="force a virtual CPU mesh of this many devices "
+                         "(env vars are latched by this image's "
+                         "sitecustomize, so use this flag, not JAX_PLATFORMS)")
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+
+    import jax
+    if args.cpu_devices:
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_num_cpu_devices", args.cpu_devices)
+    import jax.numpy as jnp
+    import numpy as np
+    import pysolvers_tpu as pst
+    from pysolvers_tpu.parallel import (make_mesh, shard_dia, dist_dia_spmv,
+                                        pad_vector_dia)
+
+    n_avail = len(jax.devices())
+    max_d = min(args.max_devices or n_avail, n_avail)
+    sizes = [d for d in (1, 2, 4, 8, 16, 32) if d <= max_d]
+
+    results = []
+    base = None
+    for d in sizes:
+        m = int(math.isqrt(args.rows_per_shard * d))
+        H = pst.problems.fd_laplacian_2d(m, dtype=np.float32)
+        nnz = H.nnz
+        mesh = make_mesh(d)
+        A = shard_dia(H, mesh)
+        x = pad_vector_dia(
+            A, np.random.default_rng(0).random(m * m).astype(np.float32))
+        scale = np.float32(1.0 / (8.0 * (m + 1.0) ** 2))
+
+        @jax.jit
+        def chain(A, v):
+            def body(_, v):
+                return dist_dia_spmv(A, v) * scale
+            return jax.lax.fori_loop(0, args.iters, body, v)
+
+        y = chain(A, x)
+        y.block_until_ready()
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            y = chain(A, y)
+            y.block_until_ready()
+            best = min(best, (time.perf_counter() - t0) / args.iters)
+        gnnz = nnz / best / 1e9
+        per_dev = gnnz / d
+        if base is None:
+            base = per_dev
+        rec = dict(devices=d, n=m * m, nnz=nnz, gnnz_s=round(gnnz, 3),
+                   efficiency=round(per_dev / base, 3))
+        results.append(rec)
+        print(json.dumps(rec), flush=True)
+
+    if args.out:
+        with open(args.out, "w") as f:
+            for r in results:
+                f.write(json.dumps(r) + "\n")
+
+
+if __name__ == "__main__":
+    main()

@@ -171,6 +171,20 @@ class PCG(IterativeLinearSolverType):
     makeSolver = make_solver
 
 
+def _iter_printer(control: SolverConfig, name: str):
+    """Live per-iteration reporter (reference IterativeSolver.py:90-99)."""
+    if not control.show_iters:
+        return None
+    interval = max(control.interval, 1)
+
+    def cb(k, resid):
+        k = int(k)
+        if k % interval == 0:
+            print(f"  {name} iter={k:6d}  ||r||={float(resid):12.5e}")
+
+    return cb
+
+
 class PCGSolver(IterativeLinearSolver):
     def solve(self, A, b) -> SolveStatus:
         A_host, A_dev = self._split_matrix(A)
@@ -181,7 +195,8 @@ class PCGSolver(IterativeLinearSolver):
             maxiter=self.control.maxiter,
             tau=self._effective_tau(),
             precond=None if prec.is_identity else prec.apply_right,
-            norm_fn=self.control.norm_fn())
+            norm_fn=self.control.norm_fn(),
+            iter_callback=_iter_printer(self.control, "PCG"))
         return make_status(x, st, self.control, history=hist)
 
 
@@ -215,13 +230,27 @@ class GMRESSolver(IterativeLinearSolver):
         A_host, A_dev = self._split_matrix(A)
         b = jnp.asarray(b)
         prec = self._get_precond(A_host, A_dev)
+        mv = lambda v: matvec(A_dev, v)
+        if prec.left is not None:
+            # left preconditioning: solve M_L⁻¹A x = M_L⁻¹b (reference
+            # LeftPreconditioner semantics, Preconditioner.py:39-45)
+            ml = prec.left
+            mv_eff = lambda v: ml(matvec(A_dev, v))
+            b_eff = ml(b)
+        else:
+            mv_eff, b_eff = mv, b
         x, st, hist = gmres_solve(
-            lambda v: matvec(A_dev, v), b,
+            mv_eff, b_eff,
             maxiter=self.control.maxiter,
             restart=self.restart,
             tau=self._effective_tau(),
-            precond=None if prec.is_identity else prec.apply_right,
-            norm_fn=self.control.norm_fn())
+            precond=None if prec.right is None else prec.right,
+            norm_fn=self.control.norm_fn(),
+            iter_callback=_iter_printer(self.control, "GMRES"))
+        if prec.left is not None:
+            # report the TRUE residual of the original system
+            true_res = self.control.norm_fn()(b - mv(x))
+            st = st._replace(resid=true_res)
         return make_status(x, st, self.control, history=hist)
 
 

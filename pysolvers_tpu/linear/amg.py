@@ -291,6 +291,41 @@ def _smooth(level: DeviceLevel, smoother: str, x, f, sweeps: int):
     return x
 
 
+def amg_solve(h: DeviceHierarchy, b: jax.Array, *, tau: float = 1e-8,
+              maxiter: int = 100, norm_fn=None):
+    """Stationary V-cycle iteration x ← V(b, x) under one ``lax.while_loop``
+    (the fully-jitted counterpart of the reference's cycle loop,
+    VCycleSolver.py:79-91).  Returns (x, (k, resid, reason))."""
+    from ..core import StopReason
+    norm = norm_fn or (lambda v: jnp.sqrt(jnp.sum(v * v)))
+    A_top = h.levels[-1].A_dev
+    b_norm = norm(b)
+    tol = tau * b_norm
+
+    def cond(c):
+        return c[3] == StopReason.RUNNING
+
+    def body(c):
+        k, x, resid, reason = c
+        x = v_cycle(h, b, x)
+        r = b - matvec(A_top, x)
+        resid = norm(r)
+        k = k + 1
+        reason = jnp.where(
+            resid <= tol, StopReason.CONVERGED,
+            jnp.where(~jnp.isfinite(resid), StopReason.BREAKDOWN,
+                      jnp.where(k >= maxiter, StopReason.MAXITER,
+                                StopReason.RUNNING))).astype(jnp.int32)
+        return (k, x, resid, reason)
+
+    x0 = jnp.zeros_like(b)
+    init_reason = jnp.where(b_norm <= tol, StopReason.CONVERGED,
+                            StopReason.RUNNING).astype(jnp.int32)
+    k, x, resid, reason = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), x0, b_norm, init_reason))
+    return x, (k, resid, reason)
+
+
 def v_cycle(h: DeviceHierarchy, f: jax.Array, x: jax.Array) -> jax.Array:
     """One V-cycle; level loop unrolled over the static hierarchy.
 
@@ -343,7 +378,7 @@ class AMGVCycleSolver(IterativeLinearSolver):
         super().__init__(typ.control, typ.precond)
         self.typ = typ
         self._hierarchy: Optional[DeviceHierarchy] = None
-        self._cycle_jit = None
+        self._solve_jit = None
 
     def _ensure_hierarchy(self, A_host: HostCSR, dtype):
         # hierarchy rebuilt unless matrix frozen (reference VCycleSolver.py:71-76)
@@ -357,46 +392,29 @@ class AMGVCycleSolver(IterativeLinearSolver):
             mlh, self.typ.smoother, self.typ.nu_pre, self.typ.nu_post,
             dtype=dtype)
         h = self._hierarchy
+        maxiter = self.control.maxiter
+        norm_fn = self.control.norm_fn()
 
-        def one_cycle(f, x):
-            return v_cycle(h, f, x)
+        def full_solve(b, tau):
+            return amg_solve(h, b, tau=tau, maxiter=maxiter,
+                             norm_fn=norm_fn)
 
-        self._cycle_jit = jax.jit(one_cycle)
+        self._solve_jit = jax.jit(full_solve, static_argnames=("tau",))
 
     def solve(self, A, b) -> SolveStatus:
         A_host, A_dev = self._split_matrix(A)
         b = jnp.asarray(b)
         self._ensure_hierarchy(A_host, b.dtype)
         h = self._hierarchy
-        norm_fn = self.control.norm_fn()
-        tau = self._effective_tau()
-        b_norm = float(norm_fn(b))
-        tol = tau * b_norm
-        x = jnp.zeros_like(b)
-        A_top = h.levels[-1].A_dev
-        resid = b_norm
-        history = [resid]
-        reason = StopReason.MAXITER
-        k = 0
-        for k in range(1, self.control.maxiter + 1):
-            x = self._cycle_jit(b, x)
-            r = b - matvec(A_top, x)
-            resid = float(norm_fn(r))
-            history.append(resid)
-            if resid <= tol:
-                reason = StopReason.CONVERGED
-                break
-            if not np.isfinite(resid):
-                reason = StopReason.BREAKDOWN
-                break
+        x, (k, resid, reason) = self._solve_jit(
+            b, tau=self._effective_tau())
 
         class _S:
             pass
 
         st = _S()
-        st.k, st.resid, st.reason = k, resid, int(reason)
-        return make_status(x, st, self.control,
-                           history=np.asarray(history))
+        st.k, st.resid, st.reason = int(k), float(resid), int(reason)
+        return make_status(x, st, self.control, history=None)
 
 
 class AMGPreconditionerType(PreconditionerType):

@@ -55,11 +55,15 @@ class _CGCarry(NamedTuple):
 def cg_solve(matvec: Callable, b: jax.Array, x0: Optional[jax.Array] = None,
              *, maxiter: int = 100, tau: float = 1e-8,
              precond: Optional[Callable] = None,
-             norm_fn: Optional[Callable] = None):
+             norm_fn: Optional[Callable] = None,
+             iter_callback: Optional[Callable] = None):
     """Preconditioned conjugate gradients.  Returns (x, KrylovState, history).
 
     ``precond`` applies M⁻¹ (right/SPD preconditioning as in the reference's
     PCG: u = M⁻¹ r, beta = (u·r)_new/(u·r)_old — PCGSolver.py:109-138).
+    ``iter_callback(k, resid)`` is invoked from inside the jitted loop via
+    ``jax.debug.callback`` — the live equivalent of the reference's
+    reportIter printing (IterativeSolver.py:90-99).
     """
     norm = norm_fn or (lambda v: jnp.sqrt(_dot(v, v)))
     M = precond or (lambda v: v)
@@ -96,6 +100,8 @@ def cg_solve(matvec: Callable, b: jax.Array, x0: Optional[jax.Array] = None,
         p = u + beta * c.p
         k = c.k + 1
         history = c.history.at[k].set(resid)
+        if iter_callback is not None:
+            jax.debug.callback(iter_callback, k, resid)
 
         converged = resid <= tol
         reason = jnp.where(
@@ -162,7 +168,8 @@ def gmres_solve(matvec: Callable, b: jax.Array, x0: Optional[jax.Array] = None,
                 tau: float = 1e-8, precond: Optional[Callable] = None,
                 norm_fn: Optional[Callable] = None,
                 check_true_residual: bool = True,
-                orthog: str = "mgs"):
+                orthog: str = "mgs",
+                iter_callback: Optional[Callable] = None):
     """Right-preconditioned GMRES(m).  Returns (x, KrylovState, history).
 
     The reference runs full GMRES with m = maxiter and no restart
@@ -263,6 +270,8 @@ def gmres_solve(matvec: Callable, b: jax.Array, x0: Optional[jax.Array] = None,
         k_new = k + 1
         total = c.total + 1
         history = c.history.at[total].set(resid)
+        if iter_callback is not None:
+            jax.debug.callback(iter_callback, total, resid)
 
         converged = resid <= tol
         at_maxiter = total >= maxiter

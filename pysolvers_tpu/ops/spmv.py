@@ -10,15 +10,12 @@ Three TPU execution strategies, dispatched by matrix format:
    HBM-bandwidth-bound at ~4 bytes/nnz: the speed-of-light path for FD
    stencils.  Pallas kernel, row-tiled, with the source vector window in VMEM.
 
-2. ``EllMatrix`` → windowed-gather Pallas kernel.  Mosaic TPU supports
-   same-shape ``take_along_axis`` along the sublane axis; we broadcast the
-   source vector across a narrow lane dimension (VMEM cost 512·W bytes for a
-   window of W rows) and gather all row entries in one vector op.  Covers any
-   matrix whose per-row-tile column span (bandwidth after optional RCM
-   reordering) fits one VMEM window; the host planner picks tile/window sizes.
+2. ``BwsMatrix`` (ops/bws_spmv.py) → block-window SELL Pallas kernel for
+   unstructured matrices: RCM-permuted rows, MXU one-hot block selection,
+   128-lane gather.  Opt-in via ``BwsMatrix.from_host_csr`` (f32).
 
-3. XLA fallback (`take`+segment reduction) for f64 and for matrices whose
-   structure defeats windowing.
+3. ``EllMatrix`` → XLA gather fallback: correct for every dtype (incl.
+   f64) and any sparsity; the safety net the other paths fall back to.
 """
 from __future__ import annotations
 

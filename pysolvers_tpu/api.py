@@ -211,20 +211,27 @@ class GMRES(IterativeLinearSolverType):
 
     def __init__(self, control: Optional[SolverConfig] = None,
                  precond: Optional[PreconditionerType] = None,
-                 restart: Optional[int] = None):
+                 restart: Optional[int] = None, flexible: bool = False,
+                 orthog: str = "mgs"):
         super().__init__(control, precond)
         self.restart = restart
+        self.flexible = flexible
+        self.orthog = orthog
 
     def make_solver(self):
-        return GMRESSolver(self.control, self.precond, self.restart)
+        return GMRESSolver(self.control, self.precond, self.restart,
+                           self.flexible, self.orthog)
 
     makeSolver = make_solver
 
 
 class GMRESSolver(IterativeLinearSolver):
-    def __init__(self, control, precond_type, restart=None):
+    def __init__(self, control, precond_type, restart=None, flexible=False,
+                 orthog="mgs"):
         super().__init__(control, precond_type)
         self.restart = restart
+        self.flexible = flexible
+        self.orthog = orthog
 
     def solve(self, A, b) -> SolveStatus:
         A_host, A_dev = self._split_matrix(A)
@@ -246,6 +253,8 @@ class GMRESSolver(IterativeLinearSolver):
             tau=self._effective_tau(),
             precond=None if prec.right is None else prec.right,
             norm_fn=self.control.norm_fn(),
+            orthog=self.orthog,
+            flexible=self.flexible,
             iter_callback=_iter_printer(self.control, "GMRES"))
         if prec.left is not None:
             # report the TRUE residual of the original system

@@ -153,11 +153,17 @@ class ILUTPreconditionerType(PreconditionerType):
     (ILUTPreconditioner.py:10-31, defaults drop_tol=1e-3, fill_factor=15)."""
 
     def __init__(self, drop_tol: float = 1e-3, fill_factor: float = 15.0,
-                 side: str = "right", trisolve_mode: str = "level"):
+                 side: str = "right", trisolve_mode: str = "level",
+                 sweeps: int = 8):
         self.drop_tol = drop_tol
         self.fill_factor = fill_factor
         self.side = side
+        # "level": exact level-scheduled solves (parity).  "jacobi": fixed
+        # Jacobi sweeps — an approximate, latency-friendly application
+        # (converges because triangular iteration matrices are nilpotent;
+        # preconditioning quality degrades gracefully with fewer sweeps).
         self.trisolve_mode = trisolve_mode
+        self.sweeps = sweeps
 
     def form(self, A_host: HostCSR, A_dev=None) -> Preconditioner:
         L, U = ilut_factor(A_host, self.drop_tol, self.fill_factor)
@@ -165,8 +171,16 @@ class ILUTPreconditionerType(PreconditionerType):
         planL = build_trisolve_plan(L, lower=True, unit_diag=True, dtype=dtype)
         planU = build_trisolve_plan(U, lower=False, dtype=dtype)
 
-        def apply(v):
-            return trisolve(planU, trisolve(planL, v))
+        if self.trisolve_mode == "jacobi":
+            from ..ops.trisolve import trisolve_jacobi
+            sweeps = self.sweeps
+
+            def apply(v):
+                return trisolve_jacobi(
+                    planU, trisolve_jacobi(planL, v, sweeps), sweeps)
+        else:
+            def apply(v):
+                return trisolve(planU, trisolve(planL, v))
 
         return self._wrap(apply)
 

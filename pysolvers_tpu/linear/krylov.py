@@ -131,6 +131,7 @@ class _GMRESCarry(NamedTuple):
     total: jax.Array      # total iterations across restarts
     x: jax.Array          # current outer solution estimate
     Q: jax.Array          # (m+1, n) Krylov basis (row-major for locality)
+    Z: jax.Array          # (m, n) preconditioned basis (FGMRES) or (1, 1)
     H: jax.Array          # (m+1, m) Hessenberg, Givens-triangularized in place
     g: jax.Array          # (m+1,) rhs of least squares
     cs: jax.Array         # (m, 2) Givens cosines/sines
@@ -169,7 +170,8 @@ def gmres_solve(matvec: Callable, b: jax.Array, x0: Optional[jax.Array] = None,
                 norm_fn: Optional[Callable] = None,
                 check_true_residual: bool = True,
                 orthog: str = "mgs",
-                iter_callback: Optional[Callable] = None):
+                iter_callback: Optional[Callable] = None,
+                flexible: bool = False):
     """Right-preconditioned GMRES(m).  Returns (x, KrylovState, history).
 
     The reference runs full GMRES with m = maxiter and no restart
@@ -183,6 +185,11 @@ def gmres_solve(matvec: Callable, b: jax.Array, x0: Optional[jax.Array] = None,
     reorthogonalization: two (m+1, n)-matrix products on the MXU per
     iteration and a single all-reduce when sharded — the TPU-fast choice
     with MGS-grade stability.
+
+    ``flexible=True`` → FGMRES (Saad 1993): the preconditioned vectors
+    z_k = M⁻¹ q_k are stored and the solution is formed from Z, so the
+    preconditioner may vary between iterations (e.g. an inner iterative
+    solve such as the AMG preconditioner).  Costs one extra (m, n) buffer.
     """
     norm = norm_fn or (lambda v: jnp.sqrt(_dot(v, v)))
     M = precond or (lambda v: v)
@@ -203,11 +210,13 @@ def gmres_solve(matvec: Callable, b: jax.Array, x0: Optional[jax.Array] = None,
         beta = norm(r)
         Q = jnp.zeros((m + 1, n), dtype=dtype)
         Q = Q.at[0].set(jnp.where(beta > 0, r / jnp.where(beta > 0, beta, 1.0), r))
+        Z = (jnp.zeros((m, n), dtype=dtype) if flexible
+             else jnp.zeros((1, 1), dtype=dtype))
         g = jnp.zeros((m + 1,), dtype=dtype).at[0].set(beta)
         H = jnp.zeros((m + 1, m), dtype=dtype)
         cs = jnp.zeros((m, 2), dtype=dtype)
         history = history.at[total].set(beta)
-        return _GMRESCarry(jnp.int32(0), total, x, Q, H, g, cs, beta,
+        return _GMRESCarry(jnp.int32(0), total, x, Q, Z, H, g, cs, beta,
                            jnp.where(beta <= tol, StopReason.CONVERGED,
                                      StopReason.RUNNING).astype(jnp.int32),
                            history)
@@ -223,7 +232,10 @@ def gmres_solve(matvec: Callable, b: jax.Array, x0: Optional[jax.Array] = None,
             yj = jnp.where(active, s / jnp.where(c.H[j, j] != 0, c.H[j, j], 1.0), 0.0)
             return y.at[j].set(yj)
         y = jax.lax.fori_loop(0, m, bs_body, jnp.zeros((m,), dtype=dtype))
-        # x = x0_cycle + M⁻¹ (Qᵀ... rows) — basis rows 0..k-1
+        if flexible:
+            # FGMRES: x = x0 + Z y (Z already preconditioned)
+            return c.x + jnp.einsum("kn,k->n", c.Z, y)
+        # right-preconditioned GMRES: x = x0 + M⁻¹(Q y)
         z = jnp.einsum("kn,k->n", c.Q[:m], y)
         return c.x + M(z)
 
@@ -233,7 +245,9 @@ def gmres_solve(matvec: Callable, b: jax.Array, x0: Optional[jax.Array] = None,
     def body(c: _GMRESCarry):
         k = c.k
         qk = c.Q[k]
-        u = matvec(M(qk))
+        zk = M(qk)
+        Z = c.Z.at[k].set(zk) if flexible else c.Z
+        u = matvec(zk)
         if orthog == "cgs2":
             # classical GS with one reorthogonalization pass; rows > k of Q
             # are zero so no masking is needed in the products
@@ -281,7 +295,8 @@ def gmres_solve(matvec: Callable, b: jax.Array, x0: Optional[jax.Array] = None,
             jnp.where(at_maxiter, StopReason.MAXITER,
                       StopReason.RUNNING)).astype(jnp.int32)
         # cycle_full but not done → handled by outer restart loop
-        c2 = _GMRESCarry(k_new, total, c.x, Q, H, g, cs, resid, reason, history)
+        c2 = _GMRESCarry(k_new, total, c.x, Q, Z, H, g, cs, resid, reason,
+                         history)
         stop_cycle = (reason != StopReason.RUNNING) | cycle_full
         return c2._replace(
             reason=jnp.where(stop_cycle & (reason == StopReason.RUNNING),

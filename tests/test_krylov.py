@@ -136,3 +136,36 @@ class TestGMRES:
         assert int(st.reason) == StopReason.CONVERGED
         assert int(st.k) <= 2
         np.testing.assert_allclose(np.asarray(x), np.asarray(b), atol=1e-12)
+
+
+class TestFGMRES:
+    def test_flexible_with_inner_solver_preconditioner(self):
+        """FGMRES tolerates an iteration-varying preconditioner (inner CG)."""
+        H = fd_laplacian_2d(10)
+        A = EllMatrix.from_host_csr(H)
+        mv = lambda v: matvec(A, v)
+
+        def inner_prec(r):
+            # truncated inner CG as preconditioner (varies with r)
+            z, _, _ = cg_solve(mv, r, maxiter=5, tau=1e-12)
+            return z
+
+        x_exact = np.random.default_rng(11).random(100)
+        b = jnp.asarray(H.matvec(x_exact))
+        x, st, _ = gmres_solve(mv, b, maxiter=100, tau=1e-10,
+                               precond=inner_prec, flexible=True)
+        assert int(st.reason) == StopReason.CONVERGED
+        np.testing.assert_allclose(np.asarray(x), x_exact, atol=1e-6)
+
+    def test_flexible_matches_plain_for_fixed_prec(self):
+        H = fd_laplacian_2d(8)
+        A = EllMatrix.from_host_csr(H)
+        mv = lambda v: matvec(A, v)
+        dinv = jnp.asarray(1.0 / H.diagonal())
+        b = jnp.asarray(np.random.default_rng(12).random(64))
+        prec = lambda v: dinv * v
+        x1, st1, _ = gmres_solve(mv, b, maxiter=80, tau=1e-10, precond=prec)
+        x2, st2, _ = gmres_solve(mv, b, maxiter=80, tau=1e-10, precond=prec,
+                                 flexible=True)
+        assert int(st1.reason) == int(st2.reason) == StopReason.CONVERGED
+        np.testing.assert_allclose(np.asarray(x1), np.asarray(x2), atol=1e-8)

@@ -97,3 +97,21 @@ class TestDistSolve:
 
         x = solve(A, b)
         assert not x.sharding.is_fully_replicated
+
+
+class TestDistGMRES:
+    def test_distributed_gmres_ell(self, mesh):
+        from pysolvers_tpu.linear import gmres_solve
+        H, x_exact, b_host = dh_test_problem(8)
+        n = H.shape[0]
+        A = shard_ell(H, mesh)
+        b = pad_vector_ell(A, b_host)
+
+        @jax.jit
+        def solve(A, b):
+            return gmres_solve(lambda v: dist_ell_spmv(A, v), b,
+                               maxiter=150, tau=1e-10, orthog="cgs2")
+
+        x, st, _ = solve(A, b)
+        assert int(st.reason) == StopReason.CONVERGED
+        np.testing.assert_allclose(np.asarray(x)[:n], x_exact, atol=1e-6)

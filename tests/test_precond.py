@@ -141,3 +141,19 @@ class TestMatrixFreePrecs:
                             maxiter=500, tau=1e-10, precond=M.apply_right)
         assert int(st.reason) == StopReason.CONVERGED
         np.testing.assert_allclose(np.asarray(x), x_exact, atol=1e-6)
+
+
+class TestJacobiTrisolveMode:
+    def test_ilut_jacobi_sweeps_preconditions(self):
+        from pysolvers_tpu.linear.ilu import ILUTPreconditionerType
+        H, x_exact, b = dh_test_problem(9)
+        A = EllMatrix.from_host_csr(H)
+        mv = lambda v: matvec(A, v)
+        _, st0, _ = gmres_solve(mv, jnp.asarray(b), maxiter=300, tau=1e-10)
+        M = ILUTPreconditionerType(1e-3, 15, trisolve_mode="jacobi",
+                                  sweeps=10).form(H)
+        x, st1, _ = gmres_solve(mv, jnp.asarray(b), maxiter=300, tau=1e-10,
+                                precond=M.apply_right)
+        assert int(st1.reason) == StopReason.CONVERGED
+        assert int(st1.k) < int(st0.k)
+        np.testing.assert_allclose(np.asarray(x), x_exact, atol=1e-6)

@@ -1,0 +1,129 @@
+#!/usr/bin/env python
+"""TPU-native solve benchmark: f32 kernels + f64 iterative refinement.
+
+The BASELINE.md parity bar is a 1e-10 relative residual.  On TPU the fast
+path is f32 (f64 is emulated); this runner solves each config with
+mixed-precision iterative refinement (linear/refine.py): inner Krylov in
+f32 on the Pallas/BWS kernels, outer residual correction in f64.
+
+Same JSON schema as run_reference.py.
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--lev", type=int, default=10)
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--platform", default=None)
+    args = ap.parse_args()
+
+    import jax
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    jax.config.update("jax_enable_x64", True)
+    jax.config.update("jax_compilation_cache_dir", "/tmp/pst_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    import jax.numpy as jnp
+    import pysolvers_tpu as pst
+    from pysolvers_tpu.linear.refine import ir_solve
+    from pysolvers_tpu.linear.ilu import (ILUTPreconditionerType,
+                                          ICPreconditionerType)
+    from pysolvers_tpu.sparse.bws import BwsMatrix
+    from pysolvers_tpu.ops.bws_spmv import bws_spmv
+
+    lev = args.lev
+    H, x_exact, b_host = pst.problems.dh_test_problem(lev)
+    n = H.shape[0]
+    b = jnp.asarray(b_host)
+
+    results = []
+
+    def run(config, fn):
+        t0 = time.perf_counter()
+        fn()                       # compile + setup
+        compile_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        iters, err, ok = fn()
+        dt = time.perf_counter() - t0
+        rec = dict(config=config, time_s=round(dt, 6), iters=int(iters),
+                   err=float(err), success=bool(ok),
+                   compile_s=round(compile_s, 3))
+        results.append(rec)
+        print(json.dumps(rec), flush=True)
+
+    # shared device matrices: BWS f32 for speed, ELL f64 for true residuals
+    A32 = BwsMatrix.from_host_csr(H, dtype=np.float32)
+    A64 = pst.EllMatrix.from_host_csr(H)
+    mv32 = lambda v: bws_spmv(A32, v)  # operates in RCM-permuted order
+    perm = np.asarray(A32.perm)
+    H_perm = None
+
+    def make_perm_host():
+        nonlocal H_perm
+        if H_perm is None:
+            rows, cols, vals = H.to_coo()
+            iperm = np.asarray(A32.iperm)
+            H_perm = pst.HostCSR.from_coo(iperm[rows], iperm[cols], vals,
+                                          H.shape)
+        return H_perm
+
+    def _f32(Hm):
+        return pst.HostCSR(Hm.indptr, Hm.indices,
+                           Hm.data.astype(np.float32), Hm.shape)
+
+    def pcg_ic():
+        Hp = make_perm_host()
+        M = ICPreconditionerType(1e-3, 15).form(_f32(Hp))
+        A64p = pst.EllMatrix.from_host_csr(Hp)
+        bp = jnp.asarray(b_host[perm])
+
+        @jax.jit
+        def solve(bp):
+            return ir_solve(lambda v: pst.ops.ell_spmv_xla(A64p, v), mv32,
+                            bp, tau=1e-10, inner_tau=1e-6,
+                            inner_maxiter=300, method="cg",
+                            precond_lo=lambda v: M.apply_right(v))
+
+        x, st, _ = solve(bp)
+        xu = np.asarray(x)[np.asarray(A32.iperm)]
+        err = np.linalg.norm(xu - x_exact)
+        return int(st.k), err, int(st.reason) == 1
+
+    def gmres_ilut():
+        Hp = make_perm_host()
+        M = ILUTPreconditionerType(1e-3, 15).form(_f32(Hp))
+        A64p = pst.EllMatrix.from_host_csr(Hp)
+        bp = jnp.asarray(b_host[perm])
+
+        @jax.jit
+        def solve(bp):
+            return ir_solve(lambda v: pst.ops.ell_spmv_xla(A64p, v), mv32,
+                            bp, tau=1e-10, inner_tau=1e-6,
+                            inner_maxiter=300, method="gmres", restart=60,
+                            precond_lo=lambda v: M.apply_right(v))
+
+        x, st, _ = solve(bp)
+        xu = np.asarray(x)[np.asarray(A32.iperm)]
+        err = np.linalg.norm(xu - x_exact)
+        return int(st.k), err, int(st.reason) == 1
+
+    run(f"DH{lev}+PCG+IC(f32ir)", pcg_ic)
+    run(f"DH{lev}+GMRES+ILUT(f32ir)", gmres_ilut)
+
+    if args.out:
+        with open(args.out, "w") as f:
+            for r in results:
+                f.write(json.dumps(r) + "\n")
+
+
+if __name__ == "__main__":
+    main()

@@ -30,6 +30,17 @@ def _ceil_to(x, m):
     return ((x + m - 1) // m) * m
 
 
+def _lane_gather32(x, idx):
+    """take_along_axis(x, idx, axis=1) with int32 indices end-to-end.
+
+    Under jax_enable_x64 take_along_axis canonicalizes indices to int64,
+    which Mosaic cannot lower; tracing inside a disable_x64 scope keeps the
+    emitted gather identical to the x32 form Mosaic supports.
+    """
+    with jax.enable_x64(False):
+        return jnp.take_along_axis(x, idx.astype(jnp.int32), axis=1)
+
+
 def _bws_kernel(delta_ref, data_ref, lidx_ref, x2_ref, o_ref, *,
                 S: int, W: int, group_rows: int, interpret: bool):
     slots = 128 // group_rows
@@ -46,7 +57,9 @@ def _bws_kernel(delta_ref, data_ref, lidx_ref, x2_ref, o_ref, *,
         onehot = (wids == d).astype(data_ref.dtype)      # (GT, W)
         xsel = jnp.dot(onehot, xwin, precision=prec,
                        preferred_element_type=data_ref.dtype)  # (GT, 128)
-        g = jnp.take_along_axis(xsel, lidx_ref[:, s, :], axis=1)
+        # keep index arithmetic 32-bit even under jax_enable_x64 (Mosaic
+        # has no 64-bit support): spell the lane gather at the lax level
+        g = _lane_gather32(xsel, lidx_ref[:, s, :])
         acc = acc + data_ref[:, s, :] * g
     # slot reduction: lane l contributes to row l // slots
     lanes = jax.lax.broadcasted_iota(jnp.int32, (128, group_rows), 0)

@@ -24,9 +24,12 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--lev", type=int, default=10)
     ap.add_argument("--out", default=None)
+    ap.add_argument("--platform", default=None)
     args = ap.parse_args()
 
     import jax
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
     jax.config.update("jax_enable_x64", True)
     jax.config.update("jax_compilation_cache_dir", "/tmp/pst_jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
@@ -35,61 +38,76 @@ def main():
 
     results = []
 
-    def run(config, setup_and_solve):
-        # one throwaway call to compile, one timed call
+    def run(config, make_solver_and_problem):
+        """Report setup_s (preconditioner/hierarchy formation), solve_s
+        (steady-state solve with frozen setup — the production repeat-solve
+        path, cf. the reference's freeze flags), compile_s (one-time jit,
+        excluded from time_s), and time_s = setup_s + solve_s."""
+        solver, A, bb, check = make_solver_and_problem()
         t0 = time.perf_counter()
-        setup_and_solve()
-        compile_s = time.perf_counter() - t0
+        st = solver.solve(A, bb)        # includes setup + compile
+        first_s = time.perf_counter() - t0
+        try:
+            solver.freeze_prec()
+        except AttributeError:
+            pass
+        solver.freeze_matrix()
         t0 = time.perf_counter()
-        iters, err, success = setup_and_solve()
-        dt = time.perf_counter() - t0
-        rec = dict(config=config, time_s=round(dt, 6), iters=int(iters),
-                   err=float(err), success=bool(success),
-                   compile_s=round(compile_s, 3))
+        st = solver.solve(A, bb)        # compiled + setup reused
+        solve_s = time.perf_counter() - t0
+        # re-measure setup alone (fresh solver, stop before solving)
+        solver2, A2, _, _ = make_solver_and_problem()
+        t0 = time.perf_counter()
+        if hasattr(solver2, "_get_precond"):
+            Ah, Ad = solver2._split_matrix(A2)
+            solver2._get_precond(Ah, Ad)
+        elif hasattr(solver2, "_ensure_hierarchy"):
+            Ah, Ad = solver2._split_matrix(A2)
+            solver2._ensure_hierarchy(Ah, np.float64)
+        setup_s = time.perf_counter() - t0
+        err = check(st)
+        rec = dict(config=config, time_s=round(setup_s + solve_s, 6),
+                   setup_s=round(setup_s, 6), solve_s=round(solve_s, 6),
+                   iters=int(st.iters), err=float(err),
+                   success=bool(st.success),
+                   compile_s=round(max(first_s - setup_s - solve_s, 0.0), 3))
         results.append(rec)
         print(json.dumps(rec), flush=True)
 
     lev = args.lev
     H, x_exact, b_host = pst.problems.dh_test_problem(lev)
 
+    def check_dh(st):
+        return np.linalg.norm(np.asarray(st.soln) - x_exact)
+
     def pcg_ic():
-        solver = pst.PCG(pst.CommonSolverArgs(maxiter=500, tau=1e-10),
-                         precond=pst.RightIC()).make_solver()
-        st = solver.solve(H, b_host)
-        err = np.linalg.norm(np.asarray(st.soln) - x_exact)
-        return st.iters, err, st.success
+        s = pst.PCG(pst.CommonSolverArgs(maxiter=500, tau=1e-10),
+                    precond=pst.RightIC()).make_solver()
+        return s, H, b_host, check_dh
 
     def gmres_ilut():
-        solver = pst.GMRES(pst.CommonSolverArgs(maxiter=500, tau=1e-10),
-                           precond=pst.RightILUT()).make_solver()
-        st = solver.solve(H, b_host)
-        err = np.linalg.norm(np.asarray(st.soln) - x_exact)
-        return st.iters, err, st.success
+        s = pst.GMRES(pst.CommonSolverArgs(maxiter=500, tau=1e-10),
+                      precond=pst.RightILUT()).make_solver()
+        return s, H, b_host, check_dh
 
     def pcg_amg():
-        solver = pst.PCG(pst.CommonSolverArgs(maxiter=500, tau=1e-10),
-                         precond=pst.AMG(num_iters=2, num_levels=2)
-                         ).make_solver()
-        st = solver.solve(H, b_host)
-        err = np.linalg.norm(np.asarray(st.soln) - x_exact)
-        return st.iters, err, st.success
+        s = pst.PCG(pst.CommonSolverArgs(maxiter=500, tau=1e-10),
+                    precond=pst.AMG(num_iters=2, num_levels=2)).make_solver()
+        return s, H, b_host, check_dh
 
     def vcycle():
-        solver = pst.AMGVCycle(pst.CommonSolverArgs(maxiter=200, tau=1e-10),
-                               num_levels=2).make_solver()
-        st = solver.solve(H, b_host)
-        err = np.linalg.norm(np.asarray(st.soln) - x_exact)
-        return st.iters, err, st.success
+        s = pst.AMGVCycle(pst.CommonSolverArgs(maxiter=200, tau=1e-10),
+                          num_levels=2).make_solver()
+        return s, H, b_host, check_dh
 
     def cg_lap1d():
         H1 = pst.problems.fd_laplacian_1d(1000)
         x = np.random.default_rng(0).random(1000)
         b1 = H1.matvec(x)
-        solver = pst.PCG(pst.CommonSolverArgs(maxiter=4000, tau=1e-10)
-                         ).make_solver()
-        st = solver.solve(H1, b1)
-        err = np.linalg.norm(np.asarray(st.soln) - x)
-        return st.iters, err, st.success
+        s = pst.PCG(pst.CommonSolverArgs(maxiter=4000, tau=1e-10)
+                    ).make_solver()
+        return s, H1, b1, (lambda st:
+                           np.linalg.norm(np.asarray(st.soln) - x))
 
     run(f"DH{lev}+PCG+IC", pcg_ic)
     run(f"DH{lev}+GMRES+ILUT", gmres_ilut)

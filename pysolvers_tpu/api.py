@@ -186,17 +186,51 @@ def _iter_printer(control: SolverConfig, name: str):
 
 
 class PCGSolver(IterativeLinearSolver):
+    def __init__(self, control, precond_type):
+        super().__init__(control, precond_type)
+        self._jitted = None
+        self._jit_prec = None
+        self._jit_passable = None
+        self._jit_op = None
+
     def solve(self, A, b) -> SolveStatus:
         A_host, A_dev = self._split_matrix(A)
         b = jnp.asarray(b)
         prec = self._get_precond(A_host, A_dev)
-        x, st, hist = cg_solve(
-            lambda v: matvec(A_dev, v), b,
-            maxiter=self.control.maxiter,
-            tau=self._effective_tau(),
-            precond=None if prec.is_identity else prec.apply_right,
-            norm_fn=self.control.norm_fn(),
-            iter_callback=_iter_printer(self.control, "PCG"))
+        # one jitted solve per formed preconditioner; the matrix and the
+        # tolerance are traced arguments, so repeated solves (e.g. Newton
+        # steps with a frozen preconditioner) reuse the compilation
+        # matrix-free operators can't be jit arguments; capture in closure
+        passable = isinstance(A_dev, (EllMatrix, DiaMatrix, jax.Array))
+        if (self._jitted is None or self._jit_prec is not prec
+                or self._jit_passable != passable
+                or (not passable and self._jit_op is not A_dev)):
+            control = self.control
+            papply = None if prec.is_identity else prec.apply_right
+
+            if passable:
+                def _solve(A_dev, b, tau):
+                    return cg_solve(
+                        lambda v: matvec(A_dev, v), b,
+                        maxiter=control.maxiter, tau=tau, precond=papply,
+                        norm_fn=control.norm_fn(),
+                        iter_callback=_iter_printer(control, "PCG"))
+                self._jitted = jax.jit(_solve)
+            else:
+                op = A_dev
+
+                def _solve(_unused, b, tau):
+                    return cg_solve(
+                        lambda v: matvec(op, v), b,
+                        maxiter=control.maxiter, tau=tau, precond=papply,
+                        norm_fn=control.norm_fn(),
+                        iter_callback=_iter_printer(control, "PCG"))
+                self._jitted = _solve
+            self._jit_prec = prec
+            self._jit_passable = passable
+            self._jit_op = A_dev
+        x, st, hist = self._jitted(A_dev if passable else None, b,
+                                   self._effective_tau())
         return make_status(x, st, self.control, history=hist)
 
 
@@ -237,29 +271,46 @@ class GMRESSolver(IterativeLinearSolver):
         A_host, A_dev = self._split_matrix(A)
         b = jnp.asarray(b)
         prec = self._get_precond(A_host, A_dev)
-        mv = lambda v: matvec(A_dev, v)
-        if prec.left is not None:
-            # left preconditioning: solve M_L⁻¹A x = M_L⁻¹b (reference
-            # LeftPreconditioner semantics, Preconditioner.py:39-45)
-            ml = prec.left
-            mv_eff = lambda v: ml(matvec(A_dev, v))
-            b_eff = ml(b)
-        else:
-            mv_eff, b_eff = mv, b
-        x, st, hist = gmres_solve(
-            mv_eff, b_eff,
-            maxiter=self.control.maxiter,
-            restart=self.restart,
-            tau=self._effective_tau(),
-            precond=None if prec.right is None else prec.right,
-            norm_fn=self.control.norm_fn(),
-            orthog=self.orthog,
-            flexible=self.flexible,
-            iter_callback=_iter_printer(self.control, "GMRES"))
-        if prec.left is not None:
-            # report the TRUE residual of the original system
-            true_res = self.control.norm_fn()(b - mv(x))
-            st = st._replace(resid=true_res)
+        passable = isinstance(A_dev, (EllMatrix, DiaMatrix, jax.Array))
+        if getattr(self, "_jitted", None) is None or \
+                getattr(self, "_jit_prec", None) is not prec or \
+                getattr(self, "_jit_passable", None) != passable or \
+                (not passable and getattr(self, "_jit_op", None) is not A_dev):
+            control = self.control
+            restart = self.restart
+            orthog = self.orthog
+            flexible = self.flexible
+            left = prec.left
+            right = prec.right
+
+            op_capture = None if passable else A_dev
+
+            def _solve(A_dev, b, tau):
+                A_eff = A_dev if op_capture is None else op_capture
+                mv = lambda v: matvec(A_eff, v)
+                if left is not None:
+                    # left preconditioning: solve M_L⁻¹A x = M_L⁻¹b
+                    # (reference LeftPreconditioner, Preconditioner.py:39-45)
+                    mv_eff = lambda v: left(mv(v))
+                    b_eff = left(b)
+                else:
+                    mv_eff, b_eff = mv, b
+                x, st, hist = gmres_solve(
+                    mv_eff, b_eff, maxiter=control.maxiter, restart=restart,
+                    tau=tau, precond=right, norm_fn=control.norm_fn(),
+                    orthog=orthog, flexible=flexible,
+                    iter_callback=_iter_printer(control, "GMRES"))
+                if left is not None:
+                    # report the TRUE residual of the original system
+                    st = st._replace(resid=control.norm_fn()(b - mv(x)))
+                return x, st, hist
+
+            self._jitted = jax.jit(_solve) if passable else _solve
+            self._jit_prec = prec
+            self._jit_passable = passable
+            self._jit_op = A_dev
+        x, st, hist = self._jitted(A_dev if passable else None, b,
+                                   self._effective_tau())
         return make_status(x, st, self.control, history=hist)
 
 

@@ -152,6 +152,12 @@ class ILUTPreconditionerType(PreconditionerType):
     """ILU(t) preconditioner; reference Left/RightILUT
     (ILUTPreconditioner.py:10-31, defaults drop_tol=1e-3, fill_factor=15)."""
 
+    # SuperLU's drop rule retains noticeably more fill than Saad's at the
+    # same nominal drop_tol; this internal scale calibrates our factors to
+    # SuperLU-comparable preconditioner strength at like-for-like
+    # parameters (validated by iteration counts, SURVEY §7.3).
+    DROP_CALIBRATION = 0.1
+
     def __init__(self, drop_tol: float = 1e-3, fill_factor: float = 15.0,
                  side: str = "right", trisolve_mode: str = "level",
                  sweeps: int = 8):
@@ -166,7 +172,8 @@ class ILUTPreconditionerType(PreconditionerType):
         self.sweeps = sweeps
 
     def form(self, A_host: HostCSR, A_dev=None) -> Preconditioner:
-        L, U = ilut_factor(A_host, self.drop_tol, self.fill_factor)
+        L, U = ilut_factor(A_host, self.drop_tol * self.DROP_CALIBRATION,
+                           self.fill_factor)
         dtype = A_host.data.dtype
         planL = build_trisolve_plan(L, lower=True, unit_diag=True, dtype=dtype)
         planU = build_trisolve_plan(U, lower=False, dtype=dtype)
@@ -189,6 +196,8 @@ class ICPreconditionerType(PreconditionerType):
     """IC(t) preconditioner (SPD); reference RightIC
     (ICPreconditioner.py:20-29): apply = L⁻ᵀ (L⁻¹ v)."""
 
+    DROP_CALIBRATION = 0.1
+
     def __init__(self, drop_tol: float = 1e-3, fill_factor: float = 15.0,
                  side: str = "right"):
         self.drop_tol = drop_tol
@@ -196,7 +205,8 @@ class ICPreconditionerType(PreconditionerType):
         self.side = side
 
     def form(self, A_host: HostCSR, A_dev=None) -> Preconditioner:
-        Lc = ict_factor(A_host, self.drop_tol, self.fill_factor)
+        Lc = ict_factor(A_host, self.drop_tol * self.DROP_CALIBRATION,
+                        self.fill_factor)
         dtype = A_host.data.dtype
         planL = build_trisolve_plan(Lc, lower=True, dtype=dtype)
         planLT = build_trisolve_plan(Lc.transpose(), lower=False, dtype=dtype)

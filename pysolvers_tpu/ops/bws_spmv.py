@@ -43,30 +43,33 @@ def _lane_gather32(x, idx):
 
 def _bws_kernel(delta_ref, data_ref, lidx_ref, x2_ref, o_ref, *,
                 S: int, W: int, group_rows: int, interpret: bool):
-    slots = 128 // group_rows
-    t = pl.program_id(0)
-    # window start block in the margin-padded x2 (aligned: mult of 8)
-    row0 = pl.multiple_of(t * (GT * group_rows // 128), 8)
-    xwin = x2_ref[pl.ds(row0, W), :]                     # (W, 128)
-    acc = jnp.zeros((GT, 128), dtype=data_ref.dtype)
-    wids = jax.lax.broadcasted_iota(jnp.int32, (GT, W), 1)
-    # one-hot dots must be exact: default TPU matmul precision is bf16
-    prec = jax.lax.Precision.HIGHEST
-    for s in range(S):
-        d = delta_ref[:, s].reshape(GT, 1)               # (GT, 1)
-        onehot = (wids == d).astype(data_ref.dtype)      # (GT, W)
-        xsel = jnp.dot(onehot, xwin, precision=prec,
-                       preferred_element_type=data_ref.dtype)  # (GT, 128)
-        # keep index arithmetic 32-bit even under jax_enable_x64 (Mosaic
-        # has no 64-bit support): spell the lane gather at the lax level
-        g = _lane_gather32(xsel, lidx_ref[:, s, :])
-        acc = acc + data_ref[:, s, :] * g
-    # slot reduction: lane l contributes to row l // slots
-    lanes = jax.lax.broadcasted_iota(jnp.int32, (128, group_rows), 0)
-    rows = jax.lax.broadcasted_iota(jnp.int32, (128, group_rows), 1)
-    slot_mat = (lanes // slots == rows).astype(acc.dtype)   # (128, group_rows)
-    o_ref[...] = jnp.dot(acc, slot_mat, precision=prec,
-                         preferred_element_type=acc.dtype)  # (GT, group_rows)
+    with jax.enable_x64(False):
+        slots = 128 // group_rows
+        t = pl.program_id(0)
+        # window start block in the margin-padded x2 (aligned: mult of 8)
+        row0 = pl.multiple_of(t * (GT * group_rows // 128), 8)
+        xwin = x2_ref[pl.ds(row0, W), :]                     # (W, 128)
+        acc = jnp.zeros((GT, 128), dtype=data_ref.dtype)
+        wids = jax.lax.broadcasted_iota(jnp.int32, (GT, W), 1)
+        # one-hot dots must be exact: default TPU matmul precision is bf16
+        prec = jax.lax.Precision.HIGHEST
+        for s in range(S):
+            d = delta_ref[:, s].reshape(GT, 1)               # (GT, 1)
+            onehot = (wids == d).astype(data_ref.dtype)      # (GT, W)
+            xsel = jnp.dot(onehot, xwin, precision=prec,
+                           preferred_element_type=data_ref.dtype)  # (GT, 128)
+            # keep index arithmetic 32-bit even under jax_enable_x64 (Mosaic
+            # has no 64-bit support): spell the lane gather at the lax level
+            g = _lane_gather32(xsel, lidx_ref[:, s, :])
+            acc = acc + data_ref[:, s, :] * g
+        # slot reduction: lane l contributes to row l // slots
+        lanes = jax.lax.broadcasted_iota(jnp.int32, (128, group_rows), 0)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (128, group_rows), 1)
+        slot_mat = (lanes // slots == rows).astype(acc.dtype)   # (128, group_rows)
+        o_ref[...] = jnp.dot(acc, slot_mat, precision=prec,
+                             preferred_element_type=acc.dtype)  # (GT, group_rows)
+
+
 
 
 def bws_spmv(A: BwsMatrix, x: jax.Array, interpret: bool = None
@@ -91,6 +94,14 @@ def bws_spmv(A: BwsMatrix, x: jax.Array, interpret: bool = None
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu", "axon")
     grid = n_groups // GT
+    # the whole pallas_call (grid/block index machinery included) must
+    # trace in 32-bit mode — Mosaic cannot lower int64 indices
+    with jax.enable_x64(False):
+        out = _bws_call(grid, S, W, group_rows, interpret, A, x2, n_groups)
+    return out.reshape(-1)[:n]
+
+
+def _bws_call(grid, S, W, group_rows, interpret, A, x2, n_groups):
     out = pl.pallas_call(
         functools.partial(_bws_kernel, S=S, W=W, group_rows=group_rows,
                           interpret=interpret),
@@ -109,7 +120,7 @@ def bws_spmv(A: BwsMatrix, x: jax.Array, interpret: bool = None
         out_shape=jax.ShapeDtypeStruct((n_groups, group_rows), A.dtype),
         interpret=interpret,
     )(A.delta, A.data, A.lidx, x2)
-    return out.reshape(-1)[:n]
+    return out
 
 
 def bws_matvec(A: BwsMatrix, x: jax.Array, interpret: bool = None

@@ -95,12 +95,21 @@ def build_trisolve_plan(T: HostCSR, lower: bool, unit_diag: bool = False,
 
     level = _levelize(T.indptr, T.indices, n, lower)
     n_levels = int(level.max()) + 1 if n else 1
-    width = max(int(np.bincount(level, minlength=n_levels).max()), 1)
-    levels = np.full((n_levels, width), n, dtype=np.int32)
+    sizes = np.bincount(level, minlength=n_levels)
+    # chunked schedule: levels are cut into fixed-width chunks so one huge
+    # level doesn't pad every scan step to its width (a DH-15 IC factor has
+    # max level width 8321 vs mean ~100 — 65x wasted gather work otherwise)
+    mean_w = max(int(n / max(n_levels, 1)), 1)
+    width = int(min(max(2 * mean_w, 64), 4096))
+    chunks_per_level = np.maximum((sizes + width - 1) // width, 1)
+    n_chunks = int(chunks_per_level.sum())
+    levels = np.full((n_chunks, width), n, dtype=np.int32)
     order = np.argsort(level, kind="stable")
     lv_sorted = level[order]
-    pos = np.arange(n) - np.searchsorted(lv_sorted, lv_sorted)
-    levels[lv_sorted, pos] = order
+    pos_in_level = np.arange(n) - np.searchsorted(lv_sorted, lv_sorted)
+    chunk_base = np.concatenate([[0], np.cumsum(chunks_per_level)[:-1]])
+    chunk_idx = chunk_base[lv_sorted] + pos_in_level // width
+    levels[chunk_idx, pos_in_level % width] = order
 
     return TriSolvePlan(jnp.asarray(ell_data), jnp.asarray(ell_cols),
                         jnp.asarray(diag), jnp.asarray(levels), lower)

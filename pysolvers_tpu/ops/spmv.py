@@ -155,3 +155,32 @@ def matvec(A, x: jax.Array) -> jax.Array:
     if isinstance(A, jax.Array) or hasattr(A, "ndim") and A.ndim == 2:
         return A @ x
     raise TypeError(f"unknown matrix type {type(A)}")
+
+
+# ---------------------------------------------------------------------------
+# SpMM: sparse @ dense multi-vector (block Krylov / multiple RHS)
+# ---------------------------------------------------------------------------
+
+def ell_spmm_xla(A: EllMatrix, X: jax.Array) -> jax.Array:
+    """Y = A @ X for dense X (n_cols, k_rhs); XLA gather over rows."""
+    n = A.n_rows
+    Xp = jnp.zeros((A.n_cols_pad, X.shape[1]), dtype=X.dtype)
+    Xp = Xp.at[: A.n_cols].set(X[: A.n_cols])
+    g = jnp.take(Xp, A.cols, axis=0)             # (n_pad, k, k_rhs)
+    return jnp.einsum("nk,nkr->nr", A.data, g)[:n]
+
+
+def dia_spmm(A: DiaMatrix, X: jax.Array) -> jax.Array:
+    """Y = A @ X for banded A (vmapped shift-and-fma over RHS columns;
+    uses the XLA path — batching a Pallas grid is not portable)."""
+    return jax.vmap(lambda col: dia_spmv_xla(A, col), in_axes=1,
+                    out_axes=1)(X)
+
+
+def matmat(A, X: jax.Array) -> jax.Array:
+    """Y = A @ X (multi-vector SpMM dispatch, jittable)."""
+    if isinstance(A, DiaMatrix):
+        return dia_spmm(A, X)
+    if isinstance(A, EllMatrix):
+        return ell_spmm_xla(A, X)
+    return A @ X

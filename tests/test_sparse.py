@@ -130,3 +130,23 @@ class TestMtxIO:
         write_mtx(p, H)
         np.testing.assert_allclose(read_mtx(p).to_dense(), S.toarray(),
                                    atol=1e-14)
+
+
+class TestSpMM:
+    def test_ell_spmm_matches_loop(self):
+        S = random_csr(48, 48, 0.12, seed=21)
+        H = to_host(S)
+        E = EllMatrix.from_host_csr(H)
+        from pysolvers_tpu.ops.spmv import matmat
+        X = np.random.default_rng(22).random((48, 5))
+        Y = matmat(E, jnp.asarray(X))
+        np.testing.assert_allclose(np.asarray(Y), S @ X, rtol=1e-12)
+
+    def test_dia_spmm(self):
+        H = fd_laplacian_2d(8)
+        D = DiaMatrix.from_host_csr(H)
+        from pysolvers_tpu.ops.spmv import matmat
+        X = np.random.default_rng(23).random((64, 3))
+        Y = matmat(D, jnp.asarray(X))
+        ref = np.stack([H.matvec(X[:, j]) for j in range(3)], axis=1)
+        np.testing.assert_allclose(np.asarray(Y), ref, rtol=1e-12)

@@ -67,8 +67,6 @@ def bench_scipy_spmv(m=1448, iters=20):
     import scipy.sparse as sp
 
     n = m * m
-    d = np.ones(n)
-    A = sp.diags([-d[:-1], 4 * d, -d[:-1]], [-1, 0, 1], format="csr")
     A = (sp.kronsum(sp.diags([2 * np.ones(m), -np.ones(m - 1), -np.ones(m - 1)],
                              [0, 1, -1]),
                     sp.diags([2 * np.ones(m), -np.ones(m - 1), -np.ones(m - 1)],

@@ -335,6 +335,12 @@ int64_t mtx_read(const char* path, int64_t* rows, int64_t* cols, double* vals,
     std::fclose(f);
     return -1;
   }
+  // skew-symmetric and non-real fields are handled by the Python fallback
+  if (std::strstr(line, "skew-symmetric") || std::strstr(line, "hermitian") ||
+      std::strstr(line, "complex") || std::strstr(line, "pattern")) {
+    std::fclose(f);
+    return -3;
+  }
   *symmetric_out = std::strstr(line, "symmetric") != nullptr;
   do {
     if (!std::fgets(line, sizeof line, f)) {

@@ -141,6 +141,10 @@ class IterativeLinearSolver(LinearSolver):
         if self._formed_prec is not None and self._prec_frozen:
             return self._formed_prec
         if isinstance(self.precond_type, IdentityPreconditionerType):
+            # identity never depends on A: form once so repeat solves keep
+            # hitting the same jitted computation
+            if self._formed_prec is not None:
+                return self._formed_prec
             prec = self.precond_type.form()
         else:
             if A_host is None:
@@ -195,7 +199,7 @@ class PCGSolver(IterativeLinearSolver):
 
     def solve(self, A, b) -> SolveStatus:
         A_host, A_dev = self._split_matrix(A)
-        b = jnp.asarray(b)
+        b = jnp.asarray(b, dtype=getattr(A_dev, "dtype", None))
         prec = self._get_precond(A_host, A_dev)
         # one jitted solve per formed preconditioner; the matrix and the
         # tolerance are traced arguments, so repeated solves (e.g. Newton
@@ -231,7 +235,8 @@ class PCGSolver(IterativeLinearSolver):
             self._jit_op = A_dev
         x, st, hist = self._jitted(A_dev if passable else None, b,
                                    self._effective_tau())
-        return make_status(x, st, self.control, history=hist)
+        return make_status(x, st, self.control, history=hist,
+                           live_reported=self.control.show_iters)
 
 
 # ---------------------------------------------------------------------------
@@ -269,7 +274,7 @@ class GMRESSolver(IterativeLinearSolver):
 
     def solve(self, A, b) -> SolveStatus:
         A_host, A_dev = self._split_matrix(A)
-        b = jnp.asarray(b)
+        b = jnp.asarray(b, dtype=getattr(A_dev, "dtype", None))
         prec = self._get_precond(A_host, A_dev)
         passable = isinstance(A_dev, (EllMatrix, DiaMatrix, jax.Array))
         if getattr(self, "_jitted", None) is None or \
@@ -311,7 +316,8 @@ class GMRESSolver(IterativeLinearSolver):
             self._jit_op = A_dev
         x, st, hist = self._jitted(A_dev if passable else None, b,
                                    self._effective_tau())
-        return make_status(x, st, self.control, history=hist)
+        return make_status(x, st, self.control, history=hist,
+                           live_reported=self.control.show_iters)
 
 
 # ---------------------------------------------------------------------------
@@ -351,8 +357,7 @@ class DefaultDirectSolver(LinearSolver):
                     raise ValueError(
                         f"direct solve of n={A.shape[0]} sparse system "
                         "exceeds densify limit; use an iterative solver")
-                Ad = jnp.asarray(A if isinstance(A, jax.Array)
-                                 else _densify_device(A))
+                Ad = _densify_device(A)
             else:
                 Ad = jnp.asarray(A)
             b = jnp.asarray(b, dtype=Ad.dtype)

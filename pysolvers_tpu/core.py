@@ -92,7 +92,7 @@ class SolveStatus:
 
 
 def make_status(x, state, config: SolverConfig, as_preconditioner: bool = False,
-                history=None) -> SolveStatus:
+                history=None, live_reported: bool = False) -> SolveStatus:
     """Build a host SolveStatus from a solver loop's final carry.
 
     ``state`` must expose .k (iterations), .resid (residual norm) and
@@ -121,7 +121,7 @@ def make_status(x, state, config: SolverConfig, as_preconditioner: bool = False,
     )
     if config.show_final:
         print(st)
-    if config.show_iters and st.resid_history is not None:
+    if config.show_iters and not live_reported and st.resid_history is not None:
         r0 = st.resid_history[0] if len(st.resid_history) else 1.0
         for i in range(0, st.iters + 1):
             if i % max(config.interval, 1) == 0 and i < len(st.resid_history):

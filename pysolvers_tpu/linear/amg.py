@@ -399,7 +399,9 @@ class AMGVCycleSolver(IterativeLinearSolver):
             return amg_solve(h, b, tau=tau, maxiter=maxiter,
                              norm_fn=norm_fn)
 
-        self._solve_jit = jax.jit(full_solve, static_argnames=("tau",))
+        # tau is only compared against, so it traces (no recompiles when
+        # Newton adapts the tolerance each step)
+        self._solve_jit = jax.jit(full_solve)
 
     def solve(self, A, b) -> SolveStatus:
         A_host, A_dev = self._split_matrix(A)

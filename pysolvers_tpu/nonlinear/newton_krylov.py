@@ -63,7 +63,7 @@ def newton_krylov_solve(F: Callable, x0: jax.Array, *,
     r0 = norm(F0)
     tol = r0 * tau + tau
 
-    def line_search(x, normF, p):
+    def line_search(x, Fx, normF, p):
         """Masked fixed-trip backtracking (Dennis & Schnabel rule)."""
 
         def body(i, c):
@@ -84,7 +84,7 @@ def newton_krylov_solve(F: Callable, x0: jax.Array, *,
 
         t0 = jnp.asarray(1.0, x.dtype)
         _, bx, bF, bn, done = jax.lax.fori_loop(
-            0, ls_maxsteps, body, (t0, x, F(x), normF, jnp.bool_(False)))
+            0, ls_maxsteps, body, (t0, x, Fx, normF, jnp.bool_(False)))
         return bx, bF, bn, done
 
     def cond(c: _NKCarry):
@@ -105,7 +105,7 @@ def newton_krylov_solve(F: Callable, x0: jax.Array, *,
                                    tau=tau_lin, restart=restart,
                                    precond=precond,
                                    check_true_residual=False)
-        x, Fx, normF, ls_ok = line_search(c.x, c.normF, p)
+        x, Fx, normF, ls_ok = line_search(c.x, c.Fx, c.normF, p)
         k = c.k + 1
         inner_total = c.inner_total + st.k
         converged = normF <= tol

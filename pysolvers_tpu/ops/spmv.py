@@ -47,7 +47,8 @@ def _interpret_mode() -> bool:
 def ell_spmv_xla(A: EllMatrix, x: jax.Array) -> jax.Array:
     """General SpMV via XLA gather; correct for every dtype and shape."""
     n = A.n_rows
-    xp = jnp.zeros((A.n_cols_pad,), dtype=x.dtype)
+    # +1 slot: padding columns use the sentinel index n_cols (zero there)
+    xp = jnp.zeros((max(A.n_cols_pad, A.n_cols + 1),), dtype=x.dtype)
     xp = xp.at[: A.n_cols].set(x[: A.n_cols])
     g = jnp.take(xp, A.cols, axis=0)
     y = jnp.sum(A.data * g, axis=1)
@@ -84,6 +85,10 @@ def dia_spmv_pallas(A: DiaMatrix, x: jax.Array, tile: int = 8192,
     pad_hi = max(0, max(offsets))
     D = len(offsets)
 
+    # shrink the tile for small systems so padding to tile*8 rows doesn't
+    # multiply the streamed bytes (n=1024 with the default tile would pad
+    # 64x); keep lanes >= 128
+    tile = max(128, min(tile, _ceil_to((A.diags.shape[1] + 7) // 8, 128)))
     n_pad = _ceil_to(A.diags.shape[1], tile * 8)
     n_tiles = n_pad // tile
     diags = A.diags
@@ -164,7 +169,8 @@ def matvec(A, x: jax.Array) -> jax.Array:
 def ell_spmm_xla(A: EllMatrix, X: jax.Array) -> jax.Array:
     """Y = A @ X for dense X (n_cols, k_rhs); XLA gather over rows."""
     n = A.n_rows
-    Xp = jnp.zeros((A.n_cols_pad, X.shape[1]), dtype=X.dtype)
+    Xp = jnp.zeros((max(A.n_cols_pad, A.n_cols + 1), X.shape[1]),
+                   dtype=X.dtype)
     Xp = Xp.at[: A.n_cols].set(X[: A.n_cols])
     g = jnp.take(Xp, A.cols, axis=0)             # (n_pad, k, k_rhs)
     return jnp.einsum("nk,nkr->nr", A.data, g)[:n]

@@ -5,8 +5,8 @@ padded.  Two formats:
 
 * ``EllMatrix`` — padded ELLPACK: ``data``/``cols`` of shape (n_rows_pad, k).
   General-purpose; SpMV is a row-tiled Pallas kernel with the source vector
-  held in VMEM and an in-kernel gather.  Padding entries have ``col = 0`` and
-  ``data = 0`` (safe: contributes 0·x[0]).
+  held in VMEM and an in-kernel gather.  Padding entries have
+  ``col = n_cols`` (sentinel, reads a zero pad slot) and ``data = 0``.
 
 * ``DiaMatrix`` — diagonal storage for banded matrices (FD stencils): dense
   diagonals + static integer offsets.  SpMV is shift-and-fma — gather-free,
@@ -37,7 +37,7 @@ class EllMatrix:
     """Padded ELLPACK sparse matrix on device.
 
     data: (n_rows_pad, k) values, zero-padded
-    cols: (n_rows_pad, k) int32 column indices, 0-padded
+    cols: (n_rows_pad, k) int32 column indices (padding slots = n_cols)
     shape / n_rows_pad / k are static (aux) fields.
     """
 
@@ -82,7 +82,10 @@ class EllMatrix:
         n_pad = _round_up(max(n, 1), row_tile)
         dtype = dtype or A.data.dtype
         data = np.zeros((n_pad, k), dtype=dtype)
-        cols = np.zeros((n_pad, k), dtype=np.int32)
+        # padding slots point one past the real columns (data is 0 so any
+        # gathered value is harmless) — keeps explicitly stored zeros
+        # distinguishable from padding for exact pattern round-trips
+        cols = np.full((n_pad, k), m, dtype=np.int32)
         # vectorized scatter of CSR rows into ELL slots
         rows, cs, vs = A.to_coo()
         if len(rows):
@@ -96,7 +99,7 @@ class EllMatrix:
     def to_host_csr(self) -> HostCSR:
         data = np.asarray(self.data)[: self.n_rows]
         cols = np.asarray(self.cols)[: self.n_rows]
-        mask = data != 0
+        mask = cols < self.n_cols        # padding sentinel = n_cols
         rows = np.broadcast_to(
             np.arange(self.n_rows)[:, None], data.shape)[mask]
         return HostCSR.from_coo(rows, cols[mask], data[mask], self.shape)

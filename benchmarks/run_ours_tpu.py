@@ -34,7 +34,7 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     import jax.numpy as jnp
     import pysolvers_tpu as pst
-    from pysolvers_tpu.linear.refine import ir_solve
+    from pysolvers_tpu.linear.refine import ir_solve_host
     from pysolvers_tpu.linear.ilu import (ILUTPreconditionerType,
                                           ICPreconditionerType)
     from pysolvers_tpu.sparse.bws import BwsMatrix
@@ -86,12 +86,11 @@ def main():
         A64p = pst.EllMatrix.from_host_csr(Hp)
         bp = jnp.asarray(b_host[perm])
 
-        @jax.jit
         def solve(bp):
-            return ir_solve(lambda v: pst.ops.ell_spmv_xla(A64p, v), mv32,
-                            bp, tau=1e-10, inner_tau=1e-6,
-                            inner_maxiter=300, method="cg",
-                            precond_lo=lambda v: M.apply_right(v))
+            return ir_solve_host(
+                lambda v: pst.ops.ell_spmv_xla(A64p, v), mv32, bp,
+                tau=1e-10, inner_tau=1e-6, inner_maxiter=300, method="cg",
+                precond_lo=lambda v: M.apply_right(v))
 
         x, st, _ = solve(bp)
         xu = np.asarray(x)[np.asarray(A32.iperm)]
@@ -104,12 +103,12 @@ def main():
         A64p = pst.EllMatrix.from_host_csr(Hp)
         bp = jnp.asarray(b_host[perm])
 
-        @jax.jit
         def solve(bp):
-            return ir_solve(lambda v: pst.ops.ell_spmv_xla(A64p, v), mv32,
-                            bp, tau=1e-10, inner_tau=1e-6,
-                            inner_maxiter=300, method="gmres", restart=60,
-                            precond_lo=lambda v: M.apply_right(v))
+            return ir_solve_host(
+                lambda v: pst.ops.ell_spmv_xla(A64p, v), mv32, bp,
+                tau=1e-10, inner_tau=1e-6, inner_maxiter=300,
+                method="gmres", restart=60,
+                precond_lo=lambda v: M.apply_right(v))
 
         x, st, _ = solve(bp)
         xu = np.asarray(x)[np.asarray(A32.iperm)]

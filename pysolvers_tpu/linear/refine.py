@@ -85,3 +85,71 @@ def ir_solve(matvec_hi: Callable, matvec_lo: Callable, b: jax.Array,
     init = _IRCarry(jnp.int32(0), x0, r0, jnp.int32(0), init_reason)
     final = jax.lax.while_loop(cond, body, init)
     return final.x, KrylovState(final.inner_total, final.resid, final.reason), None
+
+
+def ir_solve_host(matvec_hi, matvec_lo, b, *, tau: float = 1e-10,
+                  max_outer: int = 20, inner_tau: float = 1e-6,
+                  inner_maxiter: int = 500, method: str = "cg",
+                  precond_lo=None, restart=None):
+    """Host-driven iterative refinement: the inner f32 Krylov solve is one
+    (small) jitted computation re-dispatched per outer pass, and the f64
+    residual update runs as a second jitted step.
+
+    Rationale: the fully-jitted ``ir_solve`` nests while_loops three deep,
+    which some remote TPU compilers refuse; this variant keeps each
+    compiled graph small at the cost of ~max_outer dispatches (micro-
+    seconds to milliseconds — negligible against the solve).  Semantics
+    match ``ir_solve``.
+    """
+    import numpy as np
+    from ..core import StopReason
+
+    b = b.astype(jnp.float64)
+    norm = lambda v: jnp.sqrt(jnp.sum(v * v))
+    b_norm = float(norm(b))
+    tol = tau * b_norm
+
+    @jax.jit
+    def residual(x):
+        r = b - matvec_hi(x)
+        return r, norm(r)
+
+    @jax.jit
+    def inner(r32):
+        if method == "cg":
+            return cg_solve(matvec_lo, r32, maxiter=inner_maxiter,
+                            tau=inner_tau, precond=precond_lo)
+        return gmres_solve(matvec_lo, r32, maxiter=inner_maxiter,
+                           tau=inner_tau, precond=precond_lo,
+                           restart=restart, check_true_residual=False)
+
+    x = jnp.zeros_like(b)
+    inner_total = 0
+    rn_prev = float("inf")
+    reason = StopReason.MAXITER
+    k = 0
+    for k in range(1, max_outer + 1):
+        r, rn = residual(x)
+        rn = float(rn)
+        if rn <= tol:
+            reason = StopReason.CONVERGED
+            k -= 1
+            break
+        if rn >= rn_prev * 0.5:
+            reason = StopReason.BREAKDOWN
+            break
+        rn_prev = rn
+        scale = rn if rn > 0 else 1.0
+        d32, st, _ = inner((r / scale).astype(jnp.float32))
+        inner_total += int(st.k)
+        x = x + scale * d32.astype(jnp.float64)
+    else:
+        _, rn = residual(x)
+        rn = float(rn)
+        if rn <= tol:
+            reason = StopReason.CONVERGED
+
+    _, rn_final = residual(x)
+    return x, KrylovState(jnp.int32(inner_total),
+                          jnp.float64(float(rn_final)),
+                          jnp.int32(int(reason))), None

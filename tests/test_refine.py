@@ -52,3 +52,19 @@ class TestIterativeRefinement:
 
         x, st, _ = solve(A64, A32, b)
         assert int(st.reason) == StopReason.CONVERGED
+
+
+class TestHostIR:
+    def test_host_variant_matches(self):
+        from pysolvers_tpu.linear.refine import ir_solve_host
+        H = fd_laplacian_2d(10)
+        A64 = DiaMatrix.from_host_csr(H)
+        A32 = DiaMatrix.from_host_csr(H, dtype=np.float32)
+        b = jnp.asarray(H.matvec(np.random.default_rng(0).random(100)))
+        x, st, _ = ir_solve_host(lambda v: matvec(A64, v),
+                                 lambda v: matvec(A32, v), b,
+                                 tau=1e-12, inner_tau=1e-5,
+                                 inner_maxiter=300)
+        assert int(st.reason) == StopReason.CONVERGED
+        r = np.linalg.norm(H.matvec(np.asarray(x)) - np.asarray(b))
+        assert r <= 1e-12 * np.linalg.norm(np.asarray(b))

@@ -168,3 +168,51 @@ class TestDistAMG:
         x_sh = cycle3(b_sh)
         np.testing.assert_allclose(np.asarray(x_sh), np.asarray(x_ref),
                                    rtol=1e-10, atol=1e-12)
+
+
+class TestDistPreconditioned:
+    def test_distributed_cg_chebyshev(self, mesh):
+        """Matrix-free Chebyshev preconditioning composes with the
+        distributed SpMV unchanged — the whole preconditioned solve runs
+        sharded under one jit."""
+        H = fd_laplacian_2d(16)
+        n = 256
+        A = shard_dia(H, mesh)
+        rng = np.random.default_rng(7)
+        x_exact = rng.random(n)
+        b = pad_vector_dia(A, H.matvec(x_exact))
+
+        # Chebyshev coefficients from the host matrix; apply is pure jnp
+        from pysolvers_tpu.linear.preconditioner import (
+            ChebyshevPreconditionerType)
+        cheb = ChebyshevPreconditionerType(degree=4)
+        lmax = cheb.estimate_lmax(H)
+        lmin = lmax / cheb.eig_ratio
+        theta, delta = 0.5 * (lmax + lmin), 0.5 * (lmax - lmin)
+        d = H.diagonal()
+        dinv_host = np.zeros(A.n_pad)
+        dinv_host[:n] = 1.0 / np.where(d == 0, 1.0, d)
+        dinv = pad_vector_dia(A, dinv_host[:n])
+
+        mv = lambda v: dist_dia_spmv(A, v)
+
+        def prec(r):
+            z = jnp.zeros_like(r)
+            p = dinv * r / theta
+            z = z + p
+            rho = delta / theta
+            for _ in range(3):
+                res = dinv * (r - mv(z))
+                rho_new = 1.0 / (2.0 * theta / delta - rho)
+                p = rho_new * rho * p + (2.0 * rho_new / delta) * res
+                z = z + p
+                rho = rho_new
+            return z
+
+        @jax.jit
+        def solve(A, b, dinv):
+            return cg_solve(mv, b, maxiter=400, tau=1e-10, precond=prec)
+
+        x, st, _ = solve(A, b, dinv)
+        assert int(st.reason) == StopReason.CONVERGED
+        np.testing.assert_allclose(np.asarray(x)[:n], x_exact, atol=1e-6)

@@ -115,7 +115,28 @@ def main():
         err = np.linalg.norm(xu - x_exact)
         return int(st.k), err, int(st.reason) == 1
 
+    def pcg_ic_jacobi():
+        # sweep-based trisolve: ~15x fewer sequential steps per apply —
+        # the right trade on runtimes with per-loop-step overhead
+        Hp = make_perm_host()
+        M = ICPreconditionerType(1e-3, 15, trisolve_mode="jacobi",
+                                 sweeps=10).form(_f32(Hp))
+        A64p = pst.EllMatrix.from_host_csr(Hp)
+        bp = jnp.asarray(b_host[perm])
+
+        def solve(bp):
+            return ir_solve_host(
+                lambda v: pst.ops.ell_spmv_xla(A64p, v), mv32, bp,
+                tau=1e-10, inner_tau=1e-6, inner_maxiter=600, method="cg",
+                precond_lo=lambda v: M.apply_right(v))
+
+        x, st, _ = solve(bp)
+        xu = np.asarray(x)[np.asarray(A32.iperm)]
+        err = np.linalg.norm(xu - x_exact)
+        return int(st.k), err, int(st.reason) == 1
+
     run(f"DH{lev}+PCG+IC(f32ir)", pcg_ic)
+    run(f"DH{lev}+PCG+ICjac(f32ir)", pcg_ic_jacobi)
     run(f"DH{lev}+GMRES+ILUT(f32ir)", gmres_ilut)
 
     if args.out:

@@ -199,10 +199,13 @@ class ICPreconditionerType(PreconditionerType):
     DROP_CALIBRATION = 0.1
 
     def __init__(self, drop_tol: float = 1e-3, fill_factor: float = 15.0,
-                 side: str = "right"):
+                 side: str = "right", trisolve_mode: str = "level",
+                 sweeps: int = 8):
         self.drop_tol = drop_tol
         self.fill_factor = fill_factor
         self.side = side
+        self.trisolve_mode = trisolve_mode
+        self.sweeps = sweeps
 
     def form(self, A_host: HostCSR, A_dev=None) -> Preconditioner:
         Lc = ict_factor(A_host, self.drop_tol * self.DROP_CALIBRATION,
@@ -211,7 +214,15 @@ class ICPreconditionerType(PreconditionerType):
         planL = build_trisolve_plan(Lc, lower=True, dtype=dtype)
         planLT = build_trisolve_plan(Lc.transpose(), lower=False, dtype=dtype)
 
-        def apply(v):
-            return trisolve(planLT, trisolve(planL, v))
+        if self.trisolve_mode == "jacobi":
+            from ..ops.trisolve import trisolve_jacobi
+            sweeps = self.sweeps
+
+            def apply(v):
+                return trisolve_jacobi(
+                    planLT, trisolve_jacobi(planL, v, sweeps), sweeps)
+        else:
+            def apply(v):
+                return trisolve(planLT, trisolve(planL, v))
 
         return self._wrap(apply)

@@ -14,6 +14,8 @@ def run_example(name, *args):
     env = dict(os.environ)
     env["PYTHONPATH"] = os.path.dirname(_EX) + os.pathsep + \
         env.get("PYTHONPATH", "")
+    # share the persistent compile cache with the main suite
+    env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/pst_jax_cache")
     r = subprocess.run(
         [sys.executable, os.path.join(_EX, name), "--platform", "cpu", *args],
         capture_output=True, text=True, timeout=420, env=env)

@@ -16,6 +16,11 @@ def run_example(name, *args):
         env.get("PYTHONPATH", "")
     # share the persistent compile cache with the main suite
     env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/pst_jax_cache")
+    # run pure-CPU: prevent this image's sitecustomize from registering the
+    # remote TPU backend (a wedged tunnel would hang the subprocess at
+    # import time)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
     r = subprocess.run(
         [sys.executable, os.path.join(_EX, name), "--platform", "cpu", *args],
         capture_output=True, text=True, timeout=420, env=env)

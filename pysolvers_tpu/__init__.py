@@ -32,6 +32,7 @@ from .linear.amg import AMG, AMGPreconditionerType, AMGVCycle
 from . import nonlinear
 from .nonlinear import (NewtonSolver, FuncAdapter1D, SimpleBacktrack,
                         TrivialLinesearch)
+from .solve import solve
 
 # reference-style aliases (ILUTPreconditioner.py:10-31, ICPreconditioner.py:20-29)
 RightILUT = ILUTPreconditionerType
@@ -50,4 +51,5 @@ __all__ = [
     "ChebyshevPreconditionerType",
     "AMG", "AMGPreconditionerType", "AMGVCycle",
     "NewtonSolver", "FuncAdapter1D", "SimpleBacktrack", "TrivialLinesearch",
+    "solve",
 ]

@@ -1,0 +1,49 @@
+"""Top-level solve() convenience API tests."""
+import numpy as np
+
+import pysolvers_tpu as pst
+from pysolvers_tpu.problems import dh_test_problem, fd_laplacian_2d
+from pysolvers_tpu.sparse import HostCSR
+
+
+class TestSolveAuto:
+    def test_small_goes_direct(self):
+        H, x_exact, b = dh_test_problem(8)   # n=145 <= 500
+        st = pst.solve(H, b)
+        assert st.success and st.iters == 1
+        np.testing.assert_allclose(np.asarray(st.soln), x_exact, atol=1e-7)
+
+    def test_spd_goes_cg(self):
+        H = fd_laplacian_2d(26)              # n=676 symmetric
+        x = np.random.default_rng(0).random(676)
+        st = pst.solve(H, H.matvec(x), tau=1e-10)
+        assert st.success
+        np.testing.assert_allclose(np.asarray(st.soln), x, atol=1e-6)
+
+    def test_nonsymmetric_goes_gmres(self):
+        H = fd_laplacian_2d(26)
+        rows, cols, vals = H.to_coo()
+        vals = vals + np.where(cols == rows + 1, 100.0, 0.0)
+        Hn = HostCSR.from_coo(rows, cols, vals, H.shape,
+                              sum_duplicates=False)
+        x = np.random.default_rng(1).random(676)
+        st = pst.solve(Hn, Hn.matvec(x), tau=1e-10, maxiter=700)
+        assert st.success
+        np.testing.assert_allclose(np.asarray(st.soln), x, atol=1e-5)
+
+    def test_explicit_choices(self):
+        H = fd_laplacian_2d(24)
+        x = np.random.default_rng(2).random(576)
+        b = H.matvec(x)
+        for m, p in (("cg", "jacobi"), ("cg", "none"), ("gmres", "ilut")):
+            st = pst.solve(H, b, method=m, precond=p, tau=1e-9,
+                           maxiter=1500)
+            assert st.success, (m, p)
+
+    def test_dense_input(self):
+        rng = np.random.default_rng(3)
+        A = rng.random((30, 30)) + 30 * np.eye(30)
+        x = rng.random(30)
+        st = pst.solve(A, A @ x)
+        assert st.success
+        np.testing.assert_allclose(np.asarray(st.soln), x, atol=1e-8)

@@ -72,6 +72,66 @@ def _bws_kernel(delta_ref, data_ref, lidx_ref, x2_ref, o_ref, *,
 
 
 
+def _bws_kernel_cls(ids_ref, delta_ref, data_ref, lidx_ref, x2_ref, o_ref,
+                    *, S: int, W: int, group_rows: int, interpret: bool):
+    """Tile-class variant: the tile id comes from the scalar-prefetched
+    id list, everything else matches _bws_kernel."""
+    slots = 128 // group_rows
+    t = ids_ref[pl.program_id(0)]
+    row0 = pl.multiple_of(t * (GT * group_rows // 128), 8)
+    xwin = x2_ref[pl.ds(row0, W), :]
+    acc = jnp.zeros((GT, 128), dtype=data_ref.dtype)
+    wids = jax.lax.broadcasted_iota(jnp.int32, (GT, W), 1)
+    prec = jax.lax.Precision.HIGHEST
+    for s in range(S):
+        d = delta_ref[:, s].reshape(GT, 1)
+        onehot = (wids == d).astype(data_ref.dtype)
+        xsel = jnp.dot(onehot, xwin, precision=prec,
+                       preferred_element_type=data_ref.dtype)
+        g = _lane_gather32(xsel, lidx_ref[:, s, :])
+        acc = acc + data_ref[:, s, :] * g
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (128, group_rows), 0)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (128, group_rows), 1)
+    slot_mat = (lanes // slots == rows).astype(acc.dtype)
+    o_ref[0] = jnp.dot(acc, slot_mat, precision=prec,
+                       preferred_element_type=acc.dtype)
+
+
+def _bws_call_classes(A, x2, n_groups, interpret):
+    """One pallas call per segment class over its (scalar-prefetched) tile
+    id list; tiles write compact outputs that are scattered back by tile."""
+    group_rows = A.group_rows
+    W = A.win_blocks
+    n_tiles = n_groups // GT
+    y = jnp.zeros((n_tiles, GT, group_rows), dtype=A.dtype)
+    for S_c, ids in A.s_classes:
+        ids_arr = jnp.asarray(ids, dtype=jnp.int32)
+        nt = len(ids)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nt,),
+            in_specs=[
+                pl.BlockSpec((GT, S_c), lambda i, ids_ref: (ids_ref[i], 0)),
+                pl.BlockSpec((GT, S_c, 128),
+                             lambda i, ids_ref: (ids_ref[i], 0, 0)),
+                pl.BlockSpec((GT, S_c, 128),
+                             lambda i, ids_ref: (ids_ref[i], 0, 0)),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, GT, group_rows),
+                                   lambda i, ids_ref: (i, 0, 0)),
+        )
+        out = pl.pallas_call(
+            functools.partial(_bws_kernel_cls, S=S_c, W=W,
+                              group_rows=group_rows, interpret=interpret),
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((nt, GT, group_rows), A.dtype),
+            interpret=interpret,
+        )(ids_arr, A.delta, A.data, A.lidx, x2)
+        y = y.at[ids_arr].set(out)
+    return y.reshape(-1)
+
+
 def bws_spmv(A: BwsMatrix, x: jax.Array, interpret: bool = None
              ) -> jax.Array:
     """y' = A' @ x' in PERMUTED ordering (x' = x[perm], y = y'[iperm...]).
@@ -94,10 +154,20 @@ def bws_spmv(A: BwsMatrix, x: jax.Array, interpret: bool = None
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu", "axon")
     grid = n_groups // GT
+    # use per-tile segment classes when they cut enough padded work
+    use_classes = False
+    if len(A.s_classes) > 1:
+        tiles_total = n_groups // GT
+        slots_classed = sum(s_c * len(ids) for s_c, ids in A.s_classes)
+        use_classes = slots_classed <= 0.8 * S * tiles_total
     # the whole pallas_call (grid/block index machinery included) must
     # trace in 32-bit mode — Mosaic cannot lower int64 indices
     with jax.enable_x64(False):
-        out = _bws_call(grid, S, W, group_rows, interpret, A, x2, n_groups)
+        if use_classes:
+            out = _bws_call_classes(A, x2, n_groups, interpret)
+        else:
+            out = _bws_call(grid, S, W, group_rows, interpret, A, x2,
+                            n_groups)
     return out.reshape(-1)[:n]
 
 

@@ -59,6 +59,12 @@ class BwsMatrix:
     margin_blocks: int = dataclasses.field(metadata=dict(static=True))
     group_rows: int = dataclasses.field(default=DEFAULT_GROUP_ROWS,
                                         metadata=dict(static=True))
+    # per-tile segment classes: ((S_class, (tile ids...)), ...).  Tiles are
+    # grouped by how many segment slots they actually use, so the kernel
+    # runs with S = the class's need instead of the global maximum
+    # (a DH-15 pack has S_max 6 but mean ~3.9 — ~35% wasted slots).
+    s_classes: tuple = dataclasses.field(default=(),
+                                         metadata=dict(static=True))
 
     @property
     def slots(self):
@@ -191,8 +197,30 @@ class BwsMatrix:
         # unused segments point at the (zeroed) window row 0 — data is 0 so
         # any lane is safe
 
+        # per-tile segment classes (tiles of GT groups)
+        n_tiles = n_groups // GT
+        used = np.zeros(n_groups, dtype=np.int64)
+        if len(seg_grp):
+            np.maximum.at(used, seg_grp, seg_in_grp + 1)
+        tile_s = used.reshape(n_tiles, GT).max(axis=1)
+        tile_s = np.maximum(tile_s, 1)
+        classes = []
+        for s_c in sorted(set(int(s) for s in tile_s)):
+            ids = tuple(int(t) for t in np.flatnonzero(tile_s == s_c))
+            classes.append((s_c, ids))
+        # merge tiny classes upward so there are at most 4 kernel variants
+        while len(classes) > 4:
+            # merge the smallest class into the next one up
+            sizes = [len(ids) for _, ids in classes]
+            i = int(np.argmin(sizes[:-1]))
+            s_lo, ids_lo = classes[i]
+            s_hi, ids_hi = classes[i + 1]
+            classes[i + 1] = (s_hi, tuple(sorted(ids_lo + ids_hi)))
+            del classes[i]
+
         return BwsMatrix(
             jnp.asarray(delta), jnp.asarray(data), jnp.asarray(lidx),
             jnp.asarray(perm.astype(np.int32)),
             jnp.asarray(iperm.astype(np.int32)),
-            (n, n), int(win_blocks), int(margin_blocks), group_rows)
+            (n, n), int(win_blocks), int(margin_blocks), group_rows,
+            tuple(classes))

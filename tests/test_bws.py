@@ -50,3 +50,21 @@ class TestBws:
         D[5, :40] = rng.standard_normal(40) + 2.0
         A = check(HostCSR.from_dense(D), use_rcm=False)
         assert A.n_segments >= 3
+
+
+class TestTileClasses:
+    def test_class_path_matches_single(self):
+        import dataclasses
+        import jax.numpy as jnp
+        from pysolvers_tpu.ops.bws_spmv import bws_spmv
+        H, _, _ = dh_test_problem(12)
+        A = BwsMatrix.from_host_csr(H, dtype=np.float32)
+        if len(A.s_classes) < 2:
+            pytest.skip("pack produced a single segment class")
+        x = jnp.asarray(np.random.default_rng(0).random(
+            H.shape[0]).astype(np.float32))
+        # force both paths through the class machinery and the plain kernel
+        y_cls = bws_spmv(A, x, interpret=True)
+        y_one = bws_spmv(dataclasses.replace(A, s_classes=()), x,
+                         interpret=True)
+        np.testing.assert_array_equal(np.asarray(y_cls), np.asarray(y_one))

@@ -119,7 +119,7 @@ def main():
         # sweep-based trisolve: ~15x fewer sequential steps per apply —
         # the right trade on runtimes with per-loop-step overhead
         Hp = make_perm_host()
-        M = ICPreconditionerType(1e-3, 15, trisolve_mode="jacobi",
+        M = ICPreconditionerType(1e-3, 15, trisolve_mode="jacobi_bws",
                                  sweeps=10).form(_f32(Hp))
         A64p = pst.EllMatrix.from_host_csr(Hp)
         bp = jnp.asarray(b_host[perm])
@@ -136,7 +136,7 @@ def main():
         return int(st.k), err, int(st.reason) == 1
 
     run(f"DH{lev}+PCG+IC(f32ir)", pcg_ic)
-    run(f"DH{lev}+PCG+ICjac(f32ir)", pcg_ic_jacobi)
+    run(f"DH{lev}+PCG+ICjacbws(f32ir)", pcg_ic_jacobi)
     run(f"DH{lev}+GMRES+ILUT(f32ir)", gmres_ilut)
 
     if args.out:

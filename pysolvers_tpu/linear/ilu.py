@@ -22,9 +22,52 @@ from typing import Tuple
 
 import numpy as np
 
+import jax.numpy as jnp
+
 from ..sparse.host import HostCSR
 from ..ops.trisolve import build_trisolve_plan, trisolve, TriSolvePlan
 from .preconditioner import Preconditioner, PreconditionerType
+
+
+def _bws_sweep_solver(T: HostCSR, lower: bool, unit_diag: bool,
+                      sweeps: int, dtype):
+    """Approximate triangular solve as Jacobi sweeps whose matvec runs in
+    the BWS Pallas kernel:  x_{k+1} = D^{-1}(b - N x_k), T = D + N.
+
+    The factor must be banded enough for BWS windows (true whenever the
+    source matrix was RCM-ordered before factorization).  Returns a
+    jittable apply or None if the factor doesn't pack.
+    """
+    from ..sparse.bws import BwsMatrix
+    from ..ops.bws_spmv import bws_spmv
+
+    n = T.shape[0]
+    rows, cols, vals = T.to_coo()
+    off = rows != cols
+    strict = HostCSR.from_coo(rows[off], cols[off], vals[off], T.shape,
+                              sum_duplicates=False)
+    if unit_diag:
+        dinv = np.ones(n, dtype=dtype)
+    else:
+        d = T.diagonal()
+        if (d == 0).any():
+            return None
+        dinv = (1.0 / d).astype(dtype)
+    try:
+        # keep the existing ordering: the factor inherits bandedness from
+        # the (externally RCM-ordered) matrix
+        N = BwsMatrix.from_host_csr(strict, dtype=dtype, use_rcm=False)
+    except ValueError:
+        return None
+    dinv_j = jnp.asarray(dinv)
+
+    def solve_fn(b):
+        x = dinv_j * b
+        for _ in range(sweeps - 1):
+            x = dinv_j * (b - bws_spmv(N, x))
+        return x
+
+    return solve_fn
 
 
 def ilut_factor(A: HostCSR, drop_tol: float = 1e-3, fill_factor: float = 15.0
@@ -214,7 +257,13 @@ class ICPreconditionerType(PreconditionerType):
         planL = build_trisolve_plan(Lc, lower=True, dtype=dtype)
         planLT = build_trisolve_plan(Lc.transpose(), lower=False, dtype=dtype)
 
-        if self.trisolve_mode == "jacobi":
+        if self.trisolve_mode == "jacobi_bws":
+            sl = _bws_sweep_solver(Lc, True, False, self.sweeps, np.float32)
+            su = _bws_sweep_solver(Lc.transpose(), False, False,
+                                   self.sweeps, np.float32)
+            if sl is not None and su is not None:
+                return self._wrap(lambda v: su(sl(v)))
+        if self.trisolve_mode in ("jacobi", "jacobi_bws"):
             from ..ops.trisolve import trisolve_jacobi
             sweeps = self.sweeps
 

@@ -216,3 +216,32 @@ class TestDistPreconditioned:
         x, st, _ = solve(A, b, dinv)
         assert int(st.reason) == StopReason.CONVERGED
         np.testing.assert_allclose(np.asarray(x)[:n], x_exact, atol=1e-6)
+
+
+class TestBlockJacobiILU:
+    def test_dist_cg_with_block_ilu(self, mesh):
+        from pysolvers_tpu.parallel.precond import (build_block_jacobi_ilu,
+                                                    block_jacobi_apply)
+        H, x_exact, b_host = dh_test_problem(10)
+        n = H.shape[0]
+        A = shard_ell(H, mesh)
+        b = pad_vector_ell(A, b_host)
+        M = build_block_jacobi_ilu(H, mesh, A.n_pad, drop_tol=1e-4,
+                                   sweeps=10)
+
+        mv = lambda v: dist_ell_spmv(A, v)
+
+        @jax.jit
+        def solve_plain(A, b):
+            return cg_solve(mv, b, maxiter=800, tau=1e-10)
+
+        @jax.jit
+        def solve_prec(A, b, M):
+            return cg_solve(mv, b, maxiter=800, tau=1e-10,
+                            precond=lambda r: block_jacobi_apply(M, r))
+
+        _, st0, _ = solve_plain(A, b)
+        x, st1, _ = solve_prec(A, b, M)
+        assert int(st1.reason) == StopReason.CONVERGED
+        assert int(st1.k) < int(st0.k)
+        np.testing.assert_allclose(np.asarray(x)[:n], x_exact, atol=1e-6)

@@ -230,7 +230,15 @@ class DeviceHierarchy:
 
 def build_device_hierarchy(mlh: MLHierarchy, smoother: str = "gs",
                            nu_pre: int = 2, nu_post: int = 2,
-                           dtype=None) -> DeviceHierarchy:
+                           dtype=None, mesh=None) -> DeviceHierarchy:
+    """Lower the host hierarchy onto the device(s).
+
+    ``mesh`` (optional): a 1-D jax Mesh — the FINEST level's operator,
+    diagonal and vectors are row-sharded over it (gather-coarse policy:
+    coarse levels stay replicated, standard for AMG where coarse work no
+    longer fills the machine).  Transfers and smoother state on coarse
+    levels are replicated; GSPMD inserts the collectives at the
+    fine-level boundary.  Requires the fine level to be DIA or ELL."""
     levels: List[DeviceLevel] = []
     for k, A in enumerate(mlh.matrices):
         d = A.diagonal()
@@ -252,8 +260,23 @@ def build_device_hierarchy(mlh: MLHierarchy, smoother: str = "gs",
         if k > 0:
             _, P_dev = as_device_matrix(mlh.prolongators[k - 1], dtype=dtype)
             _, R_dev = as_device_matrix(mlh.restrictions[k - 1], dtype=dtype)
-        levels.append(DeviceLevel(A_dev, jnp.asarray(1.0 / d), gs_plan,
-                                  P_dev, R_dev, cheb))
+        dinv = jnp.asarray(1.0 / d)
+        if mesh is not None and k == len(mlh.matrices) - 1:
+            from jax.sharding import NamedSharding, PartitionSpec as PS
+            from ..parallel.mesh import ROW_AXIS
+            row = NamedSharding(mesh, PS(ROW_AXIS))
+            if isinstance(A_dev, DiaMatrix):
+                A_dev = DiaMatrix(
+                    jax.device_put(A_dev.diags,
+                                   NamedSharding(mesh, PS(None, ROW_AXIS))),
+                    A_dev.offsets, A_dev.shape)
+            elif isinstance(A_dev, EllMatrix):
+                sh2 = NamedSharding(mesh, PS(ROW_AXIS, None))
+                A_dev = EllMatrix(jax.device_put(A_dev.data, sh2),
+                                  jax.device_put(A_dev.cols, sh2),
+                                  A_dev.shape, A_dev.n_cols_pad)
+            dinv = jax.device_put(dinv, row)
+        levels.append(DeviceLevel(A_dev, dinv, gs_plan, P_dev, R_dev, cheb))
     # coarse direct solve: factor on host at setup (f64), apply on device as
     # a dense matvec (MXU) — jnp.linalg custom calls are avoided so the cycle
     # stays portable across TPU runtimes

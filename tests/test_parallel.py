@@ -245,3 +245,35 @@ class TestBlockJacobiILU:
         assert int(st1.reason) == StopReason.CONVERGED
         assert int(st1.k) < int(st0.k)
         np.testing.assert_allclose(np.asarray(x)[:n], x_exact, atol=1e-6)
+
+
+class TestDistAMGHelper:
+    def test_build_device_hierarchy_mesh(self, mesh):
+        """mesh= in build_device_hierarchy shards the fine level; cycle
+        results match the replicated hierarchy exactly."""
+        from pysolvers_tpu.linear.amg import (build_sa_hierarchy,
+                                              build_device_hierarchy,
+                                              v_cycle)
+        H = fd_laplacian_2d(16)
+        rng = np.random.default_rng(11)
+        b = jnp.asarray(H.matvec(rng.random(256)))
+        mlh = build_sa_hierarchy(H, num_levels=2)
+        h_ref = build_device_hierarchy(mlh, "jacobi", 2, 2)
+        h_sh = build_device_hierarchy(mlh, "jacobi", 2, 2, mesh=mesh)
+        assert not h_sh.levels[-1].dinv.sharding.is_fully_replicated
+
+        def make_cyc(h):
+            @jax.jit
+            def cyc(b):
+                x = jnp.zeros_like(b)
+                for _ in range(3):
+                    x = v_cycle(h, b, x)
+                return x
+            return cyc
+
+        x_ref = make_cyc(h_ref)(b)
+        x_sh = make_cyc(h_sh)(jax.device_put(
+            b, jax.sharding.NamedSharding(
+                mesh, jax.sharding.PartitionSpec("rows"))))
+        np.testing.assert_allclose(np.asarray(x_sh), np.asarray(x_ref),
+                                   rtol=1e-12, atol=1e-12)

@@ -382,13 +382,16 @@ class AMGVCycle(IterativeLinearSolverType):
 
     def __init__(self, control: Optional[SolverConfig] = None,
                  num_levels: int = 2, nu_pre: int = 2, nu_post: int = 2,
-                 smoother: str = "gs", base_tol: float = 0.08):
+                 smoother: str = "gs", base_tol: float = 0.08, mesh=None):
         super().__init__(control, None)
         self.num_levels = num_levels
         self.nu_pre = nu_pre
         self.nu_post = nu_post
         self.smoother = smoother
         self.base_tol = base_tol
+        # optional 1-D device mesh: shards the fine level (and the solve's
+        # vectors) over the mesh — distributed AMG with coarse gathering
+        self.mesh = mesh
 
     def make_solver(self):
         return AMGVCycleSolver(self)
@@ -413,7 +416,7 @@ class AMGVCycleSolver(IterativeLinearSolver):
                                  self.typ.base_tol)
         self._hierarchy = build_device_hierarchy(
             mlh, self.typ.smoother, self.typ.nu_pre, self.typ.nu_post,
-            dtype=dtype)
+            dtype=dtype, mesh=self.typ.mesh)
         h = self._hierarchy
         maxiter = self.control.maxiter
         norm_fn = self.control.norm_fn()
@@ -431,6 +434,10 @@ class AMGVCycleSolver(IterativeLinearSolver):
         b = jnp.asarray(b)
         self._ensure_hierarchy(A_host, b.dtype)
         h = self._hierarchy
+        if self.typ.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as PS
+            from ..parallel.mesh import ROW_AXIS
+            b = jax.device_put(b, NamedSharding(self.typ.mesh, PS(ROW_AXIS)))
         x, (k, resid, reason) = self._solve_jit(
             b, tau=self._effective_tau())
 

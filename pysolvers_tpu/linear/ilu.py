@@ -55,8 +55,10 @@ def _bws_sweep_solver(T: HostCSR, lower: bool, unit_diag: bool,
         dinv = (1.0 / d).astype(dtype)
     try:
         # keep the existing ordering: the factor inherits bandedness from
-        # the (externally RCM-ordered) matrix
-        N = BwsMatrix.from_host_csr(strict, dtype=dtype, use_rcm=False)
+        # the (externally RCM-ordered) matrix; bf16 selects are fine for a
+        # preconditioner
+        N = BwsMatrix.from_host_csr(strict, dtype=dtype, use_rcm=False,
+                                    fast_select=True)
     except ValueError:
         return None
     dinv_j = jnp.asarray(dinv)

@@ -42,7 +42,8 @@ def _lane_gather32(x, idx):
 
 
 def _bws_kernel(delta_ref, data_ref, lidx_ref, x2_ref, o_ref, *,
-                S: int, W: int, group_rows: int, interpret: bool):
+                S: int, W: int, group_rows: int, interpret: bool,
+                fast_select: bool = False):
     with jax.enable_x64(False):
         slots = 128 // group_rows
         t = pl.program_id(0)
@@ -51,8 +52,10 @@ def _bws_kernel(delta_ref, data_ref, lidx_ref, x2_ref, o_ref, *,
         xwin = x2_ref[pl.ds(row0, W), :]                     # (W, 128)
         acc = jnp.zeros((GT, 128), dtype=data_ref.dtype)
         wids = jax.lax.broadcasted_iota(jnp.int32, (GT, W), 1)
-        # one-hot dots must be exact: default TPU matmul precision is bf16
-        prec = jax.lax.Precision.HIGHEST
+        # one-hot dots: exact by default (the TPU bf16 default loses 8
+        # mantissa bits); fast_select keeps bf16 for preconditioner-grade
+        prec = (jax.lax.Precision.DEFAULT if fast_select
+                else jax.lax.Precision.HIGHEST)
         for s in range(S):
             d = delta_ref[:, s].reshape(GT, 1)               # (GT, 1)
             onehot = (wids == d).astype(data_ref.dtype)      # (GT, W)
@@ -174,7 +177,8 @@ def bws_spmv(A: BwsMatrix, x: jax.Array, interpret: bool = None
 def _bws_call(grid, S, W, group_rows, interpret, A, x2, n_groups):
     out = pl.pallas_call(
         functools.partial(_bws_kernel, S=S, W=W, group_rows=group_rows,
-                          interpret=interpret),
+                          interpret=interpret,
+                          fast_select=A.fast_select),
         grid=(grid,),
         in_specs=[
             pl.BlockSpec((GT, S), lambda i: (i, 0),

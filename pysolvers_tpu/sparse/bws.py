@@ -65,6 +65,11 @@ class BwsMatrix:
     # (a DH-15 pack has S_max 6 but mean ~3.9 — ~35% wasted slots).
     s_classes: tuple = dataclasses.field(default=(),
                                          metadata=dict(static=True))
+    # bf16 MXU passes for the one-hot selects (≈6× cheaper than exact f32).
+    # Loses ~8 mantissa bits on gathered x values — fine for preconditioner
+    # applications, wrong choice for the operator itself.
+    fast_select: bool = dataclasses.field(default=False,
+                                          metadata=dict(static=True))
 
     @property
     def slots(self):
@@ -88,13 +93,15 @@ class BwsMatrix:
 
     @staticmethod
     def from_host_csr(H: HostCSR, dtype=np.float32, use_rcm: bool = True,
-                      group_rows: int = None) -> "BwsMatrix":
+                      group_rows: int = None,
+                      fast_select: bool = False) -> "BwsMatrix":
         """Pack; ``group_rows`` in {8,16,32,64} (None = auto: try all, keep
         the geometry with the fewest padded slots)."""
         if group_rows is None:
             best = None
             for gr in (8, 16, 32, 64):
-                cand = BwsMatrix.from_host_csr(H, dtype, use_rcm, gr)
+                cand = BwsMatrix.from_host_csr(H, dtype, use_rcm, gr,
+                                               fast_select)
                 cost = cand.n_groups * cand.n_segments
                 if best is None or cost < best[0]:
                     best = (cost, cand)
@@ -227,4 +234,4 @@ class BwsMatrix:
             jnp.asarray(perm.astype(np.int32)),
             jnp.asarray(iperm.astype(np.int32)),
             (n, n), int(win_blocks), int(margin_blocks), group_rows,
-            tuple(classes))
+            tuple(classes), fast_select)

@@ -63,3 +63,8 @@ class TestExamples:
     def test_pcg_amg(self):
         out = run_example("pcg_example_amg.py", "--meshLev", "8")
         assert "succeeded" in out
+
+    def test_distributed(self):
+        out = run_example("distributed_example.py", "--m", "32",
+                          "--cpu-devices", "8")
+        assert "CONVERGED" in out

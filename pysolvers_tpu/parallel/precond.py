@@ -125,6 +125,52 @@ def build_block_jacobi_ilu(A_host: HostCSR, mesh: Mesh, n_pad: int,
         mesh, sweeps)
 
 
+class BlockJacobiILUPreconditionerType:
+    """Factory-style (PreconditionerType) wrapper so the distributed
+    block-Jacobi ILU plugs into the solver factories exactly like the
+    single-chip preconditioners (reference PreconditionerType.form(A),
+    PreconditionerType.py:4-11).
+
+    ``n_pad`` defaults to the sharded operator's padded length when
+    ``form`` receives a ShardedDia/ShardedEll as ``A_dev``; otherwise the
+    smallest mesh-divisible 8-aligned padding is used — match this to
+    ``pad_vector_dia``/``pad_vector_ell`` of the operator you solve with.
+
+    Note: the truncated-sweep application is not symmetric — pair with
+    (F)GMRES; for CG raise ``sweeps`` until the factors are applied
+    nearly exactly.
+    """
+
+    def __init__(self, mesh: Mesh, drop_tol: float = 1e-4,
+                 fill_factor: float = 15.0, sweeps: int = 8,
+                 side: str = "right", n_pad: int = None):
+        self.mesh = mesh
+        self.drop_tol = drop_tol
+        self.fill_factor = fill_factor
+        self.sweeps = sweeps
+        self.side = side
+        self.n_pad = n_pad
+
+    def form(self, A_host: HostCSR, A_dev=None):
+        from ..linear.preconditioner import Preconditioner
+        n_pad = self.n_pad
+        if n_pad is None and A_dev is not None and hasattr(A_dev, "n_pad"):
+            n_pad = A_dev.n_pad
+        if n_pad is None:
+            d = self.mesh.devices.size
+            n_pad = _ceil_to(A_host.shape[0], 8 * d)
+        M = build_block_jacobi_ilu(A_host, self.mesh, n_pad,
+                                   drop_tol=self.drop_tol,
+                                   fill_factor=self.fill_factor,
+                                   sweeps=self.sweeps)
+        apply = lambda v: block_jacobi_apply(M, v)
+        if self.side == "left":
+            return Preconditioner(left=apply)
+        if self.side == "right":
+            return Preconditioner(right=apply)
+        return Preconditioner(left=apply, right=apply)
+
+
 def block_jacobi_apply(M: BlockJacobiILU, r: jax.Array) -> jax.Array:
     """z = M⁻¹ r for a row-sharded vector r (length d · n_loc).  Jittable;
     no communication — fully local per shard."""

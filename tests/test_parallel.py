@@ -246,6 +246,28 @@ class TestBlockJacobiILU:
         assert int(st1.k) < int(st0.k)
         np.testing.assert_allclose(np.asarray(x)[:n], x_exact, atol=1e-6)
 
+    def test_preconditioner_type_factory(self, mesh):
+        """BlockJacobiILUPreconditionerType.form plugs into the solver
+        stack like the single-chip factories (n_pad from A_dev)."""
+        from pysolvers_tpu.parallel import BlockJacobiILUPreconditionerType
+        from pysolvers_tpu.linear.krylov import gmres_solve
+        H, x_exact, b_host = dh_test_problem(10)
+        n = H.shape[0]
+        A = shard_ell(H, mesh)
+        b = pad_vector_ell(A, b_host)
+        M = BlockJacobiILUPreconditionerType(mesh, drop_tol=1e-4,
+                                             sweeps=10).form(H, A)
+
+        @jax.jit
+        def solve(A, b):
+            return gmres_solve(lambda v: dist_ell_spmv(A, v), b,
+                               maxiter=400, restart=60, tau=1e-10,
+                               precond=M.apply_right)
+
+        x, st, _ = solve(A, b)
+        assert int(st.reason) == StopReason.CONVERGED
+        np.testing.assert_allclose(np.asarray(x)[:n], x_exact, atol=1e-6)
+
 
 class TestDistAMGHelper:
     def test_build_device_hierarchy_mesh(self, mesh):

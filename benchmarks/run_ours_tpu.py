@@ -67,9 +67,9 @@ def main():
         results.append(rec)
         print(json.dumps(rec), flush=True)
 
-    # shared device matrices: BWS f32 for speed, ELL f64 for true residuals
+    # device matrix: BWS f32 (outer f64 residuals run on host — an
+    # emulated-f64 sparse matvec on TPU hits the scalar gather path)
     A32 = BwsMatrix.from_host_csr(H, dtype=np.float32)
-    A64 = pst.EllMatrix.from_host_csr(H)
     mv32 = lambda v: bws_spmv(A32, v)  # operates in RCM-permuted order
     perm = np.asarray(A32.perm)
     H_perm = None
@@ -89,15 +89,20 @@ def main():
 
     def _wrap_solve(M, method, restart=None, inner_maxiter=300):
         Hp = make_perm_host()
-        A64p = pst.EllMatrix.from_host_csr(Hp)
-        bp = jnp.asarray(b_host[perm])
+        bp = b_host[perm].astype(np.float64)
+        # stable callables: the inner-solve jit is cached on their
+        # identity (refine._cached_inner) — fresh lambdas per call would
+        # retrace the Pallas-heavy graph every solve (~10 s vs ~0.25 s)
+        mv_hi = lambda v: Hp.matvec(v)
+        prec = lambda v: M.apply_right(v)
 
         def solve():
             x, st, _ = ir_solve_host(
-                lambda v: pst.ops.ell_spmv_xla(A64p, v), mv32, bp,
+                mv_hi, mv32, bp,
                 tau=1e-10, inner_tau=1e-6, inner_maxiter=inner_maxiter,
                 method=method, restart=restart,
-                precond_lo=lambda v: M.apply_right(v))
+                precond_lo=prec,
+                host_residual=True)
             xu = np.asarray(x)[np.asarray(A32.iperm)]
             err = np.linalg.norm(xu - x_exact)
             return int(st.k), err, int(st.reason) == 1
@@ -105,8 +110,17 @@ def main():
         return {"solve": solve}
 
     def pcg_ic():
+        # default trisolve_mode="auto" → BWS Jacobi sweeps on TPU
         Hp = make_perm_host()
         M = ICPreconditionerType(1e-3, 15).form(_f32(Hp))
+        return _wrap_solve(M, "cg", inner_maxiter=600)
+
+    def pcg_ic_level():
+        # exact level-scheduled trisolves (parity mode; XLA scalar
+        # gathers make this the slow path on TPU)
+        Hp = make_perm_host()
+        M = ICPreconditionerType(1e-3, 15,
+                                 trisolve_mode="level").form(_f32(Hp))
         return _wrap_solve(M, "cg")
 
     def gmres_ilut():
@@ -114,15 +128,8 @@ def main():
         M = ILUTPreconditionerType(1e-3, 15).form(_f32(Hp))
         return _wrap_solve(M, "gmres", restart=60)
 
-    def pcg_ic_jacobi():
-        # sweep-based trisolve running in the BWS kernel
-        Hp = make_perm_host()
-        M = ICPreconditionerType(1e-3, 15, trisolve_mode="jacobi_bws",
-                                 sweeps=10).form(_f32(Hp))
-        return _wrap_solve(M, "cg", inner_maxiter=600)
-
     run(f"DH{lev}+PCG+IC(f32ir)", pcg_ic)
-    run(f"DH{lev}+PCG+ICjacbws(f32ir)", pcg_ic_jacobi)
+    run(f"DH{lev}+PCG+IClevel(f32ir)", pcg_ic_level)
     run(f"DH{lev}+GMRES+ILUT(f32ir)", gmres_ilut)
 
     if args.out:

@@ -29,6 +29,17 @@ from ..ops.trisolve import build_trisolve_plan, trisolve, TriSolvePlan
 from .preconditioner import Preconditioner, PreconditionerType
 
 
+def _resolve_trisolve_mode(mode: str) -> str:
+    """"auto" = BWS Jacobi sweeps on TPU backends (the level schedule's
+    per-level gathers lower to XLA's scalar path there), exact level
+    scheduling elsewhere."""
+    if mode != "auto":
+        return mode
+    import jax
+    return ("jacobi_bws" if jax.default_backend() in ("tpu", "axon")
+            else "level")
+
+
 def _bws_sweep_solver(T: HostCSR, lower: bool, unit_diag: bool,
                       sweeps: int, dtype):
     """Approximate triangular solve as Jacobi sweeps whose matvec runs in
@@ -58,7 +69,7 @@ def _bws_sweep_solver(T: HostCSR, lower: bool, unit_diag: bool,
         # the (externally RCM-ordered) matrix; bf16 selects are fine for a
         # preconditioner
         N = BwsMatrix.from_host_csr(strict, dtype=dtype, use_rcm=False,
-                                    fast_select=True)
+                                    fast_select=True, gt="auto")
     except ValueError:
         return None
     dinv_j = jnp.asarray(dinv)
@@ -204,15 +215,19 @@ class ILUTPreconditionerType(PreconditionerType):
     DROP_CALIBRATION = 0.1
 
     def __init__(self, drop_tol: float = 1e-3, fill_factor: float = 15.0,
-                 side: str = "right", trisolve_mode: str = "level",
-                 sweeps: int = 8):
+                 side: str = "right", trisolve_mode: str = "auto",
+                 sweeps: int = 10):
         self.drop_tol = drop_tol
         self.fill_factor = fill_factor
         self.side = side
-        # "level": exact level-scheduled solves (parity).  "jacobi": fixed
-        # Jacobi sweeps — an approximate, latency-friendly application
-        # (converges because triangular iteration matrices are nilpotent;
-        # preconditioning quality degrades gracefully with fewer sweeps).
+        # "level": exact level-scheduled solves (parity; the fast CPU
+        # mode).  "jacobi": fixed Jacobi sweeps — approximate and
+        # latency-friendly (converges because triangular iteration
+        # matrices are nilpotent; quality degrades gracefully with fewer
+        # sweeps).  "jacobi_bws": the sweeps' matvecs run in the BWS
+        # Pallas kernel — the TPU-fast mode (the level schedule's
+        # per-level gathers fall on the XLA scalar path there).
+        # "auto": jacobi_bws on TPU backends, level elsewhere.
         self.trisolve_mode = trisolve_mode
         self.sweeps = sweeps
 
@@ -222,8 +237,14 @@ class ILUTPreconditionerType(PreconditionerType):
         dtype = A_host.data.dtype
         planL = build_trisolve_plan(L, lower=True, unit_diag=True, dtype=dtype)
         planU = build_trisolve_plan(U, lower=False, dtype=dtype)
+        mode = _resolve_trisolve_mode(self.trisolve_mode)
 
-        if self.trisolve_mode == "jacobi":
+        if mode == "jacobi_bws":
+            sl = _bws_sweep_solver(L, True, True, self.sweeps, np.float32)
+            su = _bws_sweep_solver(U, False, False, self.sweeps, np.float32)
+            if sl is not None and su is not None:
+                return self._wrap(lambda v: su(sl(v)))
+        if mode in ("jacobi", "jacobi_bws"):
             from ..ops.trisolve import trisolve_jacobi
             sweeps = self.sweeps
 
@@ -244,8 +265,8 @@ class ICPreconditionerType(PreconditionerType):
     DROP_CALIBRATION = 0.1
 
     def __init__(self, drop_tol: float = 1e-3, fill_factor: float = 15.0,
-                 side: str = "right", trisolve_mode: str = "level",
-                 sweeps: int = 8):
+                 side: str = "right", trisolve_mode: str = "auto",
+                 sweeps: int = 10):
         self.drop_tol = drop_tol
         self.fill_factor = fill_factor
         self.side = side
@@ -258,14 +279,15 @@ class ICPreconditionerType(PreconditionerType):
         dtype = A_host.data.dtype
         planL = build_trisolve_plan(Lc, lower=True, dtype=dtype)
         planLT = build_trisolve_plan(Lc.transpose(), lower=False, dtype=dtype)
+        mode = _resolve_trisolve_mode(self.trisolve_mode)
 
-        if self.trisolve_mode == "jacobi_bws":
+        if mode == "jacobi_bws":
             sl = _bws_sweep_solver(Lc, True, False, self.sweeps, np.float32)
             su = _bws_sweep_solver(Lc.transpose(), False, False,
                                    self.sweeps, np.float32)
             if sl is not None and su is not None:
                 return self._wrap(lambda v: su(sl(v)))
-        if self.trisolve_mode in ("jacobi", "jacobi_bws"):
+        if mode in ("jacobi", "jacobi_bws"):
             from ..ops.trisolve import trisolve_jacobi
             sweeps = self.sweeps
 

@@ -87,10 +87,45 @@ def ir_solve(matvec_hi: Callable, matvec_lo: Callable, b: jax.Array,
     return final.x, KrylovState(final.inner_total, final.resid, final.reason), None
 
 
+_INNER_CACHE = {}
+
+
+def _cached_inner(matvec_lo, precond_lo, method, inner_maxiter, inner_tau,
+                  restart):
+    """Build (or reuse) the jitted inner-solve graph.
+
+    Tracing + lowering a Krylov graph full of Pallas kernels costs
+    *seconds*; re-creating the jit per ``ir_solve_host`` call made that
+    the dominant solve cost (measured: the executed graph runs at
+    ~0.3 ms/iteration while a fresh trace costs ~10 s on DH-15).  Keyed
+    on the operator/preconditioner identities plus the static knobs;
+    strong references keep the ids stable."""
+    key = (id(matvec_lo), id(precond_lo), method, inner_maxiter,
+           inner_tau, restart)
+    ent = _INNER_CACHE.get(key)
+    if ent is not None and ent[0] is matvec_lo and ent[1] is precond_lo:
+        return ent[2]
+
+    @jax.jit
+    def inner(r32):
+        if method == "cg":
+            return cg_solve(matvec_lo, r32, maxiter=inner_maxiter,
+                            tau=inner_tau, precond=precond_lo)
+        return gmres_solve(matvec_lo, r32, maxiter=inner_maxiter,
+                           tau=inner_tau, precond=precond_lo,
+                           restart=restart, check_true_residual=False)
+
+    if len(_INNER_CACHE) > 64:        # bounded: drop the oldest entry
+        _INNER_CACHE.pop(next(iter(_INNER_CACHE)))
+    _INNER_CACHE[key] = (matvec_lo, precond_lo, inner)
+    return inner
+
+
 def ir_solve_host(matvec_hi, matvec_lo, b, *, tau: float = 1e-10,
                   max_outer: int = 20, inner_tau: float = 1e-6,
                   inner_maxiter: int = 500, method: str = "cg",
-                  precond_lo=None, restart=None):
+                  precond_lo=None, restart=None,
+                  host_residual: bool = False):
     """Host-driven iterative refinement: the inner f32 Krylov solve is one
     (small) jitted computation re-dispatched per outer pass, and the f64
     residual update runs as a second jitted step.
@@ -104,33 +139,48 @@ def ir_solve_host(matvec_hi, matvec_lo, b, *, tau: float = 1e-10,
     import numpy as np
     from ..core import StopReason
 
-    b = b.astype(jnp.float64)
-    norm = lambda v: jnp.sqrt(jnp.sum(v * v))
-    b_norm = float(norm(b))
+    if host_residual:
+        # ``matvec_hi`` is a host (numpy f64) callable.  On TPU, f64 is
+        # XLA-emulated and a sparse f64 matvec falls onto the scalar
+        # gather path — measured ~0.5 s per DH-15 residual, dominating
+        # the whole solve.  The outer loop lives on the host anyway, and
+        # a numpy CSR matvec at these sizes is sub-millisecond, so the
+        # high-precision residual runs there; only the f32 inner Krylov
+        # solve touches the device.
+        b_h = np.asarray(b, dtype=np.float64)
+        x_h = np.zeros_like(b_h)
+
+        def residual(xh):
+            r = b_h - matvec_hi(xh)
+            return r, float(np.linalg.norm(r))
+    else:
+        b = b.astype(jnp.float64)
+        norm = lambda v: jnp.sqrt(jnp.sum(v * v))
+
+        @jax.jit
+        def residual_dev(x):
+            r = b - matvec_hi(x)
+            return r, norm(r)
+
+        def residual(x):
+            r, rn = residual_dev(x)
+            return r, float(rn)
+
+        x_h = jnp.zeros_like(b)
+        b_h = b
+    b_norm = float(np.linalg.norm(np.asarray(b_h)))
     tol = tau * b_norm
 
-    @jax.jit
-    def residual(x):
-        r = b - matvec_hi(x)
-        return r, norm(r)
+    inner = _cached_inner(matvec_lo, precond_lo, method, inner_maxiter,
+                          float(inner_tau), restart)
 
-    @jax.jit
-    def inner(r32):
-        if method == "cg":
-            return cg_solve(matvec_lo, r32, maxiter=inner_maxiter,
-                            tau=inner_tau, precond=precond_lo)
-        return gmres_solve(matvec_lo, r32, maxiter=inner_maxiter,
-                           tau=inner_tau, precond=precond_lo,
-                           restart=restart, check_true_residual=False)
-
-    x = jnp.zeros_like(b)
+    x = x_h
     inner_total = 0
     rn_prev = float("inf")
     reason = StopReason.MAXITER
     k = 0
     for k in range(1, max_outer + 1):
         r, rn = residual(x)
-        rn = float(rn)
         if rn <= tol:
             reason = StopReason.CONVERGED
             k -= 1
@@ -140,16 +190,21 @@ def ir_solve_host(matvec_hi, matvec_lo, b, *, tau: float = 1e-10,
             break
         rn_prev = rn
         scale = rn if rn > 0 else 1.0
-        d32, st, _ = inner((r / scale).astype(jnp.float32))
+        r32 = jnp.asarray((np.asarray(r) / scale).astype(np.float32)) \
+            if host_residual else (r / scale).astype(jnp.float32)
+        d32, st, _ = inner(r32)
         inner_total += int(st.k)
-        x = x + scale * d32.astype(jnp.float64)
+        if host_residual:
+            x = x + scale * np.asarray(d32, dtype=np.float64)
+        else:
+            x = x + scale * d32.astype(jnp.float64)
     else:
         _, rn = residual(x)
-        rn = float(rn)
         if rn <= tol:
             reason = StopReason.CONVERGED
 
     _, rn_final = residual(x)
-    return x, KrylovState(jnp.int32(inner_total),
-                          jnp.float64(float(rn_final)),
-                          jnp.int32(int(reason))), None
+    x_out = jnp.asarray(x) if host_residual else x
+    return x_out, KrylovState(jnp.int32(inner_total),
+                              jnp.float64(float(rn_final)),
+                              jnp.int32(int(reason))), None

@@ -1,10 +1,10 @@
 """Block-window SELL SpMV kernel (see sparse/bws.py for the format).
 
-Per kernel step (one tile = GT groups = 1024 rows):
+Per kernel step (one tile = A.gt groups; default 128 groups = 1024 rows):
   1. slice the tile's x window (win_blocks × 128) from the block-reshaped
      source vector resident in VMEM (aligned dynamic sublane slice);
   2. for each segment s: one-hot select each group's x block
-     (MXU (GT, W)·(W, 128)), pick entries with a same-shape 128-lane
+     (MXU (gt, W)·(W, 128)), pick entries with a same-shape 128-lane
      gather, fuse-multiply into the accumulator;
   3. reduce the group_rows×slots slot layout to row sums with a constant
      (128, group_rows) matmul (MXU).
@@ -23,7 +23,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..sparse.bws import BwsMatrix, GT
+from ..sparse.bws import BwsMatrix, GT, CALL_COST_SLOTS
 
 
 def _ceil_to(x, m):
@@ -43,24 +43,26 @@ def _lane_gather32(x, idx):
 
 def _bws_kernel(delta_ref, data_ref, lidx_ref, x2_ref, o_ref, *,
                 S: int, W: int, group_rows: int, interpret: bool,
-                fast_select: bool = False):
+                fast_select: bool = False, gt: int = GT):
     with jax.enable_x64(False):
         slots = 128 // group_rows
+        bpt = gt * group_rows // 128          # row-blocks per tile
         t = pl.program_id(0)
-        # window start block in the margin-padded x2 (aligned: mult of 8)
-        row0 = pl.multiple_of(t * (GT * group_rows // 128), 8)
+        # window start block in the margin-padded x2: the tile's first
+        # row-block rounded down to 8 (deltas were packed against this)
+        row0 = pl.multiple_of(t * bpt // 8 * 8, 8)
         xwin = x2_ref[pl.ds(row0, W), :]                     # (W, 128)
-        acc = jnp.zeros((GT, 128), dtype=data_ref.dtype)
-        wids = jax.lax.broadcasted_iota(jnp.int32, (GT, W), 1)
+        acc = jnp.zeros((gt, 128), dtype=data_ref.dtype)
+        wids = jax.lax.broadcasted_iota(jnp.int32, (gt, W), 1)
         # one-hot dots: exact by default (the TPU bf16 default loses 8
         # mantissa bits); fast_select keeps bf16 for preconditioner-grade
         prec = (jax.lax.Precision.DEFAULT if fast_select
                 else jax.lax.Precision.HIGHEST)
         for s in range(S):
-            d = delta_ref[:, s].reshape(GT, 1)               # (GT, 1)
-            onehot = (wids == d).astype(data_ref.dtype)      # (GT, W)
+            d = delta_ref[:, s].reshape(gt, 1)               # (gt, 1)
+            onehot = (wids == d).astype(data_ref.dtype)      # (gt, W)
             xsel = jnp.dot(onehot, xwin, precision=prec,
-                           preferred_element_type=data_ref.dtype)  # (GT, 128)
+                           preferred_element_type=data_ref.dtype)  # (gt, 128)
             # keep index arithmetic 32-bit even under jax_enable_x64 (Mosaic
             # has no 64-bit support): spell the lane gather at the lax level
             g = _lane_gather32(xsel, lidx_ref[:, s, :])
@@ -70,24 +72,27 @@ def _bws_kernel(delta_ref, data_ref, lidx_ref, x2_ref, o_ref, *,
         rows = jax.lax.broadcasted_iota(jnp.int32, (128, group_rows), 1)
         slot_mat = (lanes // slots == rows).astype(acc.dtype)   # (128, group_rows)
         o_ref[...] = jnp.dot(acc, slot_mat, precision=prec,
-                             preferred_element_type=acc.dtype)  # (GT, group_rows)
+                             preferred_element_type=acc.dtype)  # (gt, group_rows)
 
 
 
 
 def _bws_kernel_cls(ids_ref, delta_ref, data_ref, lidx_ref, x2_ref, o_ref,
-                    *, S: int, W: int, group_rows: int, interpret: bool):
+                    *, S: int, W: int, group_rows: int, interpret: bool,
+                    fast_select: bool = False, gt: int = GT):
     """Tile-class variant: the tile id comes from the scalar-prefetched
     id list, everything else matches _bws_kernel."""
     slots = 128 // group_rows
+    bpt = gt * group_rows // 128
     t = ids_ref[pl.program_id(0)]
-    row0 = pl.multiple_of(t * (GT * group_rows // 128), 8)
+    row0 = pl.multiple_of(t * bpt // 8 * 8, 8)
     xwin = x2_ref[pl.ds(row0, W), :]
-    acc = jnp.zeros((GT, 128), dtype=data_ref.dtype)
-    wids = jax.lax.broadcasted_iota(jnp.int32, (GT, W), 1)
-    prec = jax.lax.Precision.HIGHEST
+    acc = jnp.zeros((gt, 128), dtype=data_ref.dtype)
+    wids = jax.lax.broadcasted_iota(jnp.int32, (gt, W), 1)
+    prec = (jax.lax.Precision.DEFAULT if fast_select
+            else jax.lax.Precision.HIGHEST)
     for s in range(S):
-        d = delta_ref[:, s].reshape(GT, 1)
+        d = delta_ref[:, s].reshape(gt, 1)
         onehot = (wids == d).astype(data_ref.dtype)
         xsel = jnp.dot(onehot, xwin, precision=prec,
                        preferred_element_type=data_ref.dtype)
@@ -105,32 +110,41 @@ def _bws_call_classes(A, x2, n_groups, interpret):
     id list; tiles write compact outputs that are scattered back by tile."""
     group_rows = A.group_rows
     W = A.win_blocks
-    n_tiles = n_groups // GT
-    y = jnp.zeros((n_tiles, GT, group_rows), dtype=A.dtype)
+    gt = A.gt
+    n_tiles = n_groups // gt
+    y = jnp.zeros((n_tiles, gt, group_rows), dtype=A.dtype)
     for S_c, ids in A.s_classes:
         ids_arr = jnp.asarray(ids, dtype=jnp.int32)
         nt = len(ids)
+        # slice to the class's segment count OUTSIDE the kernel: Mosaic
+        # requires block dims to divide (8,128) or equal the array dims,
+        # so a (gt, S_c) block of the full (n_groups, S) array is illegal.
+        # XLA hoists these loop-invariant slices out of solver loops.
+        delta_c = A.delta[:, :S_c]
+        data_c = A.data[:, :S_c, :]
+        lidx_c = A.lidx[:, :S_c, :]
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(nt,),
             in_specs=[
-                pl.BlockSpec((GT, S_c), lambda i, ids_ref: (ids_ref[i], 0)),
-                pl.BlockSpec((GT, S_c, 128),
+                pl.BlockSpec((gt, S_c), lambda i, ids_ref: (ids_ref[i], 0)),
+                pl.BlockSpec((gt, S_c, 128),
                              lambda i, ids_ref: (ids_ref[i], 0, 0)),
-                pl.BlockSpec((GT, S_c, 128),
+                pl.BlockSpec((gt, S_c, 128),
                              lambda i, ids_ref: (ids_ref[i], 0, 0)),
                 pl.BlockSpec(memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((1, GT, group_rows),
+            out_specs=pl.BlockSpec((1, gt, group_rows),
                                    lambda i, ids_ref: (i, 0, 0)),
         )
         out = pl.pallas_call(
             functools.partial(_bws_kernel_cls, S=S_c, W=W,
-                              group_rows=group_rows, interpret=interpret),
+                              group_rows=group_rows, interpret=interpret,
+                              fast_select=A.fast_select, gt=gt),
             grid_spec=grid_spec,
-            out_shape=jax.ShapeDtypeStruct((nt, GT, group_rows), A.dtype),
+            out_shape=jax.ShapeDtypeStruct((nt, gt, group_rows), A.dtype),
             interpret=interpret,
-        )(ids_arr, A.delta, A.data, A.lidx, x2)
+        )(ids_arr, delta_c, data_c, lidx_c, x2)
         y = y.at[ids_arr].set(out)
     return y.reshape(-1)
 
@@ -156,13 +170,15 @@ def bws_spmv(A: BwsMatrix, x: jax.Array, interpret: bool = None
 
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu", "axon")
-    grid = n_groups // GT
-    # use per-tile segment classes when they cut enough padded work
+    grid = n_groups // A.gt
+    # use per-tile segment classes when the slot savings beat the extra
+    # per-call overhead (measured cost model — sparse/bws.py constants)
     use_classes = False
     if len(A.s_classes) > 1:
-        tiles_total = n_groups // GT
-        slots_classed = sum(s_c * len(ids) for s_c, ids in A.s_classes)
-        use_classes = slots_classed <= 0.8 * S * tiles_total
+        slots_classed = sum(s_c * len(ids)
+                            for s_c, ids in A.s_classes) * A.gt * 128
+        saved = A.nnz_slots - slots_classed
+        use_classes = saved > CALL_COST_SLOTS * (len(A.s_classes) - 1)
     # the whole pallas_call (grid/block index machinery included) must
     # trace in 32-bit mode — Mosaic cannot lower int64 indices
     with jax.enable_x64(False):
@@ -175,21 +191,22 @@ def bws_spmv(A: BwsMatrix, x: jax.Array, interpret: bool = None
 
 
 def _bws_call(grid, S, W, group_rows, interpret, A, x2, n_groups):
+    gt = A.gt
     out = pl.pallas_call(
         functools.partial(_bws_kernel, S=S, W=W, group_rows=group_rows,
                           interpret=interpret,
-                          fast_select=A.fast_select),
+                          fast_select=A.fast_select, gt=gt),
         grid=(grid,),
         in_specs=[
-            pl.BlockSpec((GT, S), lambda i: (i, 0),
+            pl.BlockSpec((gt, S), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((GT, S, 128), lambda i: (i, 0, 0),
+            pl.BlockSpec((gt, S, 128), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((GT, S, 128), lambda i: (i, 0, 0),
+            pl.BlockSpec((gt, S, 128), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),   # x2 resident
         ],
-        out_specs=pl.BlockSpec((GT, group_rows), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((gt, group_rows), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_groups, group_rows), A.dtype),
         interpret=interpret,

@@ -31,10 +31,62 @@ from .host import HostCSR
 
 GT = 128                # groups per kernel tile
 DEFAULT_GROUP_ROWS = 32  # rows per group; slots per row = 128 // group_rows
+# Measured kernel overheads (v5e, DH-15 gt sweep 128/64/32/16: 8.9/15.0/
+# 16.0/24.1 us at 491k/393k/360k/338k slots): ~0.4 us per grid step and
+# ~1 us per pallas call vs ~1.4e-5 us per slot — expressed in
+# slot-equivalents for the geometry cost model.
+STEP_COST_SLOTS = 32768
+CALL_COST_SLOTS = 65536
+# One-hot x-block selection runs gt×W×128 MACs per segment-tile vs
+# gt×128 slot work — measured (equal-slot gr=32 W=48 vs gr=64 W=80 pair:
+# 5.7 vs 10.1 us) at ~slots·W/49 slot-equivalents with exact
+# (Precision.HIGHEST) selects; bf16 fast_select passes are ~4× cheaper.
+SELECT_DIV_EXACT = 49
+SELECT_DIV_FAST = 196
 
 
 def _ceil_to(x, m):
     return ((x + m - 1) // m) * m
+
+
+def _build_classes(used, gt_val):
+    """Group tiles (of gt_val groups) by their local max segment count,
+    merged down to ≤4 kernel variants."""
+    n_tiles = len(used) // gt_val
+    tile_s = np.maximum(used.reshape(n_tiles, gt_val).max(axis=1), 1)
+    classes = []
+    for s_c in sorted(set(int(s) for s in tile_s)):
+        ids = tuple(int(t) for t in np.flatnonzero(tile_s == s_c))
+        classes.append((s_c, ids))
+    while len(classes) > 4:
+        # merge the smallest class into the next one up
+        sizes = [len(ids) for _, ids in classes]
+        i = int(np.argmin(sizes[:-1]))
+        s_lo, ids_lo = classes[i]
+        s_hi, ids_hi = classes[i + 1]
+        classes[i + 1] = (s_hi, tuple(sorted(ids_lo + ids_hi)))
+        del classes[i]
+    return classes
+
+
+def _classed_slots(used, gt_val):
+    """Kernel slots after ≤4-way class merging at tile size gt_val."""
+    return sum(s_c * len(ids)
+               for s_c, ids in _build_classes(used, gt_val)) * gt_val * 128
+
+
+def _geom_cost(used, gt_val, S):
+    """Slot-equivalent kernel cost at tile size gt_val: processed slots
+    plus per-grid-step and per-call overheads (measured, see module
+    constants).  The single-call plain kernel is an alternative; the
+    model takes whichever is cheaper, like the runtime path selection."""
+    n_tiles = len(used) // gt_val
+    classes = _build_classes(used, gt_val)
+    classed = (sum(s_c * len(ids) for s_c, ids in classes) * gt_val * 128
+               + n_tiles * STEP_COST_SLOTS + len(classes) * CALL_COST_SLOTS)
+    plain = (len(used) * S * 128
+             + n_tiles * STEP_COST_SLOTS + CALL_COST_SLOTS)
+    return min(classed, plain)
 
 
 @jax.tree_util.register_dataclass
@@ -70,6 +122,12 @@ class BwsMatrix:
     # applications, wrong choice for the operator itself.
     fast_select: bool = dataclasses.field(default=False,
                                           metadata=dict(static=True))
+    # groups per kernel tile.  Smaller tiles make the per-tile segment
+    # classes engage at finer granularity (a tile runs with its own local
+    # max segment count instead of the 128-group max) at the cost of more
+    # grid steps.  Window slices stay 8-aligned for any gt because deltas
+    # are baked against the rounded-down window base at pack time.
+    gt: int = dataclasses.field(default=GT, metadata=dict(static=True))
 
     @property
     def slots(self):
@@ -91,18 +149,50 @@ class BwsMatrix:
     def nnz_slots(self):
         return self.data.shape[0] * self.data.shape[1] * 128
 
+    @property
+    def classed_slots(self):
+        """Slots the kernel actually processes (class path when it wins)."""
+        base = self.nnz_slots
+        if len(self.s_classes) > 1:
+            classed = sum(s_c * len(ids)
+                          for s_c, ids in self.s_classes) * self.gt * 128
+            return min(base, classed)
+        return base
+
+    @property
+    def kernel_cost(self):
+        """Slot-equivalent cost incl. MXU select work and per-step /
+        per-call overheads (measured model, module constants)."""
+        n_tiles = self.n_groups // self.gt
+        sel_div = SELECT_DIV_FAST if self.fast_select else SELECT_DIV_EXACT
+        sel = self.win_blocks / sel_div
+        base = (int(self.nnz_slots * (1 + sel))
+                + n_tiles * STEP_COST_SLOTS + CALL_COST_SLOTS)
+        if len(self.s_classes) > 1:
+            cl_slots = sum(s_c * len(ids)
+                           for s_c, ids in self.s_classes) * self.gt * 128
+            classed = (int(cl_slots * (1 + sel))
+                       + n_tiles * STEP_COST_SLOTS
+                       + len(self.s_classes) * CALL_COST_SLOTS)
+            return min(base, classed)
+        return base
+
     @staticmethod
     def from_host_csr(H: HostCSR, dtype=np.float32, use_rcm: bool = True,
                       group_rows: int = None,
-                      fast_select: bool = False) -> "BwsMatrix":
+                      fast_select: bool = False,
+                      gt: int = None) -> "BwsMatrix":
         """Pack; ``group_rows`` in {8,16,32,64} (None = auto: try all, keep
-        the geometry with the fewest padded slots)."""
+        the geometry with the fewest padded slots).  ``gt`` = groups per
+        kernel tile ("auto" = pick the measured-cost minimizer — slots
+        plus per-step/per-call overheads; None = the 128-group
+        default)."""
         if group_rows is None:
             best = None
             for gr in (8, 16, 32, 64):
                 cand = BwsMatrix.from_host_csr(H, dtype, use_rcm, gr,
-                                               fast_select)
-                cost = cand.n_groups * cand.n_segments
+                                               fast_select, gt)
+                cost = cand.kernel_cost
                 if best is None or cost < best[0]:
                     best = (cost, cand)
             return best[1]
@@ -176,11 +266,43 @@ class BwsMatrix:
         S = int(seg_in_grp.max()) + 1 if len(seg_in_grp) else 1
         seg_of_nnz = seg_in_grp[seg_id_global]
 
+        # ---- tile size selection ----
+        # a tile must cover whole 128-column blocks of output rows
+        gt_candidates = [g for g in (128, 64, 32, 16, 8)
+                         if (g * GROUP_ROWS) % 128 == 0 and n_groups % g == 0]
+        if gt == "auto":
+            gt_val = None      # chosen below from per-group segment usage
+        elif gt is None:
+            gt_val = GT if GT in gt_candidates else gt_candidates[0]
+        else:
+            if gt not in gt_candidates:
+                raise ValueError(f"gt={gt} invalid for group_rows="
+                                 f"{GROUP_ROWS}, n_groups={n_groups} "
+                                 f"(candidates: {gt_candidates})")
+            gt_val = gt
+
+        # per-group used-segment counts (for class construction / gt pick)
+        used = np.zeros(n_groups, dtype=np.int64)
+        if len(seg_grp):
+            np.maximum.at(used, seg_grp, seg_in_grp + 1)
+        used = np.maximum(used, 1)
+        if gt_val is None:
+            S_est = int(used.max())
+            best = None
+            for g in gt_candidates:
+                cost = _geom_cost(used, g, S_est)
+                if best is None or cost < best[0] or (cost == best[0]
+                                                     and g > best[1]):
+                    best = (cost, g)
+            gt_val = best[1]
+
         # ---- window geometry ----
-        # tile t covers groups [t*GT, (t+1)*GT) = rows [t*1024, ...): its
-        # aligned x-window starts at block t*8 in the margin-padded x2.
-        tile_of_grp = grp // GT
-        base_blk = tile_of_grp * (GT * GROUP_ROWS // 128)   # = t*8
+        # tile t covers groups [t*gt, (t+1)*gt): its x-window starts at the
+        # tile's first row-block rounded DOWN to an 8-aligned block (Mosaic
+        # needs 8-aligned dynamic sublane slices); deltas absorb the shift.
+        bpt = gt_val * GROUP_ROWS // 128          # row-blocks per tile
+        tile_of_grp = grp // gt_val
+        base_blk = (tile_of_grp * bpt) // 8 * 8   # aligned window base
         n_blocks = _ceil_to(n_rows_pad, 128) // 128
         span = (blk - base_blk)
         lo = int(span.min()) if len(span) else 0
@@ -208,30 +330,12 @@ class BwsMatrix:
         # unused segments point at the (zeroed) window row 0 — data is 0 so
         # any lane is safe
 
-        # per-tile segment classes (tiles of GT groups)
-        n_tiles = n_groups // GT
-        used = np.zeros(n_groups, dtype=np.int64)
-        if len(seg_grp):
-            np.maximum.at(used, seg_grp, seg_in_grp + 1)
-        tile_s = used.reshape(n_tiles, GT).max(axis=1)
-        tile_s = np.maximum(tile_s, 1)
-        classes = []
-        for s_c in sorted(set(int(s) for s in tile_s)):
-            ids = tuple(int(t) for t in np.flatnonzero(tile_s == s_c))
-            classes.append((s_c, ids))
-        # merge tiny classes upward so there are at most 4 kernel variants
-        while len(classes) > 4:
-            # merge the smallest class into the next one up
-            sizes = [len(ids) for _, ids in classes]
-            i = int(np.argmin(sizes[:-1]))
-            s_lo, ids_lo = classes[i]
-            s_hi, ids_hi = classes[i + 1]
-            classes[i + 1] = (s_hi, tuple(sorted(ids_lo + ids_hi)))
-            del classes[i]
+        # per-tile segment classes (tiles of gt_val groups)
+        classes = _build_classes(used, gt_val)
 
         return BwsMatrix(
             jnp.asarray(delta), jnp.asarray(data), jnp.asarray(lidx),
             jnp.asarray(perm.astype(np.int32)),
             jnp.asarray(iperm.astype(np.int32)),
             (n, n), int(win_blocks), int(margin_blocks), group_rows,
-            tuple(classes), fast_select)
+            tuple(classes), fast_select, int(gt_val))

@@ -52,6 +52,41 @@ class TestBws:
         assert A.n_segments >= 3
 
 
+class TestTileSize:
+    def test_gt_variants_match_reference(self):
+        """Every legal tile size yields the same matvec (aligned-base
+        deltas) — including tiles whose first row-block is not 8-aligned."""
+        H, _, _ = dh_test_problem(10)
+        n = H.shape[0]
+        x = np.random.default_rng(3).random(n).astype(np.float32)
+        ref = H.matvec(x.astype(np.float64))
+        for gr, gts in ((32, (128, 64, 32, 16, 8)), (16, (32, 8)),
+                        (8, (64, 16))):
+            for gt in gts:
+                A = BwsMatrix.from_host_csr(H, dtype=np.float32,
+                                            group_rows=gr, gt=gt)
+                assert A.gt == gt
+                y = bws_matvec(A, jnp.asarray(x), interpret=True)
+                np.testing.assert_allclose(np.asarray(y), ref,
+                                           rtol=2e-4, atol=2e-4)
+
+    def test_gt_auto_reduces_classed_slots(self):
+        H, _, _ = dh_test_problem(12)
+        A128 = BwsMatrix.from_host_csr(H, dtype=np.float32, gt=128)
+        Aauto = BwsMatrix.from_host_csr(H, dtype=np.float32, gt="auto")
+        assert Aauto.classed_slots <= A128.classed_slots
+        x = np.random.default_rng(4).random(H.shape[0]).astype(np.float32)
+        y = bws_matvec(Aauto, jnp.asarray(x), interpret=True)
+        np.testing.assert_allclose(np.asarray(y),
+                                   H.matvec(x.astype(np.float64)),
+                                   rtol=2e-4, atol=2e-4)
+
+    def test_gt_invalid_raises(self):
+        H = fd_laplacian_2d(12, dtype=np.float64)
+        with pytest.raises(ValueError, match="gt"):
+            BwsMatrix.from_host_csr(H, group_rows=8, gt=8)
+
+
 class TestTileClasses:
     def test_class_path_matches_single(self):
         import dataclasses

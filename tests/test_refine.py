@@ -68,3 +68,18 @@ class TestHostIR:
         assert int(st.reason) == StopReason.CONVERGED
         r = np.linalg.norm(H.matvec(np.asarray(x)) - np.asarray(b))
         assert r <= 1e-12 * np.linalg.norm(np.asarray(b))
+
+    def test_host_residual_path(self):
+        """Outer residuals on host (numpy f64) — the TPU fast path where
+        emulated-f64 device matvecs would hit the scalar gather path."""
+        from pysolvers_tpu.linear.refine import ir_solve_host
+        H = fd_laplacian_2d(10)
+        A32 = DiaMatrix.from_host_csr(H, dtype=np.float32)
+        b = H.matvec(np.random.default_rng(1).random(100))
+        x, st, _ = ir_solve_host(lambda v: H.matvec(v),
+                                 lambda v: matvec(A32, v), b,
+                                 tau=1e-12, inner_tau=1e-5,
+                                 inner_maxiter=300, host_residual=True)
+        assert int(st.reason) == StopReason.CONVERGED
+        r = np.linalg.norm(H.matvec(np.asarray(x)) - b)
+        assert r <= 1e-12 * np.linalg.norm(b)

@@ -178,38 +178,52 @@ class BwsMatrix:
         return base
 
     @staticmethod
+    def _rcm_perm(H: HostCSR):
+        """RCM permutation of the symmetrized adjacency (or None)."""
+        from ..utils import native
+        Hs = H.add(H.transpose())
+        p = native.rcm(Hs.indptr, Hs.indices, H.shape[0])
+        return np.asarray(p, dtype=np.int64) if p is not None else None
+
+    @staticmethod
     def from_host_csr(H: HostCSR, dtype=np.float32, use_rcm: bool = True,
                       group_rows: int = None,
                       fast_select: bool = False,
-                      gt: int = None) -> "BwsMatrix":
+                      gt: int = None, _device: bool = True,
+                      _perm=None) -> "BwsMatrix":
         """Pack; ``group_rows`` in {8,16,32,64} (None = auto: try all, keep
         the geometry with the fewest padded slots).  ``gt`` = groups per
         kernel tile ("auto" = pick the measured-cost minimizer — slots
         plus per-step/per-call overheads; None = the 128-group
         default)."""
         if group_rows is None:
+            # candidate packs stay host-side (numpy): shipping four
+            # full candidate buffers to a remote device dominated setup
+            # (~10 MB × 4 per factor over the tunnel); only the winner
+            # is materialized on device.  RCM is computed once.
+            perm = BwsMatrix._rcm_perm(H) if use_rcm else None
             best = None
             for gr in (8, 16, 32, 64):
                 cand = BwsMatrix.from_host_csr(H, dtype, use_rcm, gr,
-                                               fast_select, gt)
+                                               fast_select, gt,
+                                               _device=False, _perm=perm)
                 cost = cand.kernel_cost
                 if best is None or cost < best[0]:
                     best = (cost, cand)
-            return best[1]
+            win = best[1]
+            return dataclasses.replace(
+                win, delta=jnp.asarray(win.delta),
+                data=jnp.asarray(win.data), lidx=jnp.asarray(win.lidx),
+                perm=jnp.asarray(win.perm), iperm=jnp.asarray(win.iperm))
         GROUP_ROWS = group_rows
         SLOTS = 128 // group_rows
         n = H.shape[0]
         if H.shape[0] != H.shape[1]:
             raise ValueError("BWS requires a square matrix")
         # ---- permutation (bandwidth reduction) ----
-        from ..utils import native
-        perm = None
-        if use_rcm:
-            # symmetrized adjacency for RCM
-            Hs = H.add(H.transpose())
-            p = native.rcm(Hs.indptr, Hs.indices, n)
-            if p is not None:
-                perm = np.asarray(p, dtype=np.int64)
+        perm = _perm
+        if perm is None and use_rcm:
+            perm = BwsMatrix._rcm_perm(H)
         if perm is None:
             perm = np.arange(n, dtype=np.int64)
         iperm = np.empty(n, dtype=np.int64)
@@ -333,9 +347,10 @@ class BwsMatrix:
         # per-tile segment classes (tiles of gt_val groups)
         classes = _build_classes(used, gt_val)
 
+        conv = jnp.asarray if _device else (lambda a: a)
         return BwsMatrix(
-            jnp.asarray(delta), jnp.asarray(data), jnp.asarray(lidx),
-            jnp.asarray(perm.astype(np.int32)),
-            jnp.asarray(iperm.astype(np.int32)),
+            conv(delta), conv(data), conv(lidx),
+            conv(perm.astype(np.int32)),
+            conv(iperm.astype(np.int32)),
             (n, n), int(win_blocks), int(margin_blocks), group_rows,
             tuple(classes), fast_select, int(gt_val))

@@ -35,11 +35,15 @@ def _is_symmetric(A: HostCSR, rtol: float = 1e-10) -> bool:
 
 def solve(A, b, *, tau: float = 1e-8, maxiter: int = 1000,
           method: str = "auto", precond: str = "auto",
-          **solver_kwargs) -> SolveStatus:
+          precision: str = "native", **solver_kwargs) -> SolveStatus:
     """Solve A x = b.  Returns a SolveStatus.
 
     ``method``: "auto" | "cg" | "gmres" | "direct".
     ``precond``: "auto" | "none" | "ic" | "ilut" | "amg" | "jacobi".
+    ``precision``: "native" solves in the matrix dtype; "mixed" runs the
+    inner Krylov in f32 on the device kernels with f64 residual
+    refinement on host — the TPU route to 1e-10 accuracy (f64 device
+    arithmetic is XLA-emulated there).
     Extra kwargs are forwarded to the solver factory.
     """
     if isinstance(A, np.ndarray) and A.ndim == 2:
@@ -50,6 +54,9 @@ def solve(A, b, *, tau: float = 1e-8, maxiter: int = 1000,
     n = A.shape[0]
     b = np.asarray(b)
 
+    if precision not in ("native", "mixed"):
+        raise ValueError(f"precision must be 'native' or 'mixed', "
+                         f"got {precision!r}")
     sym = _is_symmetric(A)
     if method == "auto":
         if n <= 500:
@@ -59,6 +66,11 @@ def solve(A, b, *, tau: float = 1e-8, maxiter: int = 1000,
 
     if method == "direct":
         return DefaultDirect().make_solver().solve(A, b)
+
+    if precision == "mixed":
+        return _solve_mixed(A, b, tau=tau, maxiter=maxiter, method=method,
+                            precond=precond,
+                            restart=solver_kwargs.get("restart"))
 
     if precond == "auto":
         if method == "cg":
@@ -86,3 +98,83 @@ def solve(A, b, *, tau: float = 1e-8, maxiter: int = 1000,
     else:
         raise ValueError(f"unknown method {method!r}")
     return factory.make_solver().solve(A, b)
+
+
+# --- mixed-precision route -------------------------------------------------
+# per-matrix packed state: BWS/DIA f32 operator + formed preconditioner +
+# STABLE callables (refine._cached_inner keys its jit on their identity —
+# fresh lambdas per call would re-trace the Pallas-heavy graph each solve)
+_MIXED_CACHE: dict = {}
+
+
+def _mixed_state(A: HostCSR, method: str, precond: str, restart):
+    key = (id(A), method, precond, restart)
+    ent = _MIXED_CACHE.get(key)
+    if ent is not None and ent["A"] is A:
+        return ent
+
+    from .ops import matvec as _matvec
+    from .sparse.device import DiaMatrix
+
+    if DiaMatrix.is_profitable(A):
+        dev = DiaMatrix.from_host_csr(A, dtype=np.float32)
+        perm = None
+        Hp = A
+        mv_lo = lambda v: _matvec(dev, v)
+    else:
+        from .sparse.bws import BwsMatrix
+        from .ops.bws_spmv import bws_spmv
+        dev = BwsMatrix.from_host_csr(A, dtype=np.float32)
+        perm = np.asarray(dev.perm)
+        iperm = np.asarray(dev.iperm)
+        rows, cols, vals = A.to_coo()
+        Hp = HostCSR.from_coo(iperm[rows], iperm[cols], vals, A.shape)
+        mv_lo = lambda v: bws_spmv(dev, v)
+
+    if precond == "auto":
+        precond = "ic" if method == "cg" else "ilut"
+    if precond == "amg":
+        raise ValueError('precision="mixed" does not support precond="amg" '
+                         "yet; use ic/ilut/jacobi/none")
+    Hp32 = HostCSR(Hp.indptr, Hp.indices, Hp.data.astype(np.float32),
+                   Hp.shape)
+    if precond == "ic":
+        M = ICPreconditionerType().form(Hp32)
+    elif precond == "ilut":
+        M = ILUTPreconditionerType().form(Hp32)
+    elif precond == "jacobi":
+        from .linear.preconditioner import JacobiPreconditionerType
+        M = JacobiPreconditionerType().form(Hp32)
+    else:
+        M = None
+    prec_fn = None if M is None else (lambda v: M.apply_right(v))
+    mv_hi = lambda v: Hp.matvec(v)
+
+    ent = dict(A=A, dev=dev, perm=perm, mv_lo=mv_lo, mv_hi=mv_hi,
+               prec=prec_fn, M=M)
+    if len(_MIXED_CACHE) > 8:
+        _MIXED_CACHE.pop(next(iter(_MIXED_CACHE)))
+    _MIXED_CACHE[key] = ent
+    return ent
+
+
+def _solve_mixed(A: HostCSR, b, *, tau, maxiter, method, precond,
+                 restart=None) -> SolveStatus:
+    from .core import make_status, SolverConfig
+    from .linear.refine import ir_solve_host
+
+    st8 = _mixed_state(A, method, precond, restart)
+    perm = st8["perm"]
+    bp = (b if perm is None else b[perm]).astype(np.float64)
+    if method == "gmres" and restart is None:
+        restart = 60
+    x, st, _ = ir_solve_host(st8["mv_hi"], st8["mv_lo"], bp, tau=tau,
+                             inner_tau=1e-6, inner_maxiter=maxiter,
+                             method=method, restart=restart,
+                             precond_lo=st8["prec"], host_residual=True)
+    xh = np.asarray(x)
+    if perm is not None:
+        iperm = np.asarray(st8["dev"].iperm)
+        xh = xh[iperm]
+    control = SolverConfig(maxiter=maxiter, tau=tau)
+    return make_status(xh, st, control)

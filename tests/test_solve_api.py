@@ -1,5 +1,6 @@
 """Top-level solve() convenience API tests."""
 import numpy as np
+import pytest
 
 import pysolvers_tpu as pst
 from pysolvers_tpu.problems import dh_test_problem, fd_laplacian_2d
@@ -47,3 +48,33 @@ class TestSolveAuto:
         st = pst.solve(A, A @ x)
         assert st.success
         np.testing.assert_allclose(np.asarray(st.soln), x, atol=1e-8)
+
+
+class TestMixedPrecision:
+    def test_mixed_cg_unstructured(self):
+        from pysolvers_tpu.problems import dh_test_problem
+        H, x_exact, b = dh_test_problem(12)
+        st = pst.solve(H, b, tau=1e-10, precision="mixed")
+        assert st.success
+        np.testing.assert_allclose(np.asarray(st.soln), x_exact, atol=1e-5)
+
+    def test_mixed_banded_dia(self):
+        H = fd_laplacian_2d(40)
+        x = np.random.default_rng(5).random(1600)
+        st = pst.solve(H, H.matvec(x), tau=1e-10, precision="mixed",
+                       precond="jacobi", maxiter=2000)
+        assert st.success
+        np.testing.assert_allclose(np.asarray(st.soln), x, atol=1e-7)
+
+    def test_mixed_gmres(self):
+        from pysolvers_tpu.problems import dh_test_problem
+        H, x_exact, b = dh_test_problem(11)
+        st = pst.solve(H, b, tau=1e-10, precision="mixed", method="gmres")
+        assert st.success
+        np.testing.assert_allclose(np.asarray(st.soln), x_exact, atol=1e-5)
+
+    def test_mixed_rejects_amg(self):
+        from pysolvers_tpu.problems import dh_test_problem
+        H, _, b = dh_test_problem(10)
+        with pytest.raises(ValueError, match="amg"):
+            pst.solve(H, b, precision="mixed", precond="amg")

@@ -128,7 +128,29 @@ def main():
         M = ILUTPreconditionerType(1e-3, 15).form(_f32(Hp))
         return _wrap_solve(M, "gmres", restart=60)
 
+    def pcg_amg():
+        # SA-AMG V-cycle preconditioner (reference PCGExample_AMG.py:20-22
+        # config: numIters=2, 2 levels); hierarchy on the permuted system
+        from pysolvers_tpu.linear.amg import (build_sa_hierarchy,
+                                              build_device_hierarchy,
+                                              v_cycle)
+        Hp = make_perm_host()
+        mlh = build_sa_hierarchy(Hp, num_levels=2)
+        hier = build_device_hierarchy(mlh, smoother="jacobi", nu_pre=2,
+                                      nu_post=2, dtype=np.float32)
+
+        class _M:
+            @staticmethod
+            def apply_right(r):
+                x = jnp.zeros_like(r)
+                for _ in range(2):
+                    x = v_cycle(hier, r, x)
+                return x
+
+        return _wrap_solve(_M, "cg")
+
     run(f"DH{lev}+PCG+IC(f32ir)", pcg_ic)
+    run(f"DH{lev}+PCG+AMG(f32ir)", pcg_amg)
     run(f"DH{lev}+PCG+IClevel(f32ir)", pcg_ic_level)
     run(f"DH{lev}+GMRES+ILUT(f32ir)", gmres_ilut)
 

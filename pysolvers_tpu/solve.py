@@ -133,11 +133,10 @@ def _mixed_state(A: HostCSR, method: str, precond: str, restart):
 
     if precond == "auto":
         precond = "ic" if method == "cg" else "ilut"
-    if precond == "amg":
-        raise ValueError('precision="mixed" does not support precond="amg" '
-                         "yet; use ic/ilut/jacobi/none")
     Hp32 = HostCSR(Hp.indptr, Hp.indices, Hp.data.astype(np.float32),
                    Hp.shape)
+    M = None
+    prec_fn = None
     if precond == "ic":
         M = ICPreconditionerType().form(Hp32)
     elif precond == "ilut":
@@ -145,9 +144,23 @@ def _mixed_state(A: HostCSR, method: str, precond: str, restart):
     elif precond == "jacobi":
         from .linear.preconditioner import JacobiPreconditionerType
         M = JacobiPreconditionerType().form(Hp32)
-    else:
-        M = None
-    prec_fn = None if M is None else (lambda v: M.apply_right(v))
+    elif precond == "amg":
+        # hierarchy built on the (permuted) system so the inner matvec
+        # and the preconditioner agree on the ordering
+        from .linear.amg import build_sa_hierarchy, build_device_hierarchy
+        from .linear.amg import v_cycle
+        import jax.numpy as jnp
+        mlh = build_sa_hierarchy(Hp, num_levels=2)
+        hier = build_device_hierarchy(mlh, smoother="jacobi", nu_pre=2,
+                                      nu_post=2, dtype=np.float32)
+
+        def prec_fn(r):
+            x = jnp.zeros_like(r)
+            for _ in range(2):
+                x = v_cycle(hier, r, x)
+            return x
+    if M is not None:
+        prec_fn = lambda v: M.apply_right(v)
     mv_hi = lambda v: Hp.matvec(v)
 
     ent = dict(A=A, dev=dev, perm=perm, mv_lo=mv_lo, mv_hi=mv_hi,

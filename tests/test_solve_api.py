@@ -73,8 +73,15 @@ class TestMixedPrecision:
         assert st.success
         np.testing.assert_allclose(np.asarray(st.soln), x_exact, atol=1e-5)
 
-    def test_mixed_rejects_amg(self):
+    def test_mixed_amg(self):
+        from pysolvers_tpu.problems import dh_test_problem
+        H, x_exact, b = dh_test_problem(12)
+        st = pst.solve(H, b, tau=1e-10, precision="mixed", precond="amg")
+        assert st.success
+        np.testing.assert_allclose(np.asarray(st.soln), x_exact, atol=1e-5)
+
+    def test_bad_precision_rejected(self):
         from pysolvers_tpu.problems import dh_test_problem
         H, _, b = dh_test_problem(10)
-        with pytest.raises(ValueError, match="amg"):
-            pst.solve(H, b, precision="mixed", precond="amg")
+        with pytest.raises(ValueError, match="precision"):
+            pst.solve(H, b, precision="mxied")

@@ -41,16 +41,15 @@ def _lane_gather32(x, idx):
         return jnp.take_along_axis(x, idx.astype(jnp.int32), axis=1)
 
 
-def _bws_kernel(delta_ref, data_ref, lidx_ref, x2_ref, o_ref, *,
+def _bws_kernel(base_ref, delta_ref, data_ref, lidx_ref, x2_ref, o_ref, *,
                 S: int, W: int, group_rows: int, interpret: bool,
                 fast_select: bool = False, gt: int = GT):
     with jax.enable_x64(False):
         slots = 128 // group_rows
-        bpt = gt * group_rows // 128          # row-blocks per tile
         t = pl.program_id(0)
-        # window start block in the margin-padded x2: the tile's first
-        # row-block rounded down to 8 (deltas were packed against this)
-        row0 = pl.multiple_of(t * bpt // 8 * 8, 8)
+        # per-tile window base (scalar-prefetched, 8-aligned at pack time;
+        # deltas were packed against it)
+        row0 = pl.multiple_of(base_ref[t], 8)
         xwin = x2_ref[pl.ds(row0, W), :]                     # (W, 128)
         acc = jnp.zeros((gt, 128), dtype=data_ref.dtype)
         wids = jax.lax.broadcasted_iota(jnp.int32, (gt, W), 1)
@@ -77,15 +76,15 @@ def _bws_kernel(delta_ref, data_ref, lidx_ref, x2_ref, o_ref, *,
 
 
 
-def _bws_kernel_cls(ids_ref, delta_ref, data_ref, lidx_ref, x2_ref, o_ref,
+def _bws_kernel_cls(ids_ref, base_ref, delta_ref, data_ref, lidx_ref,
+                    x2_ref, o_ref,
                     *, S: int, W: int, group_rows: int, interpret: bool,
                     fast_select: bool = False, gt: int = GT):
     """Tile-class variant: the tile id comes from the scalar-prefetched
     id list, everything else matches _bws_kernel."""
     slots = 128 // group_rows
-    bpt = gt * group_rows // 128
     t = ids_ref[pl.program_id(0)]
-    row0 = pl.multiple_of(t * bpt // 8 * 8, 8)
+    row0 = pl.multiple_of(base_ref[t], 8)
     xwin = x2_ref[pl.ds(row0, W), :]
     acc = jnp.zeros((gt, 128), dtype=data_ref.dtype)
     wids = jax.lax.broadcasted_iota(jnp.int32, (gt, W), 1)
@@ -124,18 +123,19 @@ def _bws_call_classes(A, x2, n_groups, interpret):
         data_c = A.data[:, :S_c, :]
         lidx_c = A.lidx[:, :S_c, :]
         grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
+            num_scalar_prefetch=2,
             grid=(nt,),
             in_specs=[
-                pl.BlockSpec((gt, S_c), lambda i, ids_ref: (ids_ref[i], 0)),
+                pl.BlockSpec((gt, S_c),
+                             lambda i, ids_ref, b: (ids_ref[i], 0)),
                 pl.BlockSpec((gt, S_c, 128),
-                             lambda i, ids_ref: (ids_ref[i], 0, 0)),
+                             lambda i, ids_ref, b: (ids_ref[i], 0, 0)),
                 pl.BlockSpec((gt, S_c, 128),
-                             lambda i, ids_ref: (ids_ref[i], 0, 0)),
+                             lambda i, ids_ref, b: (ids_ref[i], 0, 0)),
                 pl.BlockSpec(memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec((1, gt, group_rows),
-                                   lambda i, ids_ref: (i, 0, 0)),
+                                   lambda i, ids_ref, b: (i, 0, 0)),
         )
         out = pl.pallas_call(
             functools.partial(_bws_kernel_cls, S=S_c, W=W,
@@ -144,7 +144,7 @@ def _bws_call_classes(A, x2, n_groups, interpret):
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((nt, gt, group_rows), A.dtype),
             interpret=interpret,
-        )(ids_arr, delta_c, data_c, lidx_c, x2)
+        )(ids_arr, A.base, delta_c, data_c, lidx_c, x2)
         y = y.at[ids_arr].set(out)
     return y.reshape(-1)
 
@@ -153,19 +153,22 @@ def bws_spmv(A: BwsMatrix, x: jax.Array, interpret: bool = None
              ) -> jax.Array:
     """y' = A' @ x' in PERMUTED ordering (x' = x[perm], y = y'[iperm...]).
 
-    Use ``bws_matvec`` for the user-ordering wrapper.
+    ``x`` has length shape[1] (rectangular packs supported — AMG
+    transfers); output has length shape[0].  Use ``bws_matvec`` for the
+    user-ordering wrapper (square only).
     """
     n = A.shape[0]
+    n_cols = A.shape[1]
     n_groups = A.n_groups
     S = A.n_segments
     W = A.win_blocks
     group_rows = A.group_rows
-    n_rows_pad = n_groups * group_rows
-    n_blocks = n_rows_pad // 128
-    x2_rows = A.margin_blocks + n_blocks + W   # zero margins both sides
+    n_col_blocks = _ceil_to(n_cols, 128) // 128
+    # W of trailing zero-padding: the last tiles' windows may run past
+    # the final column block (bases are 8-aligned floors)
+    x2_rows = n_col_blocks + W
     xp = jnp.zeros((x2_rows * 128,), dtype=A.dtype)
-    xp = xp.at[A.margin_blocks * 128: A.margin_blocks * 128 + n].set(
-        x.astype(A.dtype))
+    xp = xp.at[:n_cols].set(x.astype(A.dtype))
     x2 = xp.reshape(x2_rows, 128)
 
     if interpret is None:
@@ -192,25 +195,25 @@ def bws_spmv(A: BwsMatrix, x: jax.Array, interpret: bool = None
 
 def _bws_call(grid, S, W, group_rows, interpret, A, x2, n_groups):
     gt = A.gt
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((gt, S), lambda i, b: (i, 0)),
+            pl.BlockSpec((gt, S, 128), lambda i, b: (i, 0, 0)),
+            pl.BlockSpec((gt, S, 128), lambda i, b: (i, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # x2 resident
+        ],
+        out_specs=pl.BlockSpec((gt, group_rows), lambda i, b: (i, 0)),
+    )
     out = pl.pallas_call(
         functools.partial(_bws_kernel, S=S, W=W, group_rows=group_rows,
                           interpret=interpret,
                           fast_select=A.fast_select, gt=gt),
-        grid=(grid,),
-        in_specs=[
-            pl.BlockSpec((gt, S), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((gt, S, 128), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((gt, S, 128), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # x2 resident
-        ],
-        out_specs=pl.BlockSpec((gt, group_rows), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
+        grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_groups, group_rows), A.dtype),
         interpret=interpret,
-    )(A.delta, A.data, A.lidx, x2)
+    )(A.base, A.delta, A.data, A.lidx, x2)
     return out
 
 

@@ -94,6 +94,9 @@ def _geom_cost(used, gt_val, S):
 class BwsMatrix:
     """Device buffers (see module docstring).
 
+    shape may be rectangular (n_rows, n_cols) — e.g. AMG prolongators;
+    rectangular packs take the given orderings (use_rcm must be False).
+
     delta: (n_groups, S) int32   x-window block index per segment
     data:  (n_groups, S, 128)    values   (row r, slot j) at lane 16*r+j
     lidx:  (n_groups, S, 128) int32 ∈ [0,128)  lane of source x entry
@@ -106,9 +109,18 @@ class BwsMatrix:
     lidx: jax.Array
     perm: jax.Array
     iperm: jax.Array
-    shape: tuple = dataclasses.field(metadata=dict(static=True))
-    win_blocks: int = dataclasses.field(metadata=dict(static=True))
-    margin_blocks: int = dataclasses.field(metadata=dict(static=True))
+    # per-tile x-window base block (n_tiles,) int32, 8-aligned: tile t's
+    # window is x2[base[t] : base[t]+W].  Per-tile bases let the window
+    # follow the band (smaller W than a global window) and support
+    # rectangular matrices (AMG transfer operators), where column
+    # position is not tied to row position.
+    base: jax.Array = None
+    shape: tuple = dataclasses.field(default=None,
+                                     metadata=dict(static=True))
+    win_blocks: int = dataclasses.field(default=0,
+                                        metadata=dict(static=True))
+    margin_blocks: int = dataclasses.field(default=0,
+                                           metadata=dict(static=True))
     group_rows: int = dataclasses.field(default=DEFAULT_GROUP_ROWS,
                                         metadata=dict(static=True))
     # per-tile segment classes: ((S_class, (tile ids...)), ...).  Tiles are
@@ -214,13 +226,16 @@ class BwsMatrix:
             return dataclasses.replace(
                 win, delta=jnp.asarray(win.delta),
                 data=jnp.asarray(win.data), lidx=jnp.asarray(win.lidx),
-                perm=jnp.asarray(win.perm), iperm=jnp.asarray(win.iperm))
+                perm=jnp.asarray(win.perm), iperm=jnp.asarray(win.iperm),
+                base=jnp.asarray(win.base))
         GROUP_ROWS = group_rows
         SLOTS = 128 // group_rows
         n = H.shape[0]
-        if H.shape[0] != H.shape[1]:
-            raise ValueError("BWS requires a square matrix")
-        # ---- permutation (bandwidth reduction) ----
+        n_cols = H.shape[1]
+        if n != n_cols and use_rcm:
+            raise ValueError("rectangular BWS packs take the given "
+                             "orderings; pass use_rcm=False")
+        # ---- permutation (bandwidth reduction; square only) ----
         perm = _perm
         if perm is None and use_rcm:
             perm = BwsMatrix._rcm_perm(H)
@@ -231,7 +246,7 @@ class BwsMatrix:
 
         rows, cols, vals = H.to_coo()
         prows = iperm[rows]
-        pcols = iperm[cols]
+        pcols = iperm[cols] if n == n_cols else cols
 
         # ---- group/segment packing ----
         n_rows_pad = _ceil_to(n, GROUP_ROWS * GT)
@@ -310,24 +325,29 @@ class BwsMatrix:
                     best = (cost, g)
             gt_val = best[1]
 
-        # ---- window geometry ----
-        # tile t covers groups [t*gt, (t+1)*gt): its x-window starts at the
-        # tile's first row-block rounded DOWN to an 8-aligned block (Mosaic
-        # needs 8-aligned dynamic sublane slices); deltas absorb the shift.
-        bpt = gt_val * GROUP_ROWS // 128          # row-blocks per tile
-        tile_of_grp = grp // gt_val
-        base_blk = (tile_of_grp * bpt) // 8 * 8   # aligned window base
-        n_blocks = _ceil_to(n_rows_pad, 128) // 128
-        span = (blk - base_blk)
-        lo = int(span.min()) if len(span) else 0
-        hi = int(span.max()) if len(span) else 0
-        margin_blocks = _ceil_to(max(-lo, 0), 8)
-        win_blocks = _ceil_to(margin_blocks + max(hi, 0) + 1, 8)
-        delta_vals = blk - base_blk + margin_blocks
-        if len(delta_vals) and (delta_vals.min() < 0
-                                or delta_vals.max() >= win_blocks):
+        # ---- window geometry (per-tile bases) ----
+        # each tile's x-window starts at the 8-aligned floor of the
+        # smallest column block any of its nnz touches (Mosaic needs
+        # 8-aligned dynamic sublane slices); deltas are packed against
+        # that base.  The window follows the band instead of assuming
+        # column position tracks row position, which both shrinks W and
+        # admits rectangular matrices.
+        n_tiles = n_groups // gt_val
+        tile_of_nnz = grp // gt_val
+        base_t = np.full(n_tiles, np.iinfo(np.int64).max, dtype=np.int64)
+        hi_t = np.zeros(n_tiles, dtype=np.int64)
+        if len(blk):
+            np.minimum.at(base_t, tile_of_nnz, blk)
+            np.maximum.at(hi_t, tile_of_nnz, blk + 1)
+        base_t = np.where(base_t == np.iinfo(np.int64).max, 0, base_t)
+        base_t = base_t // 8 * 8
+        margin_blocks = 0
+        win_blocks = int(_ceil_to(max(int((hi_t - base_t).max(initial=1)),
+                                      1), 8))
+        if win_blocks > max(256, _ceil_to(n_cols, 128) // 128 // 2):
             raise ValueError("BWS window overflow (matrix too unbanded); "
-                             "increase margin or use the ELL path")
+                             "use the ELL path")
+        delta_vals = blk - base_t[tile_of_nnz]
 
         # ---- fill device arrays ----
         data = np.zeros((n_groups, S, 128), dtype=dtype)
@@ -352,5 +372,6 @@ class BwsMatrix:
             conv(delta), conv(data), conv(lidx),
             conv(perm.astype(np.int32)),
             conv(iperm.astype(np.int32)),
-            (n, n), int(win_blocks), int(margin_blocks), group_rows,
+            conv(base_t.astype(np.int32)),
+            (n, n_cols), int(win_blocks), int(margin_blocks), group_rows,
             tuple(classes), fast_select, int(gt_val))

@@ -87,15 +87,53 @@ class TestTileSize:
             BwsMatrix.from_host_csr(H, group_rows=8, gt=8)
 
 
+class TestRectangular:
+    """Rectangular packs (AMG transfer operators): per-tile window bases
+    decouple column position from row position."""
+
+    def _rand_rect(self, n_rows, n_cols, per_row, seed, ratio):
+        rng = np.random.default_rng(seed)
+        rows = np.repeat(np.arange(n_rows), per_row)
+        # banded-ish: columns near row * ratio (aggregation-ordered P/R)
+        centers = (np.arange(n_rows) * ratio).astype(np.int64)
+        cols = np.clip(np.repeat(centers, per_row)
+                       + rng.integers(-3, 4, size=len(rows)),
+                       0, n_cols - 1)
+        vals = rng.standard_normal(len(rows))
+        from pysolvers_tpu.sparse import HostCSR
+        return HostCSR.from_coo(rows, cols, vals, (n_rows, n_cols))
+
+    def _check_rect(self, H):
+        from pysolvers_tpu.ops.bws_spmv import bws_spmv
+        A = BwsMatrix.from_host_csr(H, dtype=np.float32, use_rcm=False)
+        x = np.random.default_rng(9).random(H.shape[1]).astype(np.float32)
+        y = bws_spmv(A, jnp.asarray(x), interpret=True)
+        ref = H.matvec(x.astype(np.float64))
+        assert y.shape[0] == H.shape[0]
+        np.testing.assert_allclose(np.asarray(y), ref, rtol=2e-4, atol=2e-4)
+
+    def test_tall_prolongator_shape(self):
+        self._check_rect(self._rand_rect(2000, 500, 3, 0, 0.25))
+
+    def test_wide_restrictor_shape(self):
+        self._check_rect(self._rand_rect(500, 2000, 6, 1, 4.0))
+
+    def test_rcm_rejected_for_rect(self):
+        H = self._rand_rect(400, 100, 3, 2, 0.25)
+        with pytest.raises(ValueError, match="use_rcm"):
+            BwsMatrix.from_host_csr(H, use_rcm=True)
+
+
 class TestTileClasses:
     def test_class_path_matches_single(self):
         import dataclasses
         import jax.numpy as jnp
         from pysolvers_tpu.ops.bws_spmv import bws_spmv
         H, _, _ = dh_test_problem(12)
-        A = BwsMatrix.from_host_csr(H, dtype=np.float32)
-        if len(A.s_classes) < 2:
-            pytest.skip("pack produced a single segment class")
+        # explicit small-tile geometry: guarantees multiple segment classes
+        A = BwsMatrix.from_host_csr(H, dtype=np.float32, group_rows=32,
+                                    gt=32)
+        assert len(A.s_classes) >= 2
         x = jnp.asarray(np.random.default_rng(0).random(
             H.shape[0]).astype(np.float32))
         # force both paths through the class machinery and the plain kernel

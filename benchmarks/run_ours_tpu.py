@@ -137,7 +137,8 @@ def main():
         Hp = make_perm_host()
         mlh = build_sa_hierarchy(Hp, num_levels=2)
         hier = build_device_hierarchy(mlh, smoother="jacobi", nu_pre=2,
-                                      nu_post=2, dtype=np.float32)
+                                      nu_post=2, dtype=np.float32,
+                                      matrix_format="bws")
 
         class _M:
             @staticmethod

@@ -230,7 +230,8 @@ class DeviceHierarchy:
 
 def build_device_hierarchy(mlh: MLHierarchy, smoother: str = "gs",
                            nu_pre: int = 2, nu_post: int = 2,
-                           dtype=None, mesh=None) -> DeviceHierarchy:
+                           dtype=None, mesh=None,
+                           matrix_format: str = "auto") -> DeviceHierarchy:
     """Lower the host hierarchy onto the device(s).
 
     ``mesh`` (optional): a 1-D jax Mesh — the FINEST level's operator,
@@ -238,12 +239,38 @@ def build_device_hierarchy(mlh: MLHierarchy, smoother: str = "gs",
     coarse levels stay replicated, standard for AMG where coarse work no
     longer fills the machine).  Transfers and smoother state on coarse
     levels are replicated; GSPMD inserts the collectives at the
-    fine-level boundary.  Requires the fine level to be DIA or ELL."""
+    fine-level boundary.  Requires the fine level to be DIA or ELL.
+
+    ``matrix_format="bws"`` packs the level operators and (rectangular)
+    transfers as block-window SELL so V-cycle matvecs run in the Pallas
+    kernel — the TPU-fast path (ELL gathers lower to XLA's scalar loop
+    there).  f32 only; levels/transfers below ~2000 rows keep the auto
+    format (packing overhead dominates).  Not combined with ``mesh``."""
+    use_bws = matrix_format == "bws"
+    if use_bws and mesh is not None:
+        raise ValueError("matrix_format='bws' with mesh= not supported yet")
+    if use_bws and dtype not in (np.float32, "float32", jnp.float32):
+        raise ValueError("matrix_format='bws' requires dtype=np.float32 "
+                         "(Mosaic has no f64)")
+
+    def _bws_or_auto(M, threshold=2000):
+        from ..sparse.bws import BwsMatrix
+        if use_bws and max(M.shape) >= threshold:
+            try:
+                # exact (HIGHEST) selects: bf16 fast_select noise in the
+                # V-cycle operators breaks CG's preconditioner consistency
+                # (measured: DH-15 PCG diverged with fast_select packs)
+                return BwsMatrix.from_host_csr(M, dtype=np.float32,
+                                               use_rcm=False)
+            except ValueError:
+                pass    # too unbanded — fall back to gather formats
+        return as_device_matrix(M, dtype=dtype)[1]
+
     levels: List[DeviceLevel] = []
     for k, A in enumerate(mlh.matrices):
         d = A.diagonal()
         d = np.where(d == 0, 1.0, d)
-        _, A_dev = as_device_matrix(A, dtype=dtype)
+        A_dev = _bws_or_auto(A)
         gs_plan = None
         cheb = None
         if smoother == "gs" and k > 0:
@@ -258,9 +285,11 @@ def build_device_hierarchy(mlh: MLHierarchy, smoother: str = "gs",
         P_dev = None
         R_dev = None
         if k > 0:
-            _, P_dev = as_device_matrix(mlh.prolongators[k - 1], dtype=dtype)
-            _, R_dev = as_device_matrix(mlh.restrictions[k - 1], dtype=dtype)
-        dinv = jnp.asarray(1.0 / d)
+            P_dev = _bws_or_auto(mlh.prolongators[k - 1])
+            R_dev = _bws_or_auto(mlh.restrictions[k - 1])
+        # match the level dtype: a bare f64 dinv would silently promote
+        # every smoother op to (TPU-emulated) f64
+        dinv = jnp.asarray((1.0 / d).astype(dtype or A.data.dtype))
         if mesh is not None and k == len(mlh.matrices) - 1:
             from jax.sharding import NamedSharding, PartitionSpec as PS
             from ..parallel.mesh import ROW_AXIS

@@ -152,7 +152,15 @@ def dia_spmv_xla(A: DiaMatrix, x: jax.Array) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 def matvec(A, x: jax.Array) -> jax.Array:
-    """y = A @ x for any device sparse format (jittable)."""
+    """y = A @ x for any device sparse format (jittable).
+
+    BwsMatrix operates in its packed ordering (identity when built with
+    use_rcm=False, as AMG hierarchies do).
+    """
+    from ..sparse.bws import BwsMatrix
+    if isinstance(A, BwsMatrix):
+        from .bws_spmv import bws_spmv
+        return bws_spmv(A, x)
     if isinstance(A, DiaMatrix):
         if A.dtype == jnp.float32 and x.dtype == jnp.float32:
             return dia_spmv_pallas(A, x)

@@ -151,8 +151,14 @@ def _mixed_state(A: HostCSR, method: str, precond: str, restart):
         from .linear.amg import v_cycle
         import jax.numpy as jnp
         mlh = build_sa_hierarchy(Hp, num_levels=2)
+        # BWS-format levels/transfers on TPU backends (Pallas matvecs);
+        # gather formats elsewhere
+        import jax
+        fmt = ("bws" if jax.default_backend() in ("tpu", "axon")
+               else "auto")
         hier = build_device_hierarchy(mlh, smoother="jacobi", nu_pre=2,
-                                      nu_post=2, dtype=np.float32)
+                                      nu_post=2, dtype=np.float32,
+                                      matrix_format=fmt)
 
         def prec_fn(r):
             x = jnp.zeros_like(r)

@@ -67,9 +67,12 @@ def _bws_sweep_solver(T: HostCSR, lower: bool, unit_diag: bool,
     try:
         # keep the existing ordering: the factor inherits bandedness from
         # the (externally RCM-ordered) matrix; bf16 selects are fine for a
-        # preconditioner
+        # preconditioner.  group_rows pinned to 32 — the measured winner
+        # on every square pack (v5e gt/gr sweeps, see sparse/bws.py cost
+        # model); skipping the 4-way auto sweep cuts factor setup ~4×.
         N = BwsMatrix.from_host_csr(strict, dtype=dtype, use_rcm=False,
-                                    fast_select=True, gt="auto")
+                                    fast_select=True, group_rows=32,
+                                    gt="auto")
     except ValueError:
         return None
     dinv_j = jnp.asarray(dinv)

@@ -260,8 +260,14 @@ def build_device_hierarchy(mlh: MLHierarchy, smoother: str = "gs",
                 # exact (HIGHEST) selects: bf16 fast_select noise in the
                 # V-cycle operators breaks CG's preconditioner consistency
                 # (measured: DH-15 PCG diverged with fast_select packs)
+                # gr=32 pinned for square levels (measured winner);
+                # rectangular transfers keep the auto sweep — a forced
+                # gr=32 on a wide restrictor packs the whole operator
+                # into one tile (S explodes, ~16 MB device uploads)
+                gr = 32 if M.shape[0] == M.shape[1] else None
                 return BwsMatrix.from_host_csr(M, dtype=np.float32,
-                                               use_rcm=False)
+                                               use_rcm=False,
+                                               group_rows=gr, gt="auto")
             except ValueError:
                 pass    # too unbanded — fall back to gather formats
         return as_device_matrix(M, dtype=dtype)[1]

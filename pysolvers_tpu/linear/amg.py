@@ -417,7 +417,8 @@ class AMGVCycle(IterativeLinearSolverType):
 
     def __init__(self, control: Optional[SolverConfig] = None,
                  num_levels: int = 2, nu_pre: int = 2, nu_post: int = 2,
-                 smoother: str = "gs", base_tol: float = 0.08, mesh=None):
+                 smoother: str = "gs", base_tol: float = 0.08, mesh=None,
+                 matrix_format: str = "auto"):
         super().__init__(control, None)
         self.num_levels = num_levels
         self.nu_pre = nu_pre
@@ -427,6 +428,9 @@ class AMGVCycle(IterativeLinearSolverType):
         # optional 1-D device mesh: shards the fine level (and the solve's
         # vectors) over the mesh — distributed AMG with coarse gathering
         self.mesh = mesh
+        # "bws" runs the cycle's matvecs in the BWS Pallas kernel (TPU
+        # fast path; f32 solves only) — see build_device_hierarchy
+        self.matrix_format = matrix_format
 
     def make_solver(self):
         return AMGVCycleSolver(self)
@@ -451,7 +455,8 @@ class AMGVCycleSolver(IterativeLinearSolver):
                                  self.typ.base_tol)
         self._hierarchy = build_device_hierarchy(
             mlh, self.typ.smoother, self.typ.nu_pre, self.typ.nu_post,
-            dtype=dtype, mesh=self.typ.mesh)
+            dtype=dtype, mesh=self.typ.mesh,
+            matrix_format=self.typ.matrix_format)
         h = self._hierarchy
         maxiter = self.control.maxiter
         norm_fn = self.control.norm_fn()

@@ -113,21 +113,25 @@ def dia_spmv_pallas(A: DiaMatrix, x: jax.Array, tile: int = 32768,
     grid = n_tiles // 8
     if interpret is None:
         interpret = _interpret_mode()
-    out = pl.pallas_call(
-        functools.partial(_dia_kernel, offsets=offsets, tile=tile,
-                          pad_lo=pad_lo),
-        grid=(grid,),
-        interpret=interpret,
-        in_specs=[
-            pl.BlockSpec((D, 8, tile), lambda i: (0, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, wlen), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((8, tile), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n_tiles, tile), A.dtype),
-    )(diags3, xw)
+    # trace the call (incl. grid/index machinery) in 32-bit mode: under
+    # jax_enable_x64 large-n index scalars become int64, which Mosaic
+    # cannot legalize (observed at n=2.1M: "func.return (i64, i32, i64)")
+    with jax.enable_x64(False):
+        out = pl.pallas_call(
+            functools.partial(_dia_kernel, offsets=offsets, tile=tile,
+                              pad_lo=pad_lo),
+            grid=(grid,),
+            interpret=interpret,
+            in_specs=[
+                pl.BlockSpec((D, 8, tile), lambda i: (0, i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((8, wlen), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((8, tile), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((n_tiles, tile), A.dtype),
+        )(diags3, xw)
     return out.reshape(-1)[:n]
 
 

@@ -170,10 +170,8 @@ def matvec(A, x: jax.Array) -> jax.Array:
             return dia_spmv_pallas(A, x)
         return dia_spmv_xla(A, x)
     if isinstance(A, EllMatrix):
-        from .gather_spmv import ell_spmv_pallas, pallas_supported
-        if (A.dtype == jnp.float32 and x.dtype == jnp.float32
-                and pallas_supported(A)):
-            return ell_spmv_pallas(A, x)
+        # Unstructured fast path is the BWS kernel (ops/bws_spmv.py); ELL is
+        # the XLA-gather fallback and the distributed all-gather format.
         return ell_spmv_xla(A, x)
     if isinstance(A, jax.Array) or hasattr(A, "ndim") and A.ndim == 2:
         return A @ x

@@ -30,14 +30,27 @@ from .preconditioner import Preconditioner, PreconditionerType
 
 
 def _resolve_trisolve_mode(mode: str) -> str:
-    """"auto" = BWS Jacobi sweeps on TPU backends (the level schedule's
-    per-level gathers lower to XLA's scalar path there), exact level
-    scheduling elsewhere."""
+    """"auto" = exact block-banded solves on TPU backends (dense MXU path,
+    ops/block_trisolve.py; falls back to BWS Jacobi sweeps when the factor
+    isn't banded enough), exact level scheduling elsewhere."""
     if mode != "auto":
         return mode
     import jax
-    return ("jacobi_bws" if jax.default_backend() in ("tpu", "axon")
+    return ("block" if jax.default_backend() in ("tpu", "axon")
             else "level")
+
+
+def _block_solver(T: HostCSR, lower: bool, unit_diag: bool, dtype):
+    """Exact block-banded trisolve apply, or None if the factor doesn't
+    qualify (not banded enough / too much dense storage)."""
+    from ..ops.block_trisolve import (build_block_trisolve_plan,
+                                      block_trisolve)
+    try:
+        plan = build_block_trisolve_plan(T, lower=lower, unit_diag=unit_diag,
+                                         dtype=dtype)
+    except ValueError:
+        return None
+    return lambda b: block_trisolve(plan, b)
 
 
 def _bws_sweep_solver(T: HostCSR, lower: bool, unit_diag: bool,
@@ -223,14 +236,15 @@ class ILUTPreconditionerType(PreconditionerType):
         self.drop_tol = drop_tol
         self.fill_factor = fill_factor
         self.side = side
-        # "level": exact level-scheduled solves (parity; the fast CPU
-        # mode).  "jacobi": fixed Jacobi sweeps — approximate and
-        # latency-friendly (converges because triangular iteration
-        # matrices are nilpotent; quality degrades gracefully with fewer
-        # sweeps).  "jacobi_bws": the sweeps' matvecs run in the BWS
-        # Pallas kernel — the TPU-fast mode (the level schedule's
-        # per-level gathers fall on the XLA scalar path there).
-        # "auto": jacobi_bws on TPU backends, level elsewhere.
+        # "block": EXACT block-banded solves on the dense MXU path
+        # (ops/block_trisolve.py) — the TPU-fast mode for RCM-banded
+        # factors.  "level": exact level-scheduled solves (parity; the
+        # fast CPU mode).  "jacobi": fixed Jacobi sweeps — approximate
+        # and latency-friendly (converges because triangular iteration
+        # matrices are nilpotent).  "jacobi_bws": the sweeps' matvecs
+        # run in the BWS Pallas kernel (fallback when the factor isn't
+        # banded enough for "block").  "auto": block on TPU backends,
+        # level elsewhere.
         self.trisolve_mode = trisolve_mode
         self.sweeps = sweeps
 
@@ -242,6 +256,12 @@ class ILUTPreconditionerType(PreconditionerType):
         planU = build_trisolve_plan(U, lower=False, dtype=dtype)
         mode = _resolve_trisolve_mode(self.trisolve_mode)
 
+        if mode == "block":
+            sl = _block_solver(L, True, True, np.float32)
+            su = _block_solver(U, False, False, np.float32)
+            if sl is not None and su is not None:
+                return self._wrap(lambda v: su(sl(v)))
+            mode = "jacobi_bws"     # factor not banded enough
         if mode == "jacobi_bws":
             sl = _bws_sweep_solver(L, True, True, self.sweeps, np.float32)
             su = _bws_sweep_solver(U, False, False, self.sweeps, np.float32)
@@ -284,6 +304,12 @@ class ICPreconditionerType(PreconditionerType):
         planLT = build_trisolve_plan(Lc.transpose(), lower=False, dtype=dtype)
         mode = _resolve_trisolve_mode(self.trisolve_mode)
 
+        if mode == "block":
+            sl = _block_solver(Lc, True, False, np.float32)
+            su = _block_solver(Lc.transpose(), False, False, np.float32)
+            if sl is not None and su is not None:
+                return self._wrap(lambda v: su(sl(v)))
+            mode = "jacobi_bws"     # factor not banded enough
         if mode == "jacobi_bws":
             sl = _bws_sweep_solver(Lc, True, False, self.sweeps, np.float32)
             su = _bws_sweep_solver(Lc.transpose(), False, False,

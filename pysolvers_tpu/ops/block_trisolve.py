@@ -1,0 +1,166 @@
+"""Exact block-banded triangular solve on TPU (dense MXU path).
+
+Replaces the reference's SuperLU triangular-solve delegation
+(ICPreconditioner.py:61-63 ``spsolve_triangular``;
+ILUTPreconditioner.py:67,78 ``.solve()``) with a TPU-native EXACT solve:
+
+After RCM ordering the incomplete factors are banded (DH-15 IC factor:
+bandwidth 257).  Partition rows into contiguous blocks of ``bs``; the factor
+becomes block-banded with ``p = max block reach`` subdiagonal blocks.  Then
+
+    x_i = L_ii^{-1} ( b_i - sum_{j=1..p} S_{i,j} x_{i-j} )
+
+is a linear recurrence over blocks with dense ``bs x bs`` operators — one
+``lax.scan`` of dense matvecs per solve.  The diagonal-block inverses are
+computed ON DEVICE at setup by nilpotent doubling:
+
+    L_ii = D (I + K),  K strictly lower => nilpotent, K^bs = 0
+    (I + K)^{-1} = prod_{k=0}^{ceil(log2 bs)-1} (I + (-K)^(2^k))   (exact)
+
+which is a handful of batched MXU matmuls — no SuperLU, no scalar gathers,
+no 10s-of-MB host->device uploads (only the sparse ELL ships; the dense
+blocks are scattered and inverted on device).
+
+Upper-triangular factors are handled by the reversal trick: with J the
+index-reversal permutation, J U J is lower triangular, so solve the
+reversed system and flip the result.
+
+Unlike the level-scheduled path (ops/trisolve.py) whose per-level gathers
+lower to XLA's scalar path on TPU, and unlike the truncated Jacobi sweeps
+(approximate), this path is exact AND maps to the MXU.
+"""
+from __future__ import annotations
+
+import dataclasses
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..sparse.host import HostCSR
+
+_HI = jax.lax.Precision.HIGHEST
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class BlockTriSolvePlan:
+    """Device-resident plan.
+
+    s_hat: (nb, bs, p*bs)  Dinv_i @ [S_{i,p} ... S_{i,1}] (oldest block
+           first, matching the scan carry layout)
+    dinv:  (nb, bs, bs)    dense inverses of the diagonal blocks
+    """
+
+    s_hat: jax.Array
+    dinv: jax.Array
+    n: int = dataclasses.field(metadata=dict(static=True))
+    bs: int = dataclasses.field(metadata=dict(static=True))
+    p: int = dataclasses.field(metadata=dict(static=True))
+    flip: bool = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def nb(self):
+        return self.s_hat.shape[0]
+
+
+def _tri_inverse_doubling(D: jax.Array) -> jax.Array:
+    """Batched inverse of dense lower-triangular blocks (nb, bs, bs) by
+    nilpotent doubling — exact in exact arithmetic, all MXU matmuls."""
+    nb, bs, _ = D.shape
+    d = jnp.diagonal(D, axis1=1, axis2=2)                    # (nb, bs)
+    dinv = 1.0 / d
+    # column-normalize: K[i,j] = S[i,j]/d_j  =>  D = (I + K) Ddiag
+    tri = jnp.tril(jnp.ones((bs, bs), dtype=D.dtype), k=-1)
+    K = D * tri * dinv[:, None, :]
+    X = -K                                                   # (-K)^1
+    inv = jnp.broadcast_to(jnp.eye(bs, dtype=D.dtype), D.shape) + X
+    for _ in range(max(int(math.ceil(math.log2(bs))) - 1, 0)):
+        X = jnp.einsum("nij,njk->nik", X, X, precision=_HI)  # (-K)^(2^k)
+        inv = inv + jnp.einsum("nij,njk->nik", inv, X, precision=_HI)
+    # D^{-1} = Ddiag^{-1} (I + K)^{-1}  (row scaling)
+    return dinv[:, :, None] * inv
+
+
+def build_block_trisolve_plan(T: HostCSR, lower: bool, unit_diag: bool = False,
+                              bs: int = 256, dtype=np.float32,
+                              max_p: int = 4,
+                              max_bytes: int = 2 << 30) -> BlockTriSolvePlan:
+    """Pack a banded triangular HostCSR into a block-banded device plan.
+
+    Raises ValueError when the factor's block reach exceeds ``max_p`` (not
+    banded enough — caller should fall back to another trisolve mode) or
+    when the dense block storage would exceed ``max_bytes``.
+    """
+    n = T.shape[0]
+    rows, cols, vals = T.to_coo()
+    vals = vals.astype(dtype)
+    if not lower:
+        rows, cols = (n - 1) - rows, (n - 1) - cols
+    flip = not lower
+
+    nb = max((n + bs - 1) // bs, 1)
+    npad = nb * bs
+    blk_r = rows // bs
+    blk_c = cols // bs
+    reach = blk_r - blk_c
+    if reach.min(initial=0) < 0:
+        raise ValueError("matrix is not (reversed-)lower triangular")
+    p = int(reach.max(initial=0))
+    if p > max_p:
+        raise ValueError(f"block reach {p} exceeds max_p={max_p}; "
+                         "factor not banded enough for the block path")
+    if nb * bs * bs * (2 * p + 2) * np.dtype(dtype).itemsize > max_bytes:
+        raise ValueError("dense block storage would exceed max_bytes")
+
+    # wide layout per block row: [S_p | ... | S_1 | D], width (p+1)*bs;
+    # column offset of entry (r, c): (p - reach)*bs + c % bs
+    wide_col = (p - reach) * bs + cols % bs
+    W = jnp.zeros((nb, bs, (p + 1) * bs), dtype=dtype)
+    W = W.at[jnp.asarray(blk_r), jnp.asarray(rows % bs),
+             jnp.asarray(wide_col)].set(jnp.asarray(vals))
+
+    D = W[:, :, p * bs:]
+    if unit_diag:
+        eye = jnp.eye(bs, dtype=dtype)
+        D = D * (1.0 - eye) + eye
+    else:
+        d = jnp.diagonal(D, axis1=1, axis2=2)
+        # padded tail rows (and any structurally-missing diagonal) -> 1.0
+        d_ok = jnp.where(d == 0, 1.0, d)
+        D = jnp.where(jnp.eye(bs, dtype=bool)[None],
+                      d_ok[:, :, None] * jnp.eye(bs, dtype=dtype)[None], D)
+    dinv = _tri_inverse_doubling(D)
+    if p:
+        s_hat = jnp.einsum("nij,njk->nik", dinv, W[:, :, : p * bs],
+                           precision=_HI)
+    else:
+        s_hat = jnp.zeros((nb, bs, 0), dtype=dtype)
+    return BlockTriSolvePlan(s_hat, dinv, n, bs, p, flip)
+
+
+def block_trisolve(plan: BlockTriSolvePlan, b: jax.Array) -> jax.Array:
+    """Solve T x = b exactly with the block-banded plan (jittable)."""
+    n, bs, p, nb = plan.n, plan.bs, plan.p, plan.nb
+    bf = b[::-1] if plan.flip else b
+    bp = jnp.zeros((nb * bs,), dtype=plan.dinv.dtype).at[:n].set(
+        bf.astype(plan.dinv.dtype))
+    u = jnp.einsum("nij,nj->ni", plan.dinv, bp.reshape(nb, bs),
+                   precision=_HI)                              # (nb, bs)
+
+    if p == 0:
+        x = u.reshape(-1)[:n]
+        return (x[::-1] if plan.flip else x).astype(b.dtype)
+
+    def step(carry, inp):
+        u_i, s_i = inp                                         # (bs,), (bs, p*bs)
+        x_i = u_i - jnp.einsum("ij,j->i", s_i, carry.reshape(-1),
+                               precision=_HI)
+        carry = jnp.concatenate([carry[1:], x_i[None]], axis=0)
+        return carry, x_i
+
+    carry0 = jnp.zeros((p, bs), dtype=plan.dinv.dtype)
+    _, xs = jax.lax.scan(step, carry0, (u, plan.s_hat))
+    x = xs.reshape(-1)[:n]
+    return (x[::-1] if plan.flip else x).astype(b.dtype)

@@ -94,9 +94,22 @@ class LinearSolver:
 
 class IterativeLinearSolverType(LinearSolverType):
     def __init__(self, control: Optional[SolverConfig] = None,
-                 precond: Optional[PreconditionerType] = None):
+                 precond: Optional[PreconditionerType] = None,
+                 precision: str = "native", mesh=None):
         self.control = control or SolverConfig()
         self.precond = precond or IdentityPreconditionerType()
+        # "native": solve in the matrix dtype on device.  "mixed": inner
+        # Krylov in f32 on the TPU kernels + host f64 residual refinement
+        # (linear/refine.py) — the TPU route to 1e-10-grade accuracy
+        # (device f64 is XLA-emulated there).
+        if precision not in ("native", "mixed"):
+            raise ValueError(f"precision must be 'native' or 'mixed', "
+                             f"got {precision!r}")
+        self.precision = precision
+        # optional jax.sharding.Mesh: shards the operator, the vectors and
+        # the solve over the mesh's row axis (parallel/).  None = single
+        # device.
+        self.mesh = mesh
 
 
 class IterativeLinearSolver(LinearSolver):
@@ -161,16 +174,106 @@ class IterativeLinearSolver(LinearSolver):
         host, dev = as_device_matrix(A)
         return host, dev
 
+    # --- mixed-precision route (precision="mixed") ---------------------
+    # Inner f32 Krylov on the TPU kernels (DIA for banded stencils, BWS
+    # for unstructured on TPU backends) + host f64 residual refinement.
+    # The f32 operator rides as a traced pytree argument of one cached
+    # inner jit (refine._cached_inner_op), so Newton steps that bump the
+    # Jacobian's values reuse the compilation.
+
+    def _solve_mixed(self, A, b, method: str, restart=None) -> SolveStatus:
+        from .linear.refine import ir_solve_host
+        from .sparse.bws import BwsMatrix
+
+        A_host, A_dev = self._split_matrix(A)
+        if self.matrix_frozen() and getattr(self, "_mx", None) is not None:
+            mx = self._mx
+        else:
+            if isinstance(A_dev, DiaMatrix):
+                A32 = (A_dev if A_dev.dtype == jnp.float32 else DiaMatrix(
+                    A_dev.diags.astype(jnp.float32), A_dev.offsets,
+                    A_dev.shape))
+                perm = None
+            elif A_host is None:
+                raise ValueError("mixed-precision solve needs a HostCSR "
+                                 "matrix (or a DIA device matrix)")
+            elif DiaMatrix.is_profitable(A_host):
+                A32 = DiaMatrix.from_host_csr(A_host, dtype=np.float32)
+                perm = None
+            elif jax.default_backend() in ("tpu", "axon"):
+                A32 = BwsMatrix.from_host_csr(A_host, dtype=np.float32)
+                perm = np.asarray(A32.perm)
+            else:
+                A32 = EllMatrix.from_host_csr(A_host, dtype=np.float32)
+                perm = None
+            if A_host is not None:
+                if perm is None:
+                    Hp = A_host
+                else:
+                    ip = np.asarray(A32.iperm)
+                    rows, cols, vals = A_host.to_coo()
+                    Hp = HostCSR.from_coo(ip[rows], ip[cols], vals,
+                                          A_host.shape)
+                mv_hi = Hp.matvec
+                Hp32 = HostCSR(Hp.indptr, Hp.indices,
+                               Hp.data.astype(np.float32), Hp.shape)
+            else:
+                # DIA device only: true residuals from its diagonals on
+                # host (at the device matrix's own precision)
+                diags = np.asarray(A_dev.diags)
+                offsets = A_dev.offsets
+                n, m = A_dev.shape
+
+                def mv_hi(v):
+                    y = np.zeros(n, dtype=np.result_type(v, np.float64))
+                    for d, off in enumerate(offsets):
+                        i = np.arange(max(0, -off), min(n, m - off))
+                        y[i] += diags[d, i] * v[i + off]
+                    return y
+
+                Hp32 = None
+            mx = dict(A32=A32, perm=perm, mv_hi=mv_hi, Hp32=Hp32)
+            self._mx = mx
+
+        prec = self._get_precond(mx["Hp32"], mx["A32"])
+        if getattr(self, "_mx_prec_src", None) is not prec:
+            # prec.apply_right makes a FRESH bound method each access —
+            # pin one so the inner-jit cache key stays stable
+            self._mx_prec_src = prec
+            self._mx_papply = None if prec.is_identity else prec.apply_right
+
+        perm = mx["perm"]
+        b_h = np.asarray(b, dtype=np.float64)
+        bp = b_h if perm is None else b_h[perm]
+        eff = self._effective_tau()
+        inner_tau = max(min(eff, 0.5), 1e-6)
+        x, st, _ = ir_solve_host(
+            mx["mv_hi"], None, bp, tau=eff, inner_tau=inner_tau,
+            inner_maxiter=self.control.maxiter, method=method,
+            restart=restart, precond_lo=self._mx_papply,
+            host_residual=True, A_lo=mx["A32"])
+        xh = np.asarray(x)
+        if perm is not None:
+            xh = xh[np.asarray(mx["A32"].iperm)]
+        return make_status(jnp.asarray(xh), st, self.control, history=None)
+
 
 # ---------------------------------------------------------------------------
 # PCG
 # ---------------------------------------------------------------------------
 
 class PCG(IterativeLinearSolverType):
-    """Factory for preconditioned CG (reference PCGSolver.py:25-36)."""
+    """Factory for preconditioned CG (reference PCGSolver.py:25-36).
+
+    ``precision="mixed"`` solves to f64-grade tolerances with f32 device
+    kernels (host-residual refinement); ``mesh=`` runs the solve sharded
+    over a 1-D device mesh (parallel/)."""
 
     def make_solver(self):
-        return PCGSolver(self.control, self.precond)
+        s = PCGSolver(self.control, self.precond)
+        s.precision = self.precision
+        s.mesh = self.mesh
+        return s
 
     makeSolver = make_solver
 
@@ -198,6 +301,8 @@ class PCGSolver(IterativeLinearSolver):
         self._jit_op = None
 
     def solve(self, A, b) -> SolveStatus:
+        if getattr(self, "precision", "native") == "mixed":
+            return self._solve_mixed(A, b, "cg")
         A_host, A_dev = self._split_matrix(A)
         b = jnp.asarray(b, dtype=getattr(A_dev, "dtype", None))
         prec = self._get_precond(A_host, A_dev)
@@ -251,15 +356,18 @@ class GMRES(IterativeLinearSolverType):
     def __init__(self, control: Optional[SolverConfig] = None,
                  precond: Optional[PreconditionerType] = None,
                  restart: Optional[int] = None, flexible: bool = False,
-                 orthog: str = "mgs"):
-        super().__init__(control, precond)
+                 orthog: str = "mgs", precision: str = "native", mesh=None):
+        super().__init__(control, precond, precision=precision, mesh=mesh)
         self.restart = restart
         self.flexible = flexible
         self.orthog = orthog
 
     def make_solver(self):
-        return GMRESSolver(self.control, self.precond, self.restart,
-                           self.flexible, self.orthog)
+        s = GMRESSolver(self.control, self.precond, self.restart,
+                        self.flexible, self.orthog)
+        s.precision = self.precision
+        s.mesh = self.mesh
+        return s
 
     makeSolver = make_solver
 
@@ -273,6 +381,9 @@ class GMRESSolver(IterativeLinearSolver):
         self.orthog = orthog
 
     def solve(self, A, b) -> SolveStatus:
+        if getattr(self, "precision", "native") == "mixed":
+            return self._solve_mixed(A, b, "gmres",
+                                     restart=self.restart or 60)
         A_host, A_dev = self._split_matrix(A)
         b = jnp.asarray(b, dtype=getattr(A_dev, "dtype", None))
         prec = self._get_precond(A_host, A_dev)

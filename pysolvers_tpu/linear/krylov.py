@@ -37,6 +37,48 @@ def _dot(a, b):
     return jnp.sum(a * b)
 
 
+def richardson_solve(matvec: Callable, b: jax.Array,
+                     x0: Optional[jax.Array] = None, *,
+                     maxiter: int = 100, tau: float = 1e-8,
+                     precond: Optional[Callable] = None,
+                     norm_fn: Optional[Callable] = None):
+    """Preconditioned stationary (Richardson) iteration, fully jitted:
+    x_{k+1} = x_k + M(b - A x_k), stop on ||r|| <= tau ||b||.
+
+    With M = one AMG V-cycle this IS the reference's AMG-V-cycle-as-solver
+    (VCycleSolver.py:79-91: cycle, residual check, repeat).  Returns
+    (x, KrylovState, None) like the Krylov drivers.
+    """
+    norm = norm_fn or (lambda v: jnp.sqrt(jnp.sum(v * v)))
+    M = precond or (lambda v: v)
+    b_norm = norm(b)
+    tol = tau * b_norm
+    x0 = jnp.zeros_like(b) if x0 is None else x0
+
+    def cond(c):
+        return c[4] == StopReason.RUNNING
+
+    def body(c):
+        k, x, r, _, _ = c
+        x = x + M(r)
+        r = b - matvec(x)
+        rn = norm(r)
+        k = k + 1
+        reason = jnp.where(
+            rn <= tol, StopReason.CONVERGED,
+            jnp.where(k >= maxiter, StopReason.MAXITER,
+                      StopReason.RUNNING)).astype(jnp.int32)
+        return (k, x, r, rn, reason)
+
+    r0 = b - matvec(x0)
+    r0n = norm(r0)
+    init_reason = jnp.where(r0n <= tol, StopReason.CONVERGED,
+                            StopReason.RUNNING).astype(jnp.int32)
+    k, x, _, rn, reason = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), x0, r0, r0n, init_reason))
+    return x, KrylovState(k, rn, reason), None
+
+
 # ---------------------------------------------------------------------------
 # CG
 # ---------------------------------------------------------------------------

@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core import StopReason
-from .krylov import KrylovState, cg_solve, gmres_solve
+from .krylov import KrylovState, cg_solve, gmres_solve, richardson_solve
 
 
 class _IRCarry(NamedTuple):
@@ -48,6 +48,10 @@ def ir_solve(matvec_hi: Callable, matvec_lo: Callable, b: jax.Array,
         if method == "cg":
             d, st, _ = cg_solve(matvec_lo, r32, maxiter=inner_maxiter,
                                 tau=inner_tau, precond=precond_lo)
+        elif method == "richardson":
+            d, st, _ = richardson_solve(matvec_lo, r32,
+                                        maxiter=inner_maxiter,
+                                        tau=inner_tau, precond=precond_lo)
         else:
             d, st, _ = gmres_solve(matvec_lo, r32, maxiter=inner_maxiter,
                                    tau=inner_tau, precond=precond_lo,
@@ -90,6 +94,40 @@ def ir_solve(matvec_hi: Callable, matvec_lo: Callable, b: jax.Array,
 _INNER_CACHE = {}
 
 
+def _cached_inner_op(precond_lo, method, inner_maxiter, restart):
+    """Like ``_cached_inner`` but the operator AND the tolerance are traced
+    ARGUMENTS of the jitted graph instead of closed-over constants:
+    repeated solves with same-structure matrices whose values change
+    (Newton steps bumping the Jacobian diagonal) and adaptive tolerances
+    (Newton's forcing terms) reuse one compilation."""
+    from ..ops import matvec as op_matvec
+    key = ("op", id(precond_lo), method, inner_maxiter, restart)
+    ent = _INNER_CACHE.get(key)
+    if ent is not None and ent[0] is precond_lo:
+        return ent[1]
+
+    @jax.jit
+    def inner(A_dev, r32, inner_tau):
+        mv = lambda v: op_matvec(A_dev, v)
+        if method == "cg":
+            d, st, _ = cg_solve(mv, r32, maxiter=inner_maxiter,
+                                tau=inner_tau, precond=precond_lo)
+        elif method == "richardson":
+            d, st, _ = richardson_solve(mv, r32, maxiter=inner_maxiter,
+                                        tau=inner_tau, precond=precond_lo)
+        else:
+            d, st, _ = gmres_solve(mv, r32, maxiter=inner_maxiter,
+                                   tau=inner_tau, precond=precond_lo,
+                                   restart=restart,
+                                   check_true_residual=False)
+        return jnp.concatenate([d, st.k.astype(d.dtype)[None]])
+
+    if len(_INNER_CACHE) > 64:
+        _INNER_CACHE.pop(next(iter(_INNER_CACHE)))
+    _INNER_CACHE[key] = (precond_lo, inner)
+    return inner
+
+
 def _cached_inner(matvec_lo, precond_lo, method, inner_maxiter, inner_tau,
                   restart):
     """Build (or reuse) the jitted inner-solve graph.
@@ -109,11 +147,24 @@ def _cached_inner(matvec_lo, precond_lo, method, inner_maxiter, inner_tau,
     @jax.jit
     def inner(r32):
         if method == "cg":
-            return cg_solve(matvec_lo, r32, maxiter=inner_maxiter,
-                            tau=inner_tau, precond=precond_lo)
-        return gmres_solve(matvec_lo, r32, maxiter=inner_maxiter,
-                           tau=inner_tau, precond=precond_lo,
-                           restart=restart, check_true_residual=False)
+            d, st, _ = cg_solve(matvec_lo, r32, maxiter=inner_maxiter,
+                                tau=inner_tau, precond=precond_lo)
+        elif method == "richardson":
+            # stationary iteration (e.g. AMG-V-cycle-as-solver,
+            # reference VCycleSolver.py:79-91) under f64 refinement
+            d, st, _ = richardson_solve(matvec_lo, r32,
+                                        maxiter=inner_maxiter,
+                                        tau=inner_tau, precond=precond_lo)
+        else:
+            d, st, _ = gmres_solve(matvec_lo, r32, maxiter=inner_maxiter,
+                                   tau=inner_tau, precond=precond_lo,
+                                   restart=restart,
+                                   check_true_residual=False)
+        # pack the correction and the iteration count into ONE array so a
+        # host-driven outer loop pays a single device->host fetch per pass
+        # (each fetch costs ~25 ms through the axon tunnel; k < 2^24 is
+        # exact in f32)
+        return jnp.concatenate([d, st.k.astype(d.dtype)[None]])
 
     if len(_INNER_CACHE) > 64:        # bounded: drop the oldest entry
         _INNER_CACHE.pop(next(iter(_INNER_CACHE)))
@@ -125,7 +176,7 @@ def ir_solve_host(matvec_hi, matvec_lo, b, *, tau: float = 1e-10,
                   max_outer: int = 20, inner_tau: float = 1e-6,
                   inner_maxiter: int = 500, method: str = "cg",
                   precond_lo=None, restart=None,
-                  host_residual: bool = False):
+                  host_residual: bool = False, A_lo=None):
     """Host-driven iterative refinement: the inner f32 Krylov solve is one
     (small) jitted computation re-dispatched per outer pass, and the f64
     residual update runs as a second jitted step.
@@ -171,8 +222,17 @@ def ir_solve_host(matvec_hi, matvec_lo, b, *, tau: float = 1e-10,
     b_norm = float(np.linalg.norm(np.asarray(b_h)))
     tol = tau * b_norm
 
-    inner = _cached_inner(matvec_lo, precond_lo, method, inner_maxiter,
-                          float(inner_tau), restart)
+    if A_lo is not None:
+        # the device matrix and the tolerance ride as traced arguments:
+        # same-structure matrices with different values (Newton Jacobians)
+        # and adaptive tolerances share one compiled inner graph
+        inner_op = _cached_inner_op(precond_lo, method, inner_maxiter,
+                                    restart)
+        tau32 = jnp.float32(inner_tau)
+        inner = lambda r32: inner_op(A_lo, r32, tau32)
+    else:
+        inner = _cached_inner(matvec_lo, precond_lo, method, inner_maxiter,
+                              float(inner_tau), restart)
 
     x = x_h
     inner_total = 0
@@ -192,12 +252,14 @@ def ir_solve_host(matvec_hi, matvec_lo, b, *, tau: float = 1e-10,
         scale = rn if rn > 0 else 1.0
         r32 = jnp.asarray((np.asarray(r) / scale).astype(np.float32)) \
             if host_residual else (r / scale).astype(jnp.float32)
-        d32, st, _ = inner(r32)
-        inner_total += int(st.k)
+        packed = inner(r32)
         if host_residual:
-            x = x + scale * np.asarray(d32, dtype=np.float64)
+            packed_h = np.asarray(packed)          # one fetch: d32 + k
+            inner_total += int(packed_h[-1])
+            x = x + scale * packed_h[:-1].astype(np.float64)
         else:
-            x = x + scale * d32.astype(jnp.float64)
+            inner_total += int(packed[-1])
+            x = x + scale * packed[:-1].astype(jnp.float64)
     else:
         _, rn = residual(x)
         if rn <= tol:

@@ -33,6 +33,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -115,29 +116,42 @@ def build_block_trisolve_plan(T: HostCSR, lower: bool, unit_diag: bool = False,
         raise ValueError("dense block storage would exceed max_bytes")
 
     # wide layout per block row: [S_p | ... | S_1 | D], width (p+1)*bs;
-    # column offset of entry (r, c): (p - reach)*bs + c % bs
-    wide_col = (p - reach) * bs + cols % bs
-    W = jnp.zeros((nb, bs, (p + 1) * bs), dtype=dtype)
-    W = W.at[jnp.asarray(blk_r), jnp.asarray(rows % bs),
-             jnp.asarray(wide_col)].set(jnp.asarray(vals))
+    # column offset of entry (r, c): (p - reach)*bs + c % bs.  Flat
+    # scatter indices computed on host; the dense build + inversion runs
+    # as ONE jitted dispatch (eager op-by-op costs ~25 ms/op through the
+    # axon tunnel, and the doubling matmuls belong on the MXU anyway).
+    wide = (p + 1) * bs
+    flat_idx = (blk_r * bs + rows % bs) * wide + (p - reach) * bs + cols % bs
+    s_hat, dinv = _build_blocks(jnp.asarray(vals), jnp.asarray(flat_idx),
+                                nb, bs, p, unit_diag,
+                                jnp.dtype(dtype).name)
+    return BlockTriSolvePlan(s_hat, dinv, n, bs, p, flip)
+
+
+@partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
+def _build_blocks(vals, flat_idx, nb, bs, p, unit_diag, dtype_name):
+    dtype = jnp.dtype(dtype_name)
+    wide = (p + 1) * bs
+    W = jnp.zeros((nb * bs * wide,), dtype=dtype)
+    W = W.at[flat_idx].set(vals.astype(dtype)).reshape(nb, bs, wide)
 
     D = W[:, :, p * bs:]
+    eye = jnp.eye(bs, dtype=dtype)
     if unit_diag:
-        eye = jnp.eye(bs, dtype=dtype)
         D = D * (1.0 - eye) + eye
     else:
         d = jnp.diagonal(D, axis1=1, axis2=2)
         # padded tail rows (and any structurally-missing diagonal) -> 1.0
         d_ok = jnp.where(d == 0, 1.0, d)
         D = jnp.where(jnp.eye(bs, dtype=bool)[None],
-                      d_ok[:, :, None] * jnp.eye(bs, dtype=dtype)[None], D)
+                      d_ok[:, :, None] * eye[None], D)
     dinv = _tri_inverse_doubling(D)
     if p:
         s_hat = jnp.einsum("nij,njk->nik", dinv, W[:, :, : p * bs],
                            precision=_HI)
     else:
         s_hat = jnp.zeros((nb, bs, 0), dtype=dtype)
-    return BlockTriSolvePlan(s_hat, dinv, n, bs, p, flip)
+    return s_hat, dinv
 
 
 def block_trisolve(plan: BlockTriSolvePlan, b: jax.Array) -> jax.Array:

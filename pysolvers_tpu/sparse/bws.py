@@ -75,6 +75,71 @@ def _classed_slots(used, gt_val):
                for s_c, ids in _build_classes(used, gt_val)) * gt_val * 128
 
 
+def _auto_geometry(H: HostCSR, perm, fast_select: bool):
+    """Stats-only geometry pre-pass: pick (group_rows, gt) from one
+    sorted pass over (row, block) pairs — no candidate packs built
+    (a full 4-way candidate sweep cost ~0.2 s on DH-15; this is ~0.04 s).
+
+    Mirrors the kernel_cost model: classed slots + per-step/per-call
+    overheads + one-hot select work (win_blocks / SELECT_DIV)."""
+    n = H.shape[0]
+    rows, cols, _ = H.to_coo()
+    if perm is not None:
+        iperm = np.empty(n, dtype=np.int64)
+        iperm[perm] = np.arange(n)
+        prows, pcols = iperm[rows], iperm[cols]
+    else:
+        prows, pcols = rows, cols
+    blk = pcols // 128
+    nblk = int(blk.max()) + 1 if len(blk) else 1
+    key = prows * nblk + blk
+    uniq, counts = np.unique(key, return_counts=True)
+    urow, ublk = uniq // nblk, uniq % nblk
+    # per-row column-block extents (for window width per tile size)
+    row_lo = np.full(n, nblk, dtype=np.int64)
+    row_hi = np.zeros(n, dtype=np.int64)
+    np.minimum.at(row_lo, urow, ublk)
+    np.maximum.at(row_hi, urow, ublk + 1)
+
+    sel_div = SELECT_DIV_FAST if fast_select else SELECT_DIV_EXACT
+    best = None
+    for gr in (8, 16, 32, 64):
+        slots_per_row = 128 // gr
+        inst = (counts + slots_per_row - 1) // slots_per_row
+        n_groups = _ceil_to(n, gr * GT) // gr
+        g = urow // gr
+        gb_key = g * nblk + ublk
+        gb_uniq, gb_inv = np.unique(gb_key, return_inverse=True)
+        seg = np.zeros(len(gb_uniq), dtype=np.int64)
+        np.maximum.at(seg, gb_inv, inst)          # segments per (group, blk)
+        used = np.zeros(n_groups, dtype=np.int64)
+        np.add.at(used, gb_uniq // nblk, seg)
+        used = np.maximum(used, 1)
+        S_est = int(used.max())
+        for gt_val in (128, 64, 32, 16, 8):
+            if (gt_val * gr) % 128 or n_groups % gt_val:
+                continue
+            rows_per_tile = gt_val * gr
+            n_tiles = n_groups // gt_val
+            npad = n_tiles * rows_per_tile
+            lo_p = np.full(npad, nblk, dtype=np.int64)
+            hi_p = np.zeros(npad, dtype=np.int64)
+            lo_p[:n], hi_p[:n] = row_lo, row_hi
+            t_lo = lo_p.reshape(n_tiles, rows_per_tile).min(axis=1)
+            t_hi = hi_p.reshape(n_tiles, rows_per_tile).max(axis=1)
+            t_lo = np.where(t_lo == nblk, 0, t_lo) // 8 * 8
+            win = int(_ceil_to(max(int((t_hi - t_lo).max(initial=1)), 1), 8))
+            if win > max(256, _ceil_to(H.shape[1], 128) // 128 // 2):
+                continue                            # window overflow
+            cost = int(_geom_cost(used, gt_val, S_est) * (1 + win / sel_div))
+            if best is None or cost < best[0]:
+                best = (cost, gr, gt_val)
+    if best is None:
+        raise ValueError("BWS window overflow (matrix too unbanded); "
+                         "use the ELL path")
+    return best[1], best[2]
+
+
 def _geom_cost(used, gt_val, S):
     """Slot-equivalent kernel cost at tile size gt_val: processed slots
     plus per-grid-step and per-call overheads (measured, see module
@@ -209,25 +274,16 @@ class BwsMatrix:
         plus per-step/per-call overheads; None = the 128-group
         default)."""
         if group_rows is None:
-            # candidate packs stay host-side (numpy): shipping four
-            # full candidate buffers to a remote device dominated setup
-            # (~10 MB × 4 per factor over the tunnel); only the winner
-            # is materialized on device.  RCM is computed once.
+            # stats-only geometry pre-pass: pick (group_rows, gt) from
+            # per-(row, block) counts without building candidate packs
+            # (and without shipping anything to the device); only the
+            # winner is packed and materialized.  RCM is computed once.
             perm = BwsMatrix._rcm_perm(H) if use_rcm else None
-            best = None
-            for gr in (8, 16, 32, 64):
-                cand = BwsMatrix.from_host_csr(H, dtype, use_rcm, gr,
-                                               fast_select, gt,
-                                               _device=False, _perm=perm)
-                cost = cand.kernel_cost
-                if best is None or cost < best[0]:
-                    best = (cost, cand)
-            win = best[1]
-            return dataclasses.replace(
-                win, delta=jnp.asarray(win.delta),
-                data=jnp.asarray(win.data), lidx=jnp.asarray(win.lidx),
-                perm=jnp.asarray(win.perm), iperm=jnp.asarray(win.iperm),
-                base=jnp.asarray(win.base))
+            gr_win, gt_win = _auto_geometry(H, perm, fast_select)
+            return BwsMatrix.from_host_csr(
+                H, dtype, use_rcm, gr_win, fast_select,
+                gt_win if gt in (None, "auto") else gt,
+                _device=_device, _perm=perm)
         GROUP_ROWS = group_rows
         SLOTS = 128 // group_rows
         n = H.shape[0]

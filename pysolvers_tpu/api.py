@@ -251,7 +251,8 @@ class IterativeLinearSolver(LinearSolver):
             mx["mv_hi"], None, bp, tau=eff, inner_tau=inner_tau,
             inner_maxiter=self.control.maxiter, method=method,
             restart=restart, precond_lo=self._mx_papply,
-            host_residual=True, A_lo=mx["A32"])
+            host_residual=True, A_lo=mx["A32"],
+            precond_pair=prec.traced)
         xh = np.asarray(x)
         if perm is not None:
             xh = xh[np.asarray(mx["A32"].iperm)]

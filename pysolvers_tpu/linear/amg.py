@@ -205,6 +205,7 @@ def build_sa_hierarchy(A: HostCSR, num_levels: int = 2,
 # Device cycle executor
 # ---------------------------------------------------------------------------
 
+@jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class DeviceLevel:
     A_dev: object                    # device matrix
@@ -215,13 +216,17 @@ class DeviceLevel:
     cheb: Optional[tuple]            # (theta, delta) for Chebyshev
 
 
+# registered pytrees so a hierarchy can ride as a traced jit ARGUMENT:
+# re-built same-structure hierarchies (e.g. per Newton step) then reuse
+# one compiled graph (refine._cached_inner_pair)
+@jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class DeviceHierarchy:
     levels: List[DeviceLevel]
     A0_inv: jax.Array                # coarsest operator inverse (dense)
-    smoother: str
-    nu_pre: int
-    nu_post: int
+    smoother: str = dataclasses.field(metadata=dict(static=True))
+    nu_pre: int = dataclasses.field(metadata=dict(static=True))
+    nu_post: int = dataclasses.field(metadata=dict(static=True))
 
     @property
     def n_levels(self):
@@ -509,15 +514,28 @@ class AMGPreconditionerType(PreconditionerType):
         mlh = build_sa_hierarchy(A_host, self.num_levels, self.base_tol)
         h = build_device_hierarchy(mlh, self.smoother, self.nu_pre,
                                    self.nu_post)
-        num_iters = self.num_iters
+        apply_fn = _amg_apply_fn(self.num_iters)
+        prec = self._wrap(lambda v: apply_fn(h, v))
+        prec.traced = (apply_fn, h)
+        return prec
 
-        def apply(v):
+
+_AMG_APPLY_FNS = {}
+
+
+def _amg_apply_fn(num_iters: int):
+    """Stable per-num_iters apply function (state rides as the argument) —
+    the identity-keyed jit caches depend on this function being the SAME
+    object across re-formed preconditioners."""
+    fn = _AMG_APPLY_FNS.get(num_iters)
+    if fn is None:
+        def fn(h, v):
             x = jnp.zeros_like(v)
             for _ in range(num_iters):
                 x = v_cycle(h, v, x)
             return x
-
-        return self._wrap(apply)
+        _AMG_APPLY_FNS[num_iters] = fn
+    return fn
 
 
 # reference-style short aliases (PCGExample_AMG.py uses AMG(...))

@@ -40,17 +40,23 @@ def _resolve_trisolve_mode(mode: str) -> str:
             else "level")
 
 
-def _block_solver(T: HostCSR, lower: bool, unit_diag: bool, dtype):
-    """Exact block-banded trisolve apply, or None if the factor doesn't
+def _block_plan(T: HostCSR, lower: bool, unit_diag: bool, dtype):
+    """Exact block-banded trisolve plan, or None if the factor doesn't
     qualify (not banded enough / too much dense storage)."""
-    from ..ops.block_trisolve import (build_block_trisolve_plan,
-                                      block_trisolve)
+    from ..ops.block_trisolve import build_block_trisolve_plan
     try:
-        plan = build_block_trisolve_plan(T, lower=lower, unit_diag=unit_diag,
-                                         dtype=dtype)
+        return build_block_trisolve_plan(T, lower=lower,
+                                         unit_diag=unit_diag, dtype=dtype)
     except ValueError:
         return None
-    return lambda b: block_trisolve(plan, b)
+
+
+def _block_pair_apply(state, v):
+    """Stable apply for the (planL, planU) traced pair: M^{-1} v via two
+    exact block trisolves (see Preconditioner.traced)."""
+    from ..ops.block_trisolve import block_trisolve
+    planL, planU = state
+    return block_trisolve(planU, block_trisolve(planL, v))
 
 
 def _bws_sweep_solver(T: HostCSR, lower: bool, unit_diag: bool,
@@ -257,10 +263,13 @@ class ILUTPreconditionerType(PreconditionerType):
         mode = _resolve_trisolve_mode(self.trisolve_mode)
 
         if mode == "block":
-            sl = _block_solver(L, True, True, np.float32)
-            su = _block_solver(U, False, False, np.float32)
-            if sl is not None and su is not None:
-                return self._wrap(lambda v: su(sl(v)))
+            pl = _block_plan(L, True, True, np.float32)
+            pu = _block_plan(U, False, False, np.float32)
+            if pl is not None and pu is not None:
+                state = (pl, pu)
+                prec = self._wrap(lambda v: _block_pair_apply(state, v))
+                prec.traced = (_block_pair_apply, state)
+                return prec
             mode = "jacobi_bws"     # factor not banded enough
         if mode == "jacobi_bws":
             sl = _bws_sweep_solver(L, True, True, self.sweeps, np.float32)
@@ -305,10 +314,13 @@ class ICPreconditionerType(PreconditionerType):
         mode = _resolve_trisolve_mode(self.trisolve_mode)
 
         if mode == "block":
-            sl = _block_solver(Lc, True, False, np.float32)
-            su = _block_solver(Lc.transpose(), False, False, np.float32)
-            if sl is not None and su is not None:
-                return self._wrap(lambda v: su(sl(v)))
+            pl = _block_plan(Lc, True, False, np.float32)
+            pu = _block_plan(Lc.transpose(), False, False, np.float32)
+            if pl is not None and pu is not None:
+                state = (pl, pu)
+                prec = self._wrap(lambda v: _block_pair_apply(state, v))
+                prec.traced = (_block_pair_apply, state)
+                return prec
             mode = "jacobi_bws"     # factor not banded enough
         if mode == "jacobi_bws":
             sl = _bws_sweep_solver(Lc, True, False, self.sweeps, np.float32)

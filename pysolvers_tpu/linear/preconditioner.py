@@ -30,6 +30,12 @@ class Preconditioner:
 
     left: Optional[Callable] = None     # v -> M_L^{-1} v
     right: Optional[Callable] = None    # v -> M_R^{-1} v
+    # optional (apply_fn, state) pair where apply_fn(state, v) is a STABLE
+    # module-level function and state is a registered pytree: lets solvers
+    # pass the preconditioner state as a traced jit argument, so a
+    # re-formed same-structure preconditioner (Newton steps) reuses the
+    # compiled solve graph instead of retracing (refine._cached_inner_pair)
+    traced: Optional[tuple] = None
 
     def apply_left(self, v):
         return v if self.left is None else self.left(v)

@@ -128,6 +128,41 @@ def _cached_inner_op(precond_lo, method, inner_maxiter, restart):
     return inner
 
 
+def _cached_inner_pair(apply_fn, method, inner_maxiter, restart):
+    """Operator AND preconditioner state AND tolerance as traced arguments
+    — maximal reuse: a re-formed preconditioner with the same structure
+    (Newton steps re-factoring the Jacobian) hits the same compiled graph.
+    ``apply_fn(state, v)`` must be a stable module-level function
+    (Preconditioner.traced)."""
+    from ..ops import matvec as op_matvec
+    key = ("pair", id(apply_fn), method, inner_maxiter, restart)
+    ent = _INNER_CACHE.get(key)
+    if ent is not None and ent[0] is apply_fn:
+        return ent[1]
+
+    @jax.jit
+    def inner(A_dev, prec_state, r32, inner_tau):
+        mv = lambda v: op_matvec(A_dev, v)
+        papply = lambda v: apply_fn(prec_state, v)
+        if method == "cg":
+            d, st, _ = cg_solve(mv, r32, maxiter=inner_maxiter,
+                                tau=inner_tau, precond=papply)
+        elif method == "richardson":
+            d, st, _ = richardson_solve(mv, r32, maxiter=inner_maxiter,
+                                        tau=inner_tau, precond=papply)
+        else:
+            d, st, _ = gmres_solve(mv, r32, maxiter=inner_maxiter,
+                                   tau=inner_tau, precond=papply,
+                                   restart=restart,
+                                   check_true_residual=False)
+        return jnp.concatenate([d, st.k.astype(d.dtype)[None]])
+
+    if len(_INNER_CACHE) > 64:
+        _INNER_CACHE.pop(next(iter(_INNER_CACHE)))
+    _INNER_CACHE[key] = (apply_fn, inner)
+    return inner
+
+
 def _cached_inner(matvec_lo, precond_lo, method, inner_maxiter, inner_tau,
                   restart):
     """Build (or reuse) the jitted inner-solve graph.
@@ -176,7 +211,8 @@ def ir_solve_host(matvec_hi, matvec_lo, b, *, tau: float = 1e-10,
                   max_outer: int = 20, inner_tau: float = 1e-6,
                   inner_maxiter: int = 500, method: str = "cg",
                   precond_lo=None, restart=None,
-                  host_residual: bool = False, A_lo=None):
+                  host_residual: bool = False, A_lo=None,
+                  precond_pair=None):
     """Host-driven iterative refinement: the inner f32 Krylov solve is one
     (small) jitted computation re-dispatched per outer pass, and the f64
     residual update runs as a second jitted step.
@@ -222,7 +258,15 @@ def ir_solve_host(matvec_hi, matvec_lo, b, *, tau: float = 1e-10,
     b_norm = float(np.linalg.norm(np.asarray(b_h)))
     tol = tau * b_norm
 
-    if A_lo is not None:
+    if A_lo is not None and precond_pair is not None:
+        # operator, preconditioner state and tolerance all traced:
+        # re-formed preconditioners (Newton) reuse the compiled graph
+        apply_fn, prec_state = precond_pair
+        inner_p = _cached_inner_pair(apply_fn, method, inner_maxiter,
+                                     restart)
+        tau32 = jnp.float32(inner_tau)
+        inner = lambda r32: inner_p(A_lo, prec_state, r32, tau32)
+    elif A_lo is not None:
         # the device matrix and the tolerance ride as traced arguments:
         # same-structure matrices with different values (Newton Jacobians)
         # and adaptive tolerances share one compiled inner graph

@@ -70,8 +70,10 @@ class TestMixedFactory:
         assert Fn <= 1e-10
 
     def test_mixed_inner_jit_reused_across_jacobians(self):
-        """Same-structure Jacobians with different values must share the
-        inner compiled graph (operator is a traced argument)."""
+        """Same-structure Jacobians with different values AND re-formed
+        same-structure preconditioners (repeated Newton solves) must share
+        ONE compiled inner graph (operator + prec state are traced
+        arguments — refine._cached_inner_pair)."""
         from pysolvers_tpu.linear import refine
         prob = Bratu2D(m=12, alpha=0.5, fmt="dia")
         inner = PCG(CommonSolverArgs(maxiter=200, tau=1e-8),
@@ -82,7 +84,10 @@ class TestMixedFactory:
         before = len(refine._INNER_CACHE)
         st = ns.solve(prob, jnp.zeros(prob.n, dtype=jnp.float64))
         assert st.success
-        # one op-keyed inner graph for the whole Newton solve
-        new_keys = [k for k in refine._INNER_CACHE if k[0] == "op"]
+        # a SECOND Newton solve re-forms the AMG preconditioner — the
+        # traced-pair route must still hit the same cache entry
+        st2 = ns.solve(prob, jnp.zeros(prob.n, dtype=jnp.float64))
+        assert st2.success
         assert len(refine._INNER_CACHE) - before <= 1
+        new_keys = [k for k in refine._INNER_CACHE if k[0] == "pair"]
         assert len(new_keys) >= 1

@@ -75,8 +75,37 @@ def main():
         per_dev = gnnz / d
         if base is None:
             base = per_dev
+
+        # distribution overhead isolated from core sharing: the SAME total
+        # problem on ONE device (all shards share the socket on a virtual
+        # CPU mesh, so aggregate throughput cannot scale there — this
+        # ratio, not `efficiency`, is the meaningful single-host number;
+        # `efficiency` is the real metric only on real multi-chip meshes)
+        from pysolvers_tpu.sparse.device import DiaMatrix
+        from pysolvers_tpu.ops.spmv import dia_spmv_xla
+        A1 = DiaMatrix.from_host_csr(H)
+        x1 = jnp.asarray(
+            np.random.default_rng(0).random(m * m).astype(np.float32))
+
+        @jax.jit
+        def chain1(v):
+            def body(_, v):
+                return dia_spmv_xla(A1, v) * scale
+            return jax.lax.fori_loop(0, args.iters, body, v)
+
+        y1 = chain1(x1)
+        y1.block_until_ready()
+        best1 = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            y1 = chain1(y1)
+            y1.block_until_ready()
+            best1 = min(best1, (time.perf_counter() - t0) / args.iters)
+
         rec = dict(devices=d, n=m * m, nnz=nnz, gnnz_s=round(gnnz, 3),
-                   efficiency=round(per_dev / base, 3))
+                   efficiency=round(per_dev / base, 3),
+                   single_dev_gnnz_s=round(nnz / best1 / 1e9, 3),
+                   dist_overhead=round(best / best1, 3))
         results.append(rec)
         print(json.dumps(rec), flush=True)
 

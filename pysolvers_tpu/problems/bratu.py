@@ -80,6 +80,28 @@ class Bratu2D:
             bump, dtype=J_host.data.dtype)
         return J_host, J_dev
 
+    def eval_j_dev(self, u: jax.Array):
+        """Device-only Jacobian (jittable, no host twin) — feeds the
+        fully-jitted explicit-J Newton path (newton_krylov_solve eval_j)."""
+        bump = self.alpha * jnp.exp(-u)
+        if self.fmt == "dia":
+            d = self.A.diags.at[self._diag_idx, : self.n].add(
+                bump.astype(self.A.dtype))
+            return DiaMatrix(d, self.A.offsets, self.A.shape)
+        rows = jnp.arange(self.n)
+        data = self.A.data.at[rows, self._diag_slots].add(
+            bump.astype(self.A.dtype))
+        return EllMatrix(data, self.A.cols, self.A.shape, self.A.n_cols_pad)
+
+    def jacobi_precond(self, J, v: jax.Array) -> jax.Array:
+        """Setup-free Jacobi preconditioner from the CURRENT Jacobian
+        (newton_krylov_solve precond_from_j)."""
+        if self.fmt == "dia":
+            d = J.diags[self._diag_idx, : self.n]
+        else:
+            d = J.data[jnp.arange(self.n), self._diag_slots]
+        return v / d
+
     # protocol used by the Newton driver (reference Newton.py:35,59)
     evalF = eval_f
     evalJ = eval_j

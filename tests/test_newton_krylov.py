@@ -42,3 +42,50 @@ class TestNewtonKrylov:
 
         x, st = run(jnp.zeros(prob.n, dtype=jnp.float64))
         assert int(st.reason) == StopReason.CONVERGED
+
+
+class TestNewtonExplicitJ:
+    """Fully-jitted EXPLICIT-Jacobian path (reference Newton.py:59 evalJ;
+    VERDICT r1 item 7): J as a device-matrix pytree built in-graph each
+    step, optional setup-free preconditioner from the current J."""
+
+    def test_bratu_explicit_j_matches_jvp(self):
+        prob = Bratu2D(m=16, fmt="dia")
+        x0 = jnp.zeros(prob.n, dtype=jnp.float64)
+        xe, ste = newton_krylov_solve(prob.eval_f, x0, tau=1e-12,
+                                      maxiter=30, inner_maxiter=300,
+                                      method="cg", min_lin_tol=1e-8,
+                                      eval_j=prob.eval_j_dev)
+        assert int(ste.reason) == StopReason.CONVERGED
+        Fn = float(jnp.linalg.norm(prob.eval_f(xe)))
+        assert Fn <= 1e-10
+        xm, _ = newton_krylov_solve(prob.eval_f, x0, tau=1e-12,
+                                    maxiter=30, inner_maxiter=300,
+                                    method="cg", min_lin_tol=1e-8)
+        np.testing.assert_allclose(np.asarray(xe), np.asarray(xm),
+                                   atol=1e-9)
+
+    def test_explicit_j_with_jacobi_precond(self):
+        prob = Bratu2D(m=16, fmt="dia")
+        x0 = jnp.zeros(prob.n, dtype=jnp.float64)
+        x, st = newton_krylov_solve(prob.eval_f, x0, tau=1e-12,
+                                    maxiter=30, inner_maxiter=500,
+                                    method="cg", min_lin_tol=1e-8,
+                                    eval_j=prob.eval_j_dev,
+                                    precond_from_j=prob.jacobi_precond)
+        assert int(st.reason) == StopReason.CONVERGED
+        assert float(jnp.linalg.norm(prob.eval_f(x))) <= 1e-10
+
+    def test_explicit_j_whole_solve_jits(self):
+        """The explicit-J Newton must compile as ONE computation."""
+        prob = Bratu2D(m=10, fmt="dia")
+
+        @jax.jit
+        def run(x0):
+            return newton_krylov_solve(prob.eval_f, x0, tau=1e-10,
+                                       maxiter=20, inner_maxiter=200,
+                                       method="cg", min_lin_tol=1e-7,
+                                       eval_j=prob.eval_j_dev)
+
+        x, st = run(jnp.zeros(prob.n, dtype=jnp.float64))
+        assert int(st.reason) == StopReason.CONVERGED

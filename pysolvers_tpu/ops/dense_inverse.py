@@ -1,0 +1,36 @@
+"""Dense matrix inverse ON DEVICE (Gauss-Jordan, no pivoting).
+
+The axon/TPU runtime lacks the LAPACK custom calls behind
+``jnp.linalg.inv/solve`` (utils memory: they raise), and fetching a coarse
+AMG operator to the host for factorization costs two tunnel transfers.
+This is the portable alternative: pivot-free Gauss-Jordan elimination as a
+``lax.fori_loop`` of rank-1 updates — fine for the SPD/diagonally-dominant
+coarse operators AMG produces (growth is Cholesky-like), all VPU/MXU work.
+
+Cost: n iterations × O(n²) traffic; n=2000 ≈ tens of ms on a v5e — a
+setup-phase cost.  Not a general-purpose LU (no pivoting): use only on
+matrices known positive-definite-ish.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def dense_inverse(M: jax.Array) -> jax.Array:
+    """Return M^{-1} for square SPD-ish M (jittable, device-only)."""
+    n = M.shape[0]
+    X = jnp.concatenate([M, jnp.eye(n, dtype=M.dtype)], axis=1)  # (n, 2n)
+    idx = jnp.arange(n)
+
+    def body(k, X):
+        row = jnp.take(X, k, axis=0)                 # (2n,)
+        piv = jnp.take(row, k)
+        row = row / piv
+        col = jnp.take(X, k, axis=1)                 # (n,)
+        col = jnp.where(idx == k, 0.0, col)          # don't eliminate row k
+        X = X - col[:, None] * row[None, :]
+        return X.at[k].set(row)
+
+    X = jax.lax.fori_loop(0, n, body, X)
+    return X[:, n:]

@@ -1,0 +1,96 @@
+"""Distributed AMG setup with device-built construction products
+(parallel/amg_setup.py — VERDICT r1 items 4/10: sharded hierarchy
+construction, on-device R·A·P, device dense coarse inverse)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from pysolvers_tpu.linear.amg import (build_sa_hierarchy, v_cycle,
+                                      amg_solve)
+from pysolvers_tpu.linear.krylov import cg_solve
+from pysolvers_tpu.ops.dense_inverse import dense_inverse
+from pysolvers_tpu.parallel import make_mesh
+from pysolvers_tpu.parallel.amg_setup import build_distributed_hierarchy
+from pysolvers_tpu.problems import dh_test_problem, fd_laplacian_2d
+
+
+class TestDenseInverse:
+    def test_matches_numpy(self):
+        rng = np.random.default_rng(0)
+        B = rng.random((64, 64))
+        M = B @ B.T + 64 * np.eye(64)        # SPD
+        X = np.asarray(jax.jit(dense_inverse)(jnp.asarray(M)))
+        np.testing.assert_allclose(X, np.linalg.inv(M), rtol=1e-8,
+                                   atol=1e-10)
+
+
+class TestDistributedAMGSetup:
+    def test_galerkin_matches_host_spgemm(self):
+        """Device R·A·P must agree with the host-SpGEMM hierarchy."""
+        H = fd_laplacian_2d(20, dtype=np.float64)
+        mlh = build_sa_hierarchy(H, num_levels=2)
+        h = build_distributed_hierarchy(H, None, num_levels=2,
+                                        dtype=np.float64,
+                                        coarse_inverse="host")
+        A_c_host = mlh.matrices[0].to_dense()
+        A_c_dev = np.asarray(h.levels[0].A_dev)
+        assert A_c_dev.shape == A_c_host.shape
+        np.testing.assert_allclose(A_c_dev, A_c_host, rtol=1e-9,
+                                   atol=1e-9)
+
+    def test_vcycle_preconditioned_cg_converges(self):
+        H, x_exact, b = dh_test_problem(10)
+        h = build_distributed_hierarchy(H, None, num_levels=2,
+                                        dtype=np.float64)
+        from pysolvers_tpu.sparse.device import EllMatrix
+        from pysolvers_tpu.ops.spmv import matvec
+        A = EllMatrix.from_host_csr(H)
+
+        def prec(r):
+            return v_cycle(h, r, jnp.zeros_like(r))
+
+        x, st, _ = cg_solve(lambda v: matvec(A, v), jnp.asarray(b),
+                            maxiter=300, tau=1e-10, precond=prec)
+        assert int(st.reason) == 1
+        err = np.linalg.norm(np.asarray(x) - x_exact)
+        assert err / np.linalg.norm(x_exact) < 1e-8
+
+    def test_three_levels(self):
+        H = fd_laplacian_2d(32, dtype=np.float64)
+        h = build_distributed_hierarchy(H, None, num_levels=3,
+                                        dtype=np.float64)
+        assert h.n_levels == 3
+        rng = np.random.default_rng(0)
+        x_exact = rng.random(H.shape[0])
+        b = jnp.asarray(H.matvec(x_exact))
+        x, (k, resid, reason) = amg_solve(h, b, tau=1e-10, maxiter=100)
+        assert int(reason) == 1
+        err = np.linalg.norm(np.asarray(x) - x_exact)
+        assert err / np.linalg.norm(x_exact) < 1e-8
+
+    def test_sharded_setup_on_mesh(self):
+        assert len(jax.devices()) >= 8
+        mesh = make_mesh(8)
+        H, x_exact, b = dh_test_problem(10)
+        h = build_distributed_hierarchy(H, mesh, num_levels=2,
+                                        dtype=np.float64)
+        # fine level products sharded over the mesh (n padded to 8k)
+        fine = h.levels[-1]
+        assert fine.P_dev.sharding.spec != ()     # row-sharded dense P
+        n = H.shape[0]
+        n_pad = fine.P_dev.shape[0]
+        assert n_pad % 8 == 0 and n_pad >= n
+        b_pad = jnp.zeros((n_pad,), dtype=jnp.float64).at[:n].set(
+            jnp.asarray(b))
+        x, (k, resid, reason) = amg_solve(h, b_pad, tau=1e-10,
+                                          maxiter=200)
+        assert int(reason) == 1
+        err = np.linalg.norm(np.asarray(x)[:n] - x_exact)
+        assert err / np.linalg.norm(x_exact) < 1e-8
+
+    def test_memory_gate(self):
+        H = fd_laplacian_2d(24, dtype=np.float64)
+        with pytest.raises(ValueError, match="max_bytes"):
+            build_distributed_hierarchy(H, None, num_levels=2,
+                                        dtype=np.float64, max_bytes=1024)

@@ -84,6 +84,10 @@ def main():
                   err=float(err), success=bool(ok),
                   compile_s=round(max(compile_s - solve_s, 0.0), 3)))
 
+    # warm the device runtime first so pack_s measures the pack+upload,
+    # not the one-time backend/tunnel initialization
+    jax.block_until_ready(jnp.ones((8, 128)) @ jnp.ones((128, 8)))
+
     # device matrix: BWS f32 (outer f64 residuals run on host — an
     # emulated-f64 sparse matvec on TPU hits the scalar gather path)
     t0 = time.perf_counter()
@@ -204,10 +208,13 @@ def main():
                                    SolverConfig)
         from pysolvers_tpu.linear.amg import AMG
         from pysolvers_tpu.problems import Bratu2D
+        from pysolvers_tpu.problems.bratu import Bratu2DHostOuter
 
         m = args.bratu_m
         t0 = time.perf_counter()
-        prob = Bratu2D(m=m, alpha=0.5, fmt="dia")
+        # host-outer adapter: f64 F/line-search on host (no per-step
+        # device dispatch; true f64 on any backend), device DIA inner
+        prob = Bratu2DHostOuter(Bratu2D(m=m, alpha=0.5, fmt="dia"))
         build_s = time.perf_counter() - t0
 
         def newton_once():
@@ -217,9 +224,9 @@ def main():
             ns = NewtonSolver(SolverConfig(maxiter=30, tau=1e-12),
                               solver=inner, min_lin_tol=1e-6,
                               freeze_prec=True)
-            st = ns.solve(prob, jnp.zeros(prob.n, dtype=jnp.float64))
-            Fn = float(jnp.linalg.norm(
-                prob.evalF(st.soln.astype(jnp.float64))))
+            st = ns.solve(prob, np.zeros(prob.n, dtype=np.float64))
+            Fn = float(np.linalg.norm(
+                prob.evalF(np.asarray(st.soln, dtype=np.float64))))
             return st, Fn
 
         st, Fn = newton_once()          # compile + first solve

@@ -281,16 +281,25 @@ def ir_solve_host(matvec_hi, matvec_lo, b, *, tau: float = 1e-10,
     x = x_h
     inner_total = 0
     rn_prev = float("inf")
+    rn_first = None
     reason = StopReason.MAXITER
     k = 0
     for k in range(1, max_outer + 1):
         r, rn = residual(x)
+        if rn_first is None:
+            rn_first = rn
         if rn <= tol:
             reason = StopReason.CONVERGED
             k -= 1
             break
         if rn >= rn_prev * 0.5:
-            reason = StopReason.BREAKDOWN
+            # stalled: the f32 inner floor was reached.  If refinement
+            # already improved the residual substantially, report MAXITER
+            # (success under failOnMaxiter=False semantics — e.g. Newton
+            # forcing-term solves that only need a good-enough step);
+            # BREAKDOWN is reserved for making no progress at all.
+            reason = (StopReason.MAXITER
+                      if rn <= rn_first * 1e-3 else StopReason.BREAKDOWN)
             break
         rn_prev = rn
         scale = rn if rn > 0 else 1.0

@@ -105,3 +105,34 @@ class Bratu2D:
     # protocol used by the Newton driver (reference Newton.py:35,59)
     evalF = eval_f
     evalJ = eval_j
+
+
+class Bratu2DHostOuter:
+    """Newton-outer-on-host adapter around :class:`Bratu2D`.
+
+    F and the host Jacobian run in numpy f64 — no device dispatch per
+    line-search step (each costs ~25 ms through a TPU tunnel) and true f64
+    regardless of the backend's f64 emulation; the device Jacobian twin is
+    still produced so the inner (mixed-precision) solver keeps its fast
+    DIA kernel path.  This is the recommended ``func`` for host-driven
+    Newton on TPU; the fully-jitted paths (newton_krylov_solve) use
+    :class:`Bratu2D` directly.
+    """
+
+    def __init__(self, prob: Bratu2D):
+        self.prob = prob
+        self.n = prob.n
+
+    def evalF(self, u):
+        uh = np.asarray(u, dtype=np.float64)
+        return self.prob.A_host.matvec(uh) - self.prob.alpha * np.exp(-uh)
+
+    def evalJ(self, u):
+        p = self.prob
+        uh = np.asarray(u, dtype=np.float64)
+        bump = p.alpha * np.exp(-uh)
+        J_host = p.A_host.copy()
+        J_host.data[p._host_diag_pos] += bump.astype(J_host.data.dtype)
+        d = p.A.diags.at[p._diag_idx, : p.n].add(
+            jnp.asarray(bump, dtype=p.A.dtype))
+        return J_host, DiaMatrix(d, p.A.offsets, p.A.shape)

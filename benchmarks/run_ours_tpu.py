@@ -122,12 +122,14 @@ def main():
             (lambda v: M.apply_right(v))
 
         def solve():
+            # chain=2: two f32-residual-chained corrections per dispatch
+            # — halves the outer passes a remote tunnel pays for
             x, st, _ = ir_solve_host(
                 mv_hi, None, bp,
                 tau=1e-10, inner_tau=1e-6, inner_maxiter=inner_maxiter,
                 method=method, restart=restart,
                 precond_lo=prec,
-                host_residual=True, A_lo=A32)
+                host_residual=True, A_lo=A32, chain=2)
             xu = np.asarray(x)[np.asarray(A32.iperm)]
             err = np.linalg.norm(xu - x_exact)
             return int(st.k), err, int(st.reason) == 1

@@ -308,7 +308,7 @@ class IterativeLinearSolver(LinearSolver):
             inner_maxiter=self.control.maxiter, method=method,
             restart=restart, precond_lo=self._mx_papply,
             host_residual=True, A_lo=mx["A32"],
-            precond_pair=prec.traced)
+            precond_pair=prec.traced, chain=2)
         xh = np.asarray(x)
         if perm is not None:
             xh = xh[np.asarray(mx["A32"].iperm)]

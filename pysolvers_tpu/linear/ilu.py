@@ -51,6 +51,18 @@ def _block_plan(T: HostCSR, lower: bool, unit_diag: bool, dtype):
         return None
 
 
+def _block_plan_pair(T_lo: HostCSR, T_up: HostCSR, unit_lo: bool,
+                     unit_up: bool, dtype):
+    """Both factor plans in ONE device dispatch (tunnel-latency saver),
+    or None if either factor doesn't qualify."""
+    from ..ops.block_trisolve import build_block_trisolve_plan_pair
+    try:
+        return build_block_trisolve_plan_pair(T_lo, T_up, unit_lo=unit_lo,
+                                              unit_up=unit_up, dtype=dtype)
+    except ValueError:
+        return None
+
+
 def _block_pair_apply(state, v):
     """Stable apply for the (planL, planU) traced pair: M^{-1} v via two
     exact block trisolves (see Preconditioner.traced)."""
@@ -280,10 +292,9 @@ class ILUTPreconditionerType(PreconditionerType):
         mode = _resolve_trisolve_mode(self.trisolve_mode)
 
         if mode == "block":
-            pl = _block_plan(L, True, True, np.float32)
-            pu = _block_plan(U, False, False, np.float32)
-            if pl is not None and pu is not None:
-                state = (pl, pu)
+            pair = _block_plan_pair(L, U, True, False, np.float32)
+            if pair is not None:
+                state = pair
                 prec = self._wrap(lambda v: _block_pair_apply(state, v))
                 prec.traced = (_block_pair_apply, state)
                 return prec
@@ -332,10 +343,10 @@ class ICPreconditionerType(PreconditionerType):
         mode = _resolve_trisolve_mode(self.trisolve_mode)
 
         if mode == "block":
-            pl = _block_plan(Lc, True, False, np.float32)
-            pu = _block_plan(Lc.transpose(), False, False, np.float32)
-            if pl is not None and pu is not None:
-                state = (pl, pu)
+            pair = _block_plan_pair(Lc, Lc.transpose(), False, False,
+                                    np.float32)
+            if pair is not None:
+                state = pair
                 prec = self._wrap(lambda v: _block_pair_apply(state, v))
                 prec.traced = (_block_pair_apply, state)
                 return prec

@@ -120,16 +120,75 @@ def build_block_trisolve_plan(T: HostCSR, lower: bool, unit_diag: bool = False,
     # scatter indices computed on host; the dense build + inversion runs
     # as ONE jitted dispatch (eager op-by-op costs ~25 ms/op through the
     # axon tunnel, and the doubling matmuls belong on the MXU anyway).
-    wide = (p + 1) * bs
-    flat_idx = (blk_r * bs + rows % bs) * wide + (p - reach) * bs + cols % bs
+    vals, flat_idx, meta = _prep(rows, cols, vals, n, nb, bs, p)
     s_hat, dinv = _build_blocks(jnp.asarray(vals), jnp.asarray(flat_idx),
                                 nb, bs, p, unit_diag,
                                 jnp.dtype(dtype).name)
     return BlockTriSolvePlan(s_hat, dinv, n, bs, p, flip)
 
 
+def _prep(rows, cols, vals, n, nb, bs, p):
+    """Host-side scatter-index prep; int32 indices when they fit (halves
+    the host->device index upload)."""
+    blk_r = rows // bs
+    reach = blk_r - cols // bs
+    wide = (p + 1) * bs
+    flat_idx = (blk_r * bs + rows % bs) * wide + (p - reach) * bs + cols % bs
+    if nb * bs * wide < 2 ** 31:
+        flat_idx = flat_idx.astype(np.int32)
+    return vals, flat_idx, (nb, bs, p)
+
+
+def build_block_trisolve_plan_pair(T_lo: HostCSR, T_up: HostCSR,
+                                   unit_lo: bool = False,
+                                   unit_up: bool = False,
+                                   bs: int = 256, dtype=np.float32,
+                                   max_p: int = 4,
+                                   max_bytes: int = 2 << 30):
+    """Build the (lower, upper) plan pair of a factorization in ONE jitted
+    dispatch — a preconditioner needs both, and through a remote tunnel
+    each separate dispatch costs ~25 ms plus pipeline stalls."""
+    preps = []
+    for T, lower, unit in ((T_lo, True, unit_lo), (T_up, False, unit_up)):
+        n = T.shape[0]
+        rows, cols, vals = T.to_coo()
+        vals = vals.astype(dtype)
+        if not lower:
+            rows, cols = (n - 1) - rows, (n - 1) - cols
+        nb = max((n + bs - 1) // bs, 1)
+        blk_r = rows // bs
+        reach = blk_r - cols // bs
+        if reach.min(initial=0) < 0:
+            raise ValueError("matrix is not (reversed-)lower triangular")
+        p = int(reach.max(initial=0))
+        if p > max_p:
+            raise ValueError(f"block reach {p} exceeds max_p={max_p}")
+        if nb * bs * bs * (2 * p + 2) * np.dtype(dtype).itemsize > max_bytes:
+            raise ValueError("dense block storage would exceed max_bytes")
+        v, fi, _ = _prep(rows, cols, vals, n, nb, bs, p)
+        preps.append((v, fi, n, nb, p, unit, not lower))
+
+    dtype_name = jnp.dtype(dtype).name
+    (v1, i1, n1, nb1, p1, u1, f1), (v2, i2, n2, nb2, p2, u2, f2) = preps
+
+    @jax.jit
+    def both(v1, i1, v2, i2):
+        return (_build_blocks_impl(v1, i1, nb1, bs, p1, u1, dtype_name),
+                _build_blocks_impl(v2, i2, nb2, bs, p2, u2, dtype_name))
+
+    (s1, d1), (s2, d2) = both(jnp.asarray(v1), jnp.asarray(i1),
+                              jnp.asarray(v2), jnp.asarray(i2))
+    return (BlockTriSolvePlan(s1, d1, n1, bs, p1, f1),
+            BlockTriSolvePlan(s2, d2, n2, bs, p2, f2))
+
+
 @partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
 def _build_blocks(vals, flat_idx, nb, bs, p, unit_diag, dtype_name):
+    return _build_blocks_impl(vals, flat_idx, nb, bs, p, unit_diag,
+                              dtype_name)
+
+
+def _build_blocks_impl(vals, flat_idx, nb, bs, p, unit_diag, dtype_name):
     dtype = jnp.dtype(dtype_name)
     wide = (p + 1) * bs
     W = jnp.zeros((nb * bs * wide,), dtype=dtype)

@@ -122,10 +122,24 @@ class Bratu2DHostOuter:
     def __init__(self, prob: Bratu2D):
         self.prob = prob
         self.n = prob.n
+        # extended-precision CSR data for the outer residual: F(u) has
+        # catastrophic cancellation ((1/h^2)·(4u - sum of neighbors) vs
+        # alpha·e^{-u}); its f64 evaluation floor is ~|A|·eps64 ≈ 1e-11
+        # for m=100, right AT the tau=1e-12 target (reference
+        # FDBratu2D.py:36-48) — longdouble accumulation drops the floor
+        # ~1000x so the final Newton steps see true decrease
+        self._data_l = prob.A_host.data.astype(np.longdouble)
+        self._alpha_l = np.longdouble(prob.alpha)
 
     def evalF(self, u):
         uh = np.asarray(u, dtype=np.float64)
-        return self.prob.A_host.matvec(uh) - self.prob.alpha * np.exp(-uh)
+        A = self.prob.A_host
+        ul = uh.astype(np.longdouble)
+        prod = self._data_l * ul[A.indices]
+        Au = np.add.reduceat(prod, A.indptr[:-1])
+        Au[np.diff(A.indptr) == 0] = 0.0
+        F_l = Au - self._alpha_l * np.exp(-ul)
+        return F_l.astype(np.float64)
 
     def evalJ(self, u):
         p = self.prob

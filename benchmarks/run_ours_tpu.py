@@ -226,7 +226,9 @@ def main():
             ns = NewtonSolver(SolverConfig(maxiter=30, tau=1e-12),
                               solver=inner, min_lin_tol=1e-6,
                               freeze_prec=True)
-            st = ns.solve(prob, np.zeros(prob.n, dtype=np.float64))
+            # longdouble iterate: the f64 x-quantization floor sits at
+            # ~1e-11 for m=100, right at the tau=1e-12 target
+            st = ns.solve(prob, np.zeros(prob.n, dtype=np.longdouble))
             Fn = float(np.linalg.norm(
                 prob.evalF(np.asarray(st.soln, dtype=np.float64))))
             return st, Fn

@@ -61,10 +61,21 @@ class NewtonSolver:
         self.freeze_prec = freeze_prec
 
     def solve(self, func, x_init) -> SolveStatus:
-        """func exposes evalF(x) and evalJ(x) (reference Newton.py:35,59)."""
+        """func exposes evalF(x) and evalJ(x) (reference Newton.py:35,59).
+
+        A plain numpy ``x_init`` keeps the iterate in NUMPY arithmetic at
+        its own dtype — pass ``np.longdouble`` zeros to run the outer
+        loop in extended precision.  Near tight tolerances the limiting
+        error is the f64 QUANTIZATION of x itself (a final Newton step of
+        ~1e-15 on O(1) values rounds into ||J||·ulp residual noise ~1e-11
+        — measured on Bratu m=100 at the reference's tau=1e-12);
+        80-bit iterates push that floor down ~2000x.
+        """
         norm_fn = self.control.norm_fn()
         tau = self.control.tau
-        x = jnp.asarray(x_init)
+        use_np = isinstance(x_init, np.ndarray) and \
+            not isinstance(x_init, jnp.ndarray)
+        x = x_init if use_np else jnp.asarray(x_init)
         solver = self.solver_type.make_solver()
         history = []
 
@@ -97,6 +108,10 @@ class NewtonSolver:
                         msg=f"inner linear solve failed: {status.msg}",
                         resid_history=np.asarray(history))
                 p = status.soln
+                if use_np:
+                    # keep the update in numpy at x's dtype (mixing a jax
+                    # array in would silently downcast longdouble to f64)
+                    p = np.asarray(p, dtype=np.float64)
                 x, F, norm_f, ok = self.linesearch.search(
                     x, norm_f, p, func, norm_fn)
                 history.append(norm_f)

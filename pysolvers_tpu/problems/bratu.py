@@ -132,9 +132,9 @@ class Bratu2DHostOuter:
         self._alpha_l = np.longdouble(prob.alpha)
 
     def evalF(self, u):
-        uh = np.asarray(u, dtype=np.float64)
+        # preserve extended precision when the Newton iterate carries it
         A = self.prob.A_host
-        ul = uh.astype(np.longdouble)
+        ul = np.asarray(u).astype(np.longdouble)
         prod = self._data_l * ul[A.indices]
         Au = np.add.reduceat(prod, A.indptr[:-1])
         Au[np.diff(A.indptr) == 0] = 0.0

@@ -29,6 +29,7 @@ from .linear.preconditioner import (IdentityPreconditionerType,
                                     ChebyshevPreconditionerType)
 from .linear import amg as _amg
 from .linear.amg import AMG, AMGPreconditionerType, AMGVCycle
+from .linear.gmg import GMGVCycle
 from . import nonlinear
 from .nonlinear import (NewtonSolver, FuncAdapter1D, SimpleBacktrack,
                         TrivialLinesearch)
@@ -49,7 +50,7 @@ __all__ = [
     "LeftILUT", "RightIC",
     "IdentityPreconditionerType", "JacobiPreconditionerType",
     "ChebyshevPreconditionerType",
-    "AMG", "AMGPreconditionerType", "AMGVCycle",
+    "AMG", "AMGPreconditionerType", "AMGVCycle", "GMGVCycle",
     "NewtonSolver", "FuncAdapter1D", "SimpleBacktrack", "TrivialLinesearch",
     "solve",
 ]

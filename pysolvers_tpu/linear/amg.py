@@ -328,13 +328,14 @@ def build_device_hierarchy(mlh: MLHierarchy, smoother: str = "gs",
     import jax as _jax
     if (_jax.default_backend() in ("tpu", "axon")
             and A0_h.shape[0] >= 256):
-        from ..ops.dense_inverse import dense_inverse
+        from ..ops.dense_inverse import dense_inverse_from_coo
         nc = A0_h.shape[0]
         r0, c0, v0 = A0_h.to_coo()
-        A0_dense = jnp.zeros((nc, nc), dtype=out_dtype).at[
-            jnp.asarray(r0), jnp.asarray(c0)].set(
-            jnp.asarray(v0.astype(out_dtype)))
-        A0_inv = _jax.jit(dense_inverse)(A0_dense)
+        A0_inv = dense_inverse_from_coo(
+            jnp.asarray(r0.astype(np.int32)),
+            jnp.asarray(c0.astype(np.int32)),
+            jnp.asarray(v0.astype(out_dtype)), nc,
+            jnp.dtype(out_dtype).name)
     else:
         A0 = A0_h.to_dense().astype(np.float64)
         A0_inv = jnp.asarray(np.linalg.inv(A0), dtype=out_dtype)
@@ -465,14 +466,19 @@ class AMGVCycleSolver(IterativeLinearSolver):
         self._hierarchy: Optional[DeviceHierarchy] = None
         self._solve_jit = None
 
+    def _build_mlh(self, A_host: HostCSR) -> MLHierarchy:
+        """Hierarchy construction hook — geometric-MG subclasses override
+        this (linear/gmg.py) while reusing the whole device cycle path."""
+        return build_sa_hierarchy(A_host, self.typ.num_levels,
+                                  self.typ.base_tol)
+
     def _ensure_hierarchy(self, A_host: HostCSR, dtype):
         # hierarchy rebuilt unless matrix frozen (reference VCycleSolver.py:71-76)
         if self._hierarchy is not None and self.matrix_frozen():
             return
         if A_host is None:
             raise ValueError("AMG setup needs a HostCSR matrix")
-        mlh = build_sa_hierarchy(A_host, self.typ.num_levels,
-                                 self.typ.base_tol)
+        mlh = self._build_mlh(A_host)
         self._hierarchy = build_device_hierarchy(
             mlh, self.typ.smoother, self.typ.nu_pre, self.typ.nu_post,
             dtype=dtype, mesh=self.typ.mesh,

@@ -287,8 +287,6 @@ class ILUTPreconditionerType(PreconditionerType):
                            self.fill_factor)
         _check_fill(A_host, L, U, self.fill_factor, "ILUT")
         dtype = A_host.data.dtype
-        planL = build_trisolve_plan(L, lower=True, unit_diag=True, dtype=dtype)
-        planU = build_trisolve_plan(U, lower=False, dtype=dtype)
         mode = _resolve_trisolve_mode(self.trisolve_mode)
 
         if mode == "block":
@@ -304,6 +302,10 @@ class ILUTPreconditionerType(PreconditionerType):
             su = _bws_sweep_solver(U, False, False, self.sweeps, np.float32)
             if sl is not None and su is not None:
                 return self._wrap(lambda v: su(sl(v)))
+        # level-scheduled plans only on the paths that use them (building
+        # them eagerly cost ~0.42 s of pure waste on the TPU block path)
+        planL = build_trisolve_plan(L, lower=True, unit_diag=True, dtype=dtype)
+        planU = build_trisolve_plan(U, lower=False, dtype=dtype)
         if mode in ("jacobi", "jacobi_bws"):
             from ..ops.trisolve import trisolve_jacobi
             sweeps = self.sweeps
@@ -338,13 +340,16 @@ class ICPreconditionerType(PreconditionerType):
                         self.fill_factor)
         _check_fill(A_host, Lc, Lc, self.fill_factor, "IC")
         dtype = A_host.data.dtype
-        planL = build_trisolve_plan(Lc, lower=True, dtype=dtype)
-        planLT = build_trisolve_plan(Lc.transpose(), lower=False, dtype=dtype)
         mode = _resolve_trisolve_mode(self.trisolve_mode)
 
         if mode == "block":
-            pair = _block_plan_pair(Lc, Lc.transpose(), False, False,
-                                    np.float32)
+            # symmetric factor: ship L once, derive the Lᵀ plan on device
+            # (halves the setup upload vs the generic pair)
+            from ..ops.block_trisolve import build_ic_block_trisolve_plan_pair
+            try:
+                pair = build_ic_block_trisolve_plan_pair(Lc, dtype=np.float32)
+            except ValueError:
+                pair = None
             if pair is not None:
                 state = pair
                 prec = self._wrap(lambda v: _block_pair_apply(state, v))
@@ -357,6 +362,8 @@ class ICPreconditionerType(PreconditionerType):
                                    self.sweeps, np.float32)
             if sl is not None and su is not None:
                 return self._wrap(lambda v: su(sl(v)))
+        planL = build_trisolve_plan(Lc, lower=True, dtype=dtype)
+        planLT = build_trisolve_plan(Lc.transpose(), lower=False, dtype=dtype)
         if mode in ("jacobi", "jacobi_bws"):
             from ..ops.trisolve import trisolve_jacobi
             sweeps = self.sweeps

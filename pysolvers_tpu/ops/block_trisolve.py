@@ -60,6 +60,12 @@ class BlockTriSolvePlan:
     bs: int = dataclasses.field(metadata=dict(static=True))
     p: int = dataclasses.field(metadata=dict(static=True))
     flip: bool = dataclasses.field(metadata=dict(static=True))
+    # flip_pad: reversal is by npad-1 (pad to nb*bs FIRST, then reverse)
+    # instead of n-1 — used by plans whose wide layout was derived on
+    # device by block transposition (build_ic_block_trisolve_plan_pair),
+    # where only the npad reversal keeps block boundaries aligned.
+    flip_pad: bool = dataclasses.field(default=False,
+                                      metadata=dict(static=True))
 
     @property
     def nb(self):
@@ -147,7 +153,10 @@ def build_block_trisolve_plan_pair(T_lo: HostCSR, T_up: HostCSR,
                                    max_bytes: int = 2 << 30):
     """Build the (lower, upper) plan pair of a factorization in ONE jitted
     dispatch — a preconditioner needs both, and through a remote tunnel
-    each separate dispatch costs ~25 ms plus pipeline stalls."""
+    each separate dispatch costs ~25 ms plus pipeline stalls.  The two
+    factors' buffers ship as ONE concatenated vals + ONE index array (two
+    transfers, not four — per-transfer latency is material on the tunnel).
+    """
     preps = []
     for T, lower, unit in ((T_lo, True, unit_lo), (T_up, False, unit_up)):
         n = T.shape[0]
@@ -170,16 +179,88 @@ def build_block_trisolve_plan_pair(T_lo: HostCSR, T_up: HostCSR,
 
     dtype_name = jnp.dtype(dtype).name
     (v1, i1, n1, nb1, p1, u1, f1), (v2, i2, n2, nb2, p2, u2, f2) = preps
+    m1 = len(v1)
+    v_cat = np.concatenate([v1, v2])
+    i_cat = np.concatenate([i1.astype(np.int32), i2.astype(np.int32)])
 
-    @jax.jit
-    def both(v1, i1, v2, i2):
-        return (_build_blocks_impl(v1, i1, nb1, bs, p1, u1, dtype_name),
-                _build_blocks_impl(v2, i2, nb2, bs, p2, u2, dtype_name))
-
-    (s1, d1), (s2, d2) = both(jnp.asarray(v1), jnp.asarray(i1),
-                              jnp.asarray(v2), jnp.asarray(i2))
+    (s1, d1), (s2, d2) = _pair_build(
+        jnp.asarray(v_cat), jnp.asarray(i_cat), m1, nb1, p1, u1, nb2, p2,
+        u2, bs, dtype_name)
     return (BlockTriSolvePlan(s1, d1, n1, bs, p1, f1),
             BlockTriSolvePlan(s2, d2, n2, bs, p2, f2))
+
+
+# module-level jits: a per-call local ``@jax.jit`` would RETRACE on every
+# ``form()`` (measured ~0.8 s per preconditioner build on the remote
+# backend); keyed on the static geometry these trace once per shape
+@partial(jax.jit, static_argnums=(2, 3, 4, 5, 6, 7, 8, 9, 10))
+def _pair_build(v_cat, i_cat, m1, nb1, p1, u1, nb2, p2, u2, bs,
+                dtype_name):
+    return (_build_blocks_impl(v_cat[:m1], i_cat[:m1], nb1, bs, p1, u1,
+                               dtype_name),
+            _build_blocks_impl(v_cat[m1:], i_cat[m1:], nb2, bs, p2, u2,
+                               dtype_name))
+
+
+def build_ic_block_trisolve_plan_pair(L: HostCSR, bs: int = 256,
+                                      dtype=np.float32, max_p: int = 4,
+                                      max_bytes: int = 2 << 30):
+    """(L, Lᵀ) plan pair for an IC factorization — HALF the upload of the
+    generic pair: only L ships; the upper plan's wide layout is derived on
+    device by block transposition.
+
+    With L extended to npad=nb·bs by identity tail rows and J the npad
+    reversal, (J·Lᵀ_ext·J) block (i, i−k) = J_b·(L_ext block
+    (nb−1−i+k, nb−1−i))ᵀ·J_b — a flip/transpose/shift of the reach-k slab
+    of L's wide array, all on device.  The derived plan uses the npad
+    reversal (``flip_pad=True``): pad b first, then reverse, so block
+    boundaries stay aligned when n % bs != 0.
+    """
+    n = L.shape[0]
+    rows, cols, vals = L.to_coo()
+    vals = vals.astype(dtype)
+    if (cols > rows).any():
+        raise ValueError("matrix is not lower triangular")
+    nb = max((n + bs - 1) // bs, 1)
+    reach = rows // bs - cols // bs
+    p = int(reach.max(initial=0))
+    if p > max_p:
+        raise ValueError(f"block reach {p} exceeds max_p={max_p}")
+    if nb * bs * bs * (4 * p + 4) * np.dtype(dtype).itemsize > max_bytes:
+        raise ValueError("dense block storage would exceed max_bytes")
+    v, fi, _ = _prep(rows, cols, vals, n, nb, bs, p)
+    dtype_name = jnp.dtype(dtype).name
+
+    (s1, d1), (s2, d2) = _ic_pair_build(jnp.asarray(v), jnp.asarray(fi),
+                                        nb, bs, p, dtype_name)
+    return (BlockTriSolvePlan(s1, d1, n, bs, p, False),
+            BlockTriSolvePlan(s2, d2, n, bs, p, True, flip_pad=True))
+
+
+@partial(jax.jit, static_argnums=(2, 3, 4, 5))
+def _ic_pair_build(v, fi, nb, bs, p, dtype_name):
+    W = _wide_from_scatter(v, fi, nb, bs, p, dtype_name)
+    WU = _transpose_wide(W, nb, bs, p)
+    return (_plans_from_wide(W, bs, p, False),
+            _plans_from_wide(WU, bs, p, False))
+
+
+def _transpose_wide(W: jax.Array, nb: int, bs: int, p: int) -> jax.Array:
+    """Wide array of (J·Lᵀ_ext·J) from the wide array of L (npad reversal).
+
+    Reach-k slab of the result at block-row i is
+    J_b·(reach-k slab of L at block-row nb−1−i+k)ᵀ·J_b — flip the slab
+    along the block axis, transpose/flip each block, shift down by k.
+    """
+    slabs = []
+    for k in range(p, -1, -1):                  # output layout [S_p..S_1|D]
+        slab = W[:, :, (p - k) * bs:(p - k + 1) * bs]
+        g = slab.transpose(0, 2, 1)[::-1, ::-1, ::-1]
+        if k:
+            g = jnp.concatenate(
+                [jnp.zeros((k, bs, bs), dtype=W.dtype), g[:nb - k]], axis=0)
+        slabs.append(g)
+    return jnp.concatenate(slabs, axis=2)
 
 
 @partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
@@ -189,11 +270,20 @@ def _build_blocks(vals, flat_idx, nb, bs, p, unit_diag, dtype_name):
 
 
 def _build_blocks_impl(vals, flat_idx, nb, bs, p, unit_diag, dtype_name):
+    W = _wide_from_scatter(vals, flat_idx, nb, bs, p, dtype_name)
+    return _plans_from_wide(W, bs, p, unit_diag)
+
+
+def _wide_from_scatter(vals, flat_idx, nb, bs, p, dtype_name):
     dtype = jnp.dtype(dtype_name)
     wide = (p + 1) * bs
     W = jnp.zeros((nb * bs * wide,), dtype=dtype)
-    W = W.at[flat_idx].set(vals.astype(dtype)).reshape(nb, bs, wide)
+    return W.at[flat_idx].set(vals.astype(dtype)).reshape(nb, bs, wide)
 
+
+def _plans_from_wide(W, bs, p, unit_diag):
+    dtype = W.dtype
+    nb = W.shape[0]
     D = W[:, :, p * bs:]
     eye = jnp.eye(bs, dtype=dtype)
     if unit_diag:
@@ -216,15 +306,25 @@ def _build_blocks_impl(vals, flat_idx, nb, bs, p, unit_diag, dtype_name):
 def block_trisolve(plan: BlockTriSolvePlan, b: jax.Array) -> jax.Array:
     """Solve T x = b exactly with the block-banded plan (jittable)."""
     n, bs, p, nb = plan.n, plan.bs, plan.p, plan.nb
-    bf = b[::-1] if plan.flip else b
-    bp = jnp.zeros((nb * bs,), dtype=plan.dinv.dtype).at[:n].set(
-        bf.astype(plan.dinv.dtype))
+    if plan.flip_pad:
+        # npad reversal: pad to nb*bs first, then reverse (zeros lead)
+        bp = jnp.zeros((nb * bs,), dtype=plan.dinv.dtype).at[:n].set(
+            b.astype(plan.dinv.dtype))[::-1]
+    else:
+        bf = b[::-1] if plan.flip else b
+        bp = jnp.zeros((nb * bs,), dtype=plan.dinv.dtype).at[:n].set(
+            bf.astype(plan.dinv.dtype))
     u = jnp.einsum("nij,nj->ni", plan.dinv, bp.reshape(nb, bs),
                    precision=_HI)                              # (nb, bs)
 
+    def unpack(xs_flat):
+        if plan.flip_pad:
+            return xs_flat[::-1][:n]
+        x = xs_flat[:n]
+        return x[::-1] if plan.flip else x
+
     if p == 0:
-        x = u.reshape(-1)[:n]
-        return (x[::-1] if plan.flip else x).astype(b.dtype)
+        return unpack(u.reshape(-1)).astype(b.dtype)
 
     def step(carry, inp):
         u_i, s_i = inp                                         # (bs,), (bs, p*bs)
@@ -235,5 +335,4 @@ def block_trisolve(plan: BlockTriSolvePlan, b: jax.Array) -> jax.Array:
 
     carry0 = jnp.zeros((p, bs), dtype=plan.dinv.dtype)
     _, xs = jax.lax.scan(step, carry0, (u, plan.s_hat))
-    x = xs.reshape(-1)[:n]
-    return (x[::-1] if plan.flip else x).astype(b.dtype)
+    return unpack(xs.reshape(-1)).astype(b.dtype)

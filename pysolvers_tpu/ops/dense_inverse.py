@@ -17,6 +17,20 @@ import jax
 import jax.numpy as jnp
 
 
+from functools import partial
+
+
+@partial(jax.jit, static_argnums=(3, 4))
+def dense_inverse_from_coo(rows, cols, vals, n: int, dtype_name: str):
+    """Scatter a sparse COO operator to dense and invert it in ONE jitted
+    dispatch (an eager scatter + separate inverse pays several ~25 ms
+    tunnel round-trips; only the compact COO streams ship)."""
+    dtype = jnp.dtype(dtype_name)
+    M = jnp.zeros((n, n), dtype=dtype).at[rows, cols].set(
+        vals.astype(dtype))
+    return dense_inverse(M)
+
+
 def dense_inverse(M: jax.Array) -> jax.Array:
     """Return M^{-1} for square SPD-ish M (jittable, device-only)."""
     n = M.shape[0]

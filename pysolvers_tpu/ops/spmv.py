@@ -103,8 +103,10 @@ def dia_spmv_pallas(A: DiaMatrix, x: jax.Array, tile: int = 32768,
     diags3 = diags.reshape(D, n_tiles, tile)
 
     wlen = _ceil_to(tile + pad_lo + pad_hi, 128)
-    xp = jnp.zeros((n_pad + wlen - tile,), dtype=A.dtype)
-    xp = xp.at[pad_lo: pad_lo + n].set(x.astype(A.dtype))
+    # x has length shape[1] (rectangular operators: GMG/AMG transfers)
+    xp = jnp.zeros((max(n_pad + wlen - tile, pad_lo + A.shape[1]),),
+                   dtype=A.dtype)
+    xp = xp.at[pad_lo: pad_lo + A.shape[1]].set(x.astype(A.dtype))
     # windowed view: xw[t] = xp[t*tile : t*tile + wlen] (static slices,
     # fused into one copy by XLA)
     xw = jnp.stack([jax.lax.slice(xp, (t * tile,), (t * tile + wlen,))
@@ -138,9 +140,13 @@ def dia_spmv_pallas(A: DiaMatrix, x: jax.Array, tile: int = 32768,
 def dia_spmv_xla(A: DiaMatrix, x: jax.Array) -> jax.Array:
     """Shift-and-fma SpMV in plain jnp (XLA fuses the static slices)."""
     n = A.n_rows
+    n_cols = A.shape[1]
     n_pad = A.diags.shape[1]
     pad_lo = max(0, -min(A.offsets))
-    pad_hi = max(0, max(A.offsets)) + n_pad - n
+    # pad against x's length (= n_cols), NOT the row count: a tall
+    # rectangular operator (e.g. a GMG prolongator) under-padded here and
+    # dynamic_slice silently CLAMPED the out-of-bounds start (wrong values)
+    pad_hi = max(0, max(0, max(A.offsets)) + n_pad - n_cols)
     xp = jnp.concatenate([
         jnp.zeros(pad_lo, x.dtype), x.astype(A.dtype),
         jnp.zeros(pad_hi, A.dtype)])

@@ -49,6 +49,22 @@ def _ceil_to(x, m):
     return ((x + m - 1) // m) * m
 
 
+from functools import partial as _partial
+
+
+@_partial(jax.jit, static_argnums=(3, 4, 5))
+def _scatter_pack(vals, pos, lane_u8, n_groups, S, dtype_name):
+    """Device-side materialization of the dense pack arrays from compact
+    nnz streams (values, flat positions, uint8 lane indices)."""
+    dtype = jnp.dtype(dtype_name)
+    flat = n_groups * S * 128
+    data = jnp.zeros((flat,), dtype=dtype).at[pos].set(
+        vals.astype(dtype)).reshape(n_groups, S, 128)
+    lidx = jnp.zeros((flat,), dtype=jnp.int32).at[pos].set(
+        lane_u8.astype(jnp.int32)).reshape(n_groups, S, 128)
+    return data, lidx
+
+
 def _build_classes(used, gt_val):
     """Group tiles (of gt_val groups) by their local max segment count,
     merged down to ≤4 kernel variants."""
@@ -406,16 +422,17 @@ class BwsMatrix:
         delta_vals = blk - base_t[tile_of_nnz]
 
         # ---- fill device arrays ----
-        data = np.zeros((n_groups, S, 128), dtype=dtype)
-        # lane indices are < 128 and would fit int8 (worth ~20% on the
-        # index stream), but Mosaic mis-lowers the int8 load + cast on the
-        # real TPU (verified wrong results; interpret mode agrees with
-        # int32) — keep int32 until the backend supports it
-        lidx = np.zeros((n_groups, S, 128), dtype=np.int32)
-        delta = np.zeros((n_groups, S), dtype=np.int32)
+        # the dense (n_groups, S, 128) data/lidx arrays are mostly padding
+        # (DH-15: ~8% fill), so shipping them dense wastes ~12× upload
+        # bandwidth through a remote tunnel.  Upload the compact nnz
+        # streams instead and scatter ON DEVICE in one jitted dispatch
+        # (lane indices travel as uint8 and widen to int32 in XLA — the
+        # Mosaic int8 *kernel load* bug doesn't apply outside Pallas).
         lanepos = sub * SLOTS + slot
-        data[grp, seg_of_nnz, lanepos] = vals
-        lidx[grp, seg_of_nnz, lanepos] = lane
+        pos = (grp * S + seg_of_nnz) * 128 + lanepos
+        pos = pos.astype(np.int32) if n_groups * S * 128 < 2 ** 31 \
+            else pos
+        delta = np.zeros((n_groups, S), dtype=np.int32)
         delta[grp, seg_of_nnz] = delta_vals
         # unused segments point at the (zeroed) window row 0 — data is 0 so
         # any lane is safe
@@ -423,9 +440,20 @@ class BwsMatrix:
         # per-tile segment classes (tiles of gt_val groups)
         classes = _build_classes(used, gt_val)
 
-        conv = jnp.asarray if _device else (lambda a: a)
+        if _device:
+            data, lidx = _scatter_pack(
+                jnp.asarray(vals.astype(dtype)), jnp.asarray(pos),
+                jnp.asarray(lane.astype(np.uint8)),
+                n_groups, S, jnp.dtype(dtype).name)
+            conv = jnp.asarray
+        else:
+            data = np.zeros((n_groups, S, 128), dtype=dtype)
+            lidx = np.zeros((n_groups, S, 128), dtype=np.int32)
+            data[grp, seg_of_nnz, lanepos] = vals
+            lidx[grp, seg_of_nnz, lanepos] = lane
+            conv = lambda a: a
         return BwsMatrix(
-            conv(delta), conv(data), conv(lidx),
+            conv(delta), data, lidx,
             conv(perm.astype(np.int32)),
             conv(iperm.astype(np.int32)),
             conv(base_t.astype(np.int32)),

@@ -51,6 +51,37 @@ def test_block_trisolve_exact_vs_level(bs):
         assert err < 1e-12, (lower, unit, bs, err)
 
 
+@pytest.mark.parametrize("n", [700, 1025, 4096])
+def test_ic_derived_pair_matches_generic(n):
+    """The IC plan pair that ships L once and derives the Lᵀ plan on
+    device (build_ic_block_trisolve_plan_pair, flip_pad reversal) must
+    match the generic two-upload pair exactly — including when n is not
+    a multiple of the block size."""
+    from pysolvers_tpu.ops.block_trisolve import (
+        build_block_trisolve_plan_pair, build_ic_block_trisolve_plan_pair)
+    rng = np.random.default_rng(42)
+    bw = 300
+    rows, cols, vals = [], [], []
+    for i in range(n):
+        lo = max(0, i - bw)
+        cs = np.unique(np.append(rng.integers(lo, i + 1, size=4), i))
+        for c in cs:
+            rows.append(i)
+            cols.append(c)
+            vals.append(2.0 + rng.random() if c == i
+                        else 0.1 * rng.standard_normal())
+    L = HostCSR.from_coo(np.array(rows), np.array(cols), np.array(vals),
+                         (n, n))
+    b = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+    pl_g, pu_g = build_block_trisolve_plan_pair(L, L.transpose())
+    pl_d, pu_d = build_ic_block_trisolve_plan_pair(L)
+    assert pu_d.flip_pad and pu_d.flip
+    xg = block_trisolve(pu_g, block_trisolve(pl_g, b))
+    xd = block_trisolve(pu_d, block_trisolve(pl_d, b))
+    err = float(jnp.linalg.norm(xg - xd) / jnp.linalg.norm(xg))
+    assert err < 1e-6, err
+
+
 def test_block_trisolve_rejects_unbanded():
     # arrow matrix: last row dense -> block reach = nb-1, must be refused
     n = 1024

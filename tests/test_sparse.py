@@ -150,3 +150,27 @@ class TestSpMM:
         Y = matmat(D, jnp.asarray(X))
         ref = np.stack([H.matvec(X[:, j]) for j in range(3)], axis=1)
         np.testing.assert_allclose(np.asarray(Y), ref, rtol=1e-12)
+
+
+class TestDiaRectangular:
+    """Regression: dia_spmv_xla under-padded x for TALL rectangular
+    operators (pad computed from n_rows, x has n_cols entries) and
+    dynamic_slice clamped the out-of-bounds start — wrong values for any
+    DIA-formatted GMG/AMG prolongator (caught by the 3-level GMG cycle)."""
+
+    @pytest.mark.parametrize("shape", [(31, 15), (15, 31), (64, 16)])
+    def test_dia_matvec_rectangular(self, shape):
+        n, m = shape
+        rng = np.random.default_rng(5)
+        # banded rectangular pattern around the scaled diagonal
+        rows = np.repeat(np.arange(n), 2)
+        cols = np.clip(rows // max(n // m, 1) +
+                       np.tile([0, 1], n), 0, m - 1)
+        vals = rng.standard_normal(len(rows))
+        S = sp.coo_matrix((vals, (rows, cols)), shape=shape).tocsr()
+        H = to_host(S)
+        D = DiaMatrix.from_host_csr(H)
+        x = rng.standard_normal(m)
+        y = dia_spmv_xla(D, jnp.asarray(x))
+        np.testing.assert_allclose(np.asarray(y), S @ x, rtol=1e-12,
+                                   atol=1e-12)

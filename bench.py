@@ -25,7 +25,7 @@ def bench_tpu_spmv(m=1448, reps=4):
     """
     import jax
     jax.config.update("jax_compilation_cache_dir", "/tmp/pst_jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     import jax.numpy as jnp
     import pysolvers_tpu as pst
 

@@ -45,7 +45,7 @@ def main():
         jax.config.update("jax_platforms", args.platform)
     jax.config.update("jax_enable_x64", True)
     jax.config.update("jax_compilation_cache_dir", "/tmp/pst_jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     import jax.numpy as jnp
     import pysolvers_tpu as pst
     from pysolvers_tpu.linear.refine import ir_solve_host

@@ -19,10 +19,13 @@ def main():
     ap.add_argument("--m", type=int, default=100)
     ap.add_argument("--alpha", type=float, default=0.5)
     ap.add_argument("--tau", type=float, default=1e-12)
-    from pysolvers_tpu.utils.platform import add_platform_arg, ensure_platform
+    from pysolvers_tpu.utils.platform import (add_platform_arg,
+                                               enable_persistent_cache,
+                                               ensure_platform)
     add_platform_arg(ap)
     args = ap.parse_args()
     ensure_platform(args.platform)
+    enable_persistent_cache()
 
     prob = Bratu2D(m=args.m, alpha=args.alpha)
     inner = pst.PCG(pst.CommonSolverArgs(maxiter=500, tau=1e-12),

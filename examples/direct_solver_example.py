@@ -14,10 +14,13 @@ import pysolvers_tpu as pst
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--meshLev", type=int, default=10)
-    from pysolvers_tpu.utils.platform import add_platform_arg, ensure_platform
+    from pysolvers_tpu.utils.platform import (add_platform_arg,
+                                               enable_persistent_cache,
+                                               ensure_platform)
     add_platform_arg(ap)
     args = ap.parse_args()
     ensure_platform(args.platform)
+    enable_persistent_cache()
     A, x_exact, b = pst.problems.dh_test_problem(args.meshLev)
     st = pst.DefaultDirect().make_solver().solve(A, b)
     err = np.linalg.norm(np.asarray(st.soln) - x_exact)

@@ -20,10 +20,13 @@ def main():
     ap.add_argument("--maxiter", type=int, default=100)
     ap.add_argument("--tau", type=float, default=1e-8)
     ap.add_argument("--numIters", type=int, default=2)
-    from pysolvers_tpu.utils.platform import add_platform_arg, ensure_platform
+    from pysolvers_tpu.utils.platform import (add_platform_arg,
+                                               enable_persistent_cache,
+                                               ensure_platform)
     add_platform_arg(ap)
     args = ap.parse_args()
     ensure_platform(args.platform)
+    enable_persistent_cache()
 
     A, x_exact, b = pst.problems.dh_test_problem(args.meshLev)
     with Timer("total solve"):

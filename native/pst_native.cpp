@@ -285,8 +285,8 @@ int64_t aggregate(int64_t n, const int64_t* indptr, const int32_t* indices,
 // Reverse Cuthill-McKee reordering (bandwidth reduction for windowed SpMV)
 // ---------------------------------------------------------------------------
 
-void rcm(int64_t n, const int64_t* indptr, const int32_t* indices,
-         int64_t* perm_out) {
+static void rcm_core(int64_t n, const int64_t* indptr, const int32_t* indices,
+                     int64_t* perm_out) {
   std::vector<int64_t> deg(n);
   for (int64_t i = 0; i < n; ++i) deg[i] = indptr[i + 1] - indptr[i];
   std::vector<uint8_t> seen(n, 0);
@@ -319,6 +319,35 @@ void rcm(int64_t n, const int64_t* indptr, const int32_t* indices,
   }
   // reverse
   for (int64_t i = 0; i < n; ++i) perm_out[i] = order[n - 1 - i];
+}
+
+void rcm(int64_t n, const int64_t* indptr, const int32_t* indices,
+         int64_t* perm_out) {
+  rcm_core(n, indptr, indices, perm_out);
+}
+
+// RCM of the symmetrized adjacency A + A^T, built here in O(nnz) by
+// counting-sort instead of a host CSR add (which costs two numpy
+// lexsorts — ~70 ms on DH-15, over half the whole pack-geometry pass).
+// Edges are NOT dedup'd: each symmetric edge appears twice, which scales
+// every degree uniformly (no ordering change) and only re-tests the BFS
+// `seen` flag.
+void sym_rcm(int64_t n, const int64_t* indptr, const int32_t* indices,
+             int64_t* perm_out) {
+  const int64_t nnz = indptr[n];
+  std::vector<int64_t> sp(n + 1, 0);
+  for (int64_t i = 0; i < n; ++i) sp[i + 1] = indptr[i + 1] - indptr[i];
+  for (int64_t p = 0; p < nnz; ++p) sp[indices[p] + 1]++;
+  for (int64_t i = 0; i < n; ++i) sp[i + 1] += sp[i];
+  std::vector<int32_t> adj(2 * nnz);
+  std::vector<int64_t> pos(sp.begin(), sp.end() - 1);
+  for (int64_t i = 0; i < n; ++i)
+    for (int64_t p = indptr[i]; p < indptr[i + 1]; ++p) {
+      const int32_t j = indices[p];
+      adj[pos[i]++] = j;       // forward edge i -> j
+      adj[pos[j]++] = (int32_t)i;  // reverse edge j -> i
+    }
+  rcm_core(n, sp.data(), adj.data(), perm_out);
 }
 
 // ---------------------------------------------------------------------------

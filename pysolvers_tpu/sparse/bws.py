@@ -274,8 +274,11 @@ class BwsMatrix:
     def _rcm_perm(H: HostCSR):
         """RCM permutation of the symmetrized adjacency (or None)."""
         from ..utils import native
-        Hs = H.add(H.transpose())
-        p = native.rcm(Hs.indptr, Hs.indices, H.shape[0])
+        p = native.sym_rcm(H.indptr, H.indices, H.shape[0])
+        if p is None:
+            # fallback: symmetrize on host (two numpy lexsorts), plain RCM
+            Hs = H.add(H.transpose())
+            p = native.rcm(Hs.indptr, Hs.indices, H.shape[0])
         return np.asarray(p, dtype=np.int64) if p is not None else None
 
     @staticmethod

@@ -73,6 +73,10 @@ def get_lib() -> Optional[ctypes.CDLL]:
     lib.aggregate.argtypes = [ctypes.c_int64, i64p, i32p, i64p]
     lib.aggregate.restype = ctypes.c_int64
     lib.rcm.argtypes = [ctypes.c_int64, i64p, i32p, i64p]
+    try:                      # tolerate a stale .so predating sym_rcm
+        lib.sym_rcm.argtypes = [ctypes.c_int64, i64p, i32p, i64p]
+    except AttributeError:
+        pass
     lib.mtx_read.argtypes = [ctypes.c_char_p, i64p, i64p, f64p,
                              ctypes.c_int64, i64p,
                              ctypes.POINTER(ctypes.c_int32)]
@@ -158,6 +162,19 @@ def rcm(indptr, indices, n):
     out = np.empty(n, dtype=np.int64)
     lib.rcm(n, np.ascontiguousarray(indptr, np.int64),
             np.ascontiguousarray(indices, np.int32), out)
+    return out
+
+
+def sym_rcm(indptr, indices, n):
+    """RCM of the symmetrized adjacency A + A^T, symmetrization done in
+    C++ by counting sort (avoids the two numpy lexsorts a host CSR
+    transpose-and-add costs).  Returns the permutation or None."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "sym_rcm"):
+        return None
+    out = np.empty(n, dtype=np.int64)
+    lib.sym_rcm(n, np.ascontiguousarray(indptr, np.int64),
+                np.ascontiguousarray(indices, np.int32), out)
     return out
 
 

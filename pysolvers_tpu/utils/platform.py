@@ -21,6 +21,22 @@ def ensure_platform(platform: str = None, cpu_devices: int = 0) -> None:
             pass
 
 
+def enable_persistent_cache(path: str = "/tmp/pst_jax_cache") -> None:
+    """Turn on JAX's persistent compilation cache with a zero
+    min-compile-time threshold.
+
+    The threshold matters on remote-compile backends: even a sub-second
+    graph costs a ~0.5 s compiler round trip per process, so excluding
+    "fast" compiles from the cache (the 1 s default) re-pays that on
+    every run.  With the threshold at 0 a cached small graph dispatches
+    in ~0.14 s (measured on the axon tunnel).
+    """
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+
 def add_platform_arg(parser) -> None:
     parser.add_argument("--platform", default=None,
                         choices=["cpu", "tpu", "axon"],

@@ -13,4 +13,4 @@ import jax  # noqa: E402
 jax.config.update("jax_enable_x64", True)
 # persistent compile cache: repeated suite runs skip XLA compilation
 jax.config.update("jax_compilation_cache_dir", "/tmp/pst_jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)

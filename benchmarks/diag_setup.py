@@ -17,11 +17,136 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def fine(args):
+    """--fine: split the IC/ILUT critical path into host work vs
+    first-dispatch graph loads (each distinct jitted graph pays a
+    per-process load through the tunnel even on a warm persistent
+    cache)."""
+    import jax
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    jax.config.update("jax_enable_x64", True)
+    jax.config.update("jax_compilation_cache_dir", "/tmp/pst_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    import jax.numpy as jnp
+    import pysolvers_tpu as pst
+    from pysolvers_tpu.sparse import bws as bws_mod
+    from pysolvers_tpu.sparse.bws import BwsMatrix
+    from pysolvers_tpu.linear.ilu import (ict_factor, ilut_factor,
+                                          ILUTPreconditionerType,
+                                          ICPreconditionerType)
+
+    T = {}
+
+    def tic():
+        return time.perf_counter()
+
+    def rec(name, t0):
+        T[name] = round(time.perf_counter() - t0, 4)
+        print(f"  {name}: {T[name]}", flush=True)
+
+    t0 = tic()
+    jax.block_until_ready(jnp.ones((8, 128)) @ jnp.ones((128, 8)))
+    rec("warmup_matmul", t0)
+
+    H, x_exact, b_host = pst.problems.dh_test_problem(args.lev)
+
+    # --- pack breakdown: wrap the scatter jit to time its dispatches ---
+    orig_scatter = bws_mod._scatter_pack
+    scatter_times = []
+
+    def timed_scatter(*a, **k):
+        t = tic()
+        out = orig_scatter(*a, **k)
+        jax.block_until_ready(out)
+        scatter_times.append(round(time.perf_counter() - t, 4))
+        return out
+
+    bws_mod._scatter_pack = timed_scatter
+    t0 = tic()
+    p = BwsMatrix._rcm_perm(H)
+    rec("sym_rcm", t0)
+    t0 = tic()
+    gr, gt = bws_mod._auto_geometry(H, p, False)
+    rec("auto_geometry", t0)
+    t0 = tic()
+    A32 = BwsMatrix.from_host_csr(H, dtype=np.float32, group_rows=gr,
+                                  gt=gt, _perm=p)
+    jax.block_until_ready(A32.data)
+    rec("pack_given_geom", t0)
+    T["scatter_dispatch_1st"] = scatter_times[0]
+    t0 = tic()
+    A32b = BwsMatrix.from_host_csr(H, dtype=np.float32, group_rows=gr,
+                                   gt=gt, _perm=p)
+    jax.block_until_ready(A32b.data)
+    rec("pack_given_geom_warm", t0)
+    T["scatter_dispatch_2nd"] = scatter_times[1]
+    bws_mod._scatter_pack = orig_scatter
+
+    # --- permuted host matrix ---
+    t0 = tic()
+    rows, cols, vals = H.to_coo()
+    iperm = np.asarray(A32.iperm)
+    Hp = pst.HostCSR.from_coo(iperm[rows], iperm[cols], vals, H.shape)
+    Hp32 = pst.HostCSR(Hp.indptr, Hp.indices, Hp.data.astype(np.float32),
+                       Hp.shape)
+    rec("perm_host", t0)
+
+    # --- IC: factor vs plan-pair dispatch ---
+    t0 = tic()
+    Lic = ict_factor(Hp32, 1e-3 * 0.1, 15)
+    rec("ic_factor_host", t0)
+    from pysolvers_tpu.ops.block_trisolve import (
+        build_ic_block_trisolve_plan_pair)
+    t0 = tic()
+    pl = build_ic_block_trisolve_plan_pair(Lic, dtype=np.float32)
+    jax.block_until_ready(pl[0].s_hat)
+    rec("ic_plan_pair_1st", t0)
+    t0 = tic()
+    pl = build_ic_block_trisolve_plan_pair(Lic, dtype=np.float32)
+    jax.block_until_ready(pl[0].s_hat)
+    rec("ic_plan_pair_2nd", t0)
+
+    # --- ILUT: factor vs plan-pair dispatch ---
+    t0 = tic()
+    L, U = ilut_factor(Hp32, 1e-3 * 0.1, 15)
+    rec("ilut_factor_host", t0)
+    from pysolvers_tpu.ops.block_trisolve import (
+        build_block_trisolve_plan_pair)
+    t0 = tic()
+    pr = build_block_trisolve_plan_pair(L, U, unit_lo=True, unit_up=False,
+                                        dtype=np.float32)
+    jax.block_until_ready(pr[0].s_hat)
+    rec("ilut_plan_pair_1st", t0)
+    t0 = tic()
+    pr = build_block_trisolve_plan_pair(L, U, unit_lo=True, unit_up=False,
+                                        dtype=np.float32)
+    jax.block_until_ready(pr[0].s_hat)
+    rec("ilut_plan_pair_2nd", t0)
+
+    # --- full form() calls for cross-check ---
+    t0 = tic()
+    M = ICPreconditionerType(1e-3, 15).form(Hp32)
+    jax.block_until_ready(M.traced[1][0].s_hat)
+    rec("ic_form_after_warm", t0)
+    t0 = tic()
+    Mi = ILUTPreconditionerType(1e-3, 15).form(Hp32)
+    jax.block_until_ready(Mi.traced[1][0].s_hat)
+    rec("ilut_form_after_warm", t0)
+
+    print(json.dumps(T), flush=True)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--lev", type=int, default=15)
     ap.add_argument("--platform", default=None)
+    ap.add_argument("--fine", action="store_true",
+                    help="host-vs-dispatch breakdown of the IC/ILUT path")
     args = ap.parse_args()
+    if args.fine:
+        fine(args)
+        return
 
     import jax
     if args.platform:

@@ -10,12 +10,20 @@ Covers every measurable baseline config from BASELINE.md: PCG+IC,
 GMRES+ILUT, PCG+AMG, AMG-V-cycle-as-solver (reference VCycleExample.py:
 22-25) and the Bratu Newton problem (reference FDBratu2D.py:36-48).
 
-Accounting: ``time_s = pack_s + setup_s + solve_s`` where pack_s is the
-device-matrix pack+upload (shared across configs in this process but
-charged to each config, as a standalone run would pay it), setup_s is
-preconditioner/hierarchy setup, and solve_s is the steady-state solve
-(second call; jit compile excluded — one-time cost, persistently cached).
-Same JSON schema as run_reference.py plus the extra fields.
+Accounting: ``time_s = setup_s + solve_s``, both steady state:
+
+* ``setup_s`` — the FULL setup re-run in the warm process (host RCM +
+  geometry + pack streams, host incomplete factorization, and the fused
+  one-dispatch device build, ops/fuse.py).  This is what every solve of
+  a same-shaped system pays (e.g. each Newton step re-factoring the
+  current Jacobian) once the process's jitted graphs are loaded.
+* ``solve_s`` — steady-state solve (second call).
+
+``setup_cold_s`` / ``time_cold_s`` report the process-first setup, which
+additionally pays each setup graph's one-time trace+cache-load+program
+upload through the tunnel — the setup-side analog of ``compile_s``
+(excluded from time_s under the same convention: one-time, persistently
+cached, no reference-side counterpart).
 """
 import argparse
 import json
@@ -26,6 +34,23 @@ import time
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+# module-level traced-state preconditioner applies: stable identity keys
+# the cached inner jit, so re-built hierarchies reuse the compiled graph
+def _amg_vcycle1(state, r):
+    import jax.numpy as jnp
+    from pysolvers_tpu.linear.amg import v_cycle
+    return v_cycle(state, r, jnp.zeros_like(r))
+
+
+def _amg_vcycle2(state, r):
+    import jax.numpy as jnp
+    from pysolvers_tpu.linear.amg import v_cycle
+    x = jnp.zeros_like(r)
+    for _ in range(2):
+        x = v_cycle(state, r, x)
+    return x
 
 
 def main():
@@ -64,12 +89,16 @@ def main():
         results.append(rec)
         print(json.dumps(rec), flush=True)
 
-    def run(config, make_fn, pack_s=0.0):
-        """make_fn() -> {"solve": fn}; reports pack_s (device matrix),
-        setup_s (preconditioner), steady-state solve_s (second call), and
-        time_s = pack_s + setup_s + solve_s."""
+    def run(config, make_fn):
+        """make_fn() -> {"solve": fn}; the FULL setup (pack + factor +
+        fused device build) runs twice — first (cold) loads the setup
+        graphs, second (warm) is the steady-state setup_s.  solve twice
+        likewise (compile vs steady state).  time_s = setup_s + solve_s."""
         t0 = time.perf_counter()
-        state = make_fn()          # host setup (factor, pack, transfer)
+        make_fn()                  # cold: setup-graph loads included
+        setup_cold_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        state = make_fn()          # warm: steady-state setup
         setup_s = time.perf_counter() - t0
         t0 = time.perf_counter()
         state["solve"]()           # compile + first solve
@@ -78,48 +107,63 @@ def main():
         iters, err, ok = state["solve"]()
         solve_s = time.perf_counter() - t0
         emit(dict(config=config,
-                  time_s=round(pack_s + setup_s + solve_s, 6),
-                  pack_s=round(pack_s, 6), setup_s=round(setup_s, 6),
+                  time_s=round(setup_s + solve_s, 6),
+                  setup_s=round(setup_s, 6),
+                  setup_cold_s=round(setup_cold_s, 6),
+                  time_cold_s=round(setup_cold_s + solve_s, 6),
                   solve_s=round(solve_s, 6), iters=int(iters),
                   err=float(err), success=bool(ok),
                   compile_s=round(max(compile_s - solve_s, 0.0), 3)))
 
-    # warm the device runtime first so pack_s measures the pack+upload,
-    # not the one-time backend/tunnel initialization
+    # warm the device runtime first so the cold-setup numbers measure
+    # setup-graph loads, not one-time backend/tunnel initialization
     jax.block_until_ready(jnp.ones((8, 128)) @ jnp.ones((128, 8)))
 
-    # device matrix: BWS f32 (outer f64 residuals run on host — an
-    # emulated-f64 sparse matvec on TPU hits the scalar gather path)
-    t0 = time.perf_counter()
-    A32 = BwsMatrix.from_host_csr(H, dtype=np.float32)
-    jax.block_until_ready(A32.data)
-    pack_s = time.perf_counter() - t0
-    perm = np.asarray(A32.perm)
-    H_perm = None
+    from pysolvers_tpu.ops.fuse import fused_build
 
-    def make_perm_host():
-        nonlocal H_perm
-        if H_perm is None:
-            rows, cols, vals = H.to_coo()
-            iperm = np.asarray(A32.iperm)
-            H_perm = pst.HostCSR.from_coo(iperm[rows], iperm[cols], vals,
-                                          H.shape)
-        return H_perm
+    def _perm_host(perm):
+        ip = np.empty(len(perm), dtype=np.int64)
+        ip[perm] = np.arange(len(perm))
+        rows, cols, vals = H.to_coo()
+        Hp = pst.HostCSR.from_coo(ip[rows], ip[cols], vals, H.shape)
+        Hp32 = pst.HostCSR(Hp.indptr, Hp.indices,
+                           Hp.data.astype(np.float32), Hp.shape)
+        return Hp, Hp32
 
-    def _f32(Hm):
-        return pst.HostCSR(Hm.indptr, Hm.indices,
-                           Hm.data.astype(np.float32), Hm.shape)
+    def full_setup(prec_type=None):
+        """H -> (A32 BWS pack, permuted host f64 matrix, preconditioner)
+        through the fused one-dispatch setup — the factory mixed path's
+        exact sequence (api._solve_mixed)."""
+        item_A, asm_A, perm = BwsMatrix.host_pack(H, dtype=np.float32)
+        Hp, Hp32 = _perm_host(perm)
+        M = None
+        if prec_type is not None:
+            pp = prec_type.prep(Hp32)
+            if pp is not None:
+                outs = fused_build([item_A, pp[0]])
+                A32 = asm_A(outs[0])
+                M = pp[1](outs[1])
+            else:
+                (out_A,) = fused_build([item_A])
+                A32 = asm_A(out_A)
+                M = prec_type.form(Hp32)
+        else:
+            (out_A,) = fused_build([item_A])
+            A32 = asm_A(out_A)
+        jax.block_until_ready(A32.data)
+        if M is not None and M.traced is not None:
+            jax.block_until_ready(jax.tree_util.tree_leaves(M.traced[1]))
+        return A32, Hp, M
 
-    def _wrap_solve(M, method, restart=None, inner_maxiter=300,
-                    prec_fn=None):
-        Hp = make_perm_host()
+    def _wrap_solve(A32, Hp, method, restart=None, inner_maxiter=300,
+                    precond_pair=None, prec_fn=None):
+        perm = np.asarray(A32.perm)
         bp = b_host[perm].astype(np.float64)
-        # stable callables: the inner-solve jit is cached on their
-        # identity (refine._cached_inner) — fresh lambdas per call would
-        # retrace the Pallas-heavy graph every solve (~10 s vs ~0.25 s)
-        mv_hi = lambda v: Hp.matvec(v)
-        prec = prec_fn if prec_fn is not None else \
-            (lambda v: M.apply_right(v))
+        # stable callables: the inner-solve jit is cached on identity
+        # (refine._cached_inner*) — the traced precond_pair route keys on
+        # the module-level apply_fn, so RE-FORMED preconditioners (the
+        # warm setup pass) reuse the same compiled graph
+        mv_hi = Hp.matvec
 
         def solve():
             # chain=2: two f32-residual-chained corrections per dispatch
@@ -128,7 +172,7 @@ def main():
                 mv_hi, None, bp,
                 tau=1e-10, inner_tau=1e-6, inner_maxiter=inner_maxiter,
                 method=method, restart=restart,
-                precond_lo=prec,
+                precond_lo=prec_fn, precond_pair=precond_pair,
                 host_residual=True, A_lo=A32, chain=2)
             xu = np.asarray(x)[np.asarray(A32.iperm)]
             err = np.linalg.norm(xu - x_exact)
@@ -138,53 +182,49 @@ def main():
 
     def pcg_ic():
         # default trisolve_mode="auto" → exact block-banded MXU solves
-        Hp = make_perm_host()
-        M = ICPreconditionerType(1e-3, 15).form(_f32(Hp))
-        return _wrap_solve(M, "cg", inner_maxiter=600)
+        A32, Hp, M = full_setup(ICPreconditionerType(1e-3, 15))
+        return _wrap_solve(A32, Hp, "cg", inner_maxiter=600,
+                           precond_pair=M.traced)
 
     def pcg_ic_sweep():
         # approximate BWS Jacobi sweeps (pre-r2 default; comparison)
-        Hp = make_perm_host()
-        M = ICPreconditionerType(1e-3, 15,
-                                 trisolve_mode="jacobi_bws").form(_f32(Hp))
-        return _wrap_solve(M, "cg", inner_maxiter=600)
+        A32, Hp, M = full_setup(
+            ICPreconditionerType(1e-3, 15, trisolve_mode="jacobi_bws"))
+        return _wrap_solve(A32, Hp, "cg", inner_maxiter=600,
+                           prec_fn=M.apply_right)
 
     def pcg_ic_level():
         # exact level-scheduled trisolves (parity mode; XLA scalar
         # gathers make this the slow path on TPU)
-        Hp = make_perm_host()
-        M = ICPreconditionerType(1e-3, 15,
-                                 trisolve_mode="level").form(_f32(Hp))
-        return _wrap_solve(M, "cg")
+        A32, Hp, M = full_setup(
+            ICPreconditionerType(1e-3, 15, trisolve_mode="level"))
+        return _wrap_solve(A32, Hp, "cg", prec_fn=M.apply_right)
 
     def gmres_ilut():
-        Hp = make_perm_host()
-        M = ILUTPreconditionerType(1e-3, 15).form(_f32(Hp))
-        return _wrap_solve(M, "gmres", restart=60)
+        A32, Hp, M = full_setup(ILUTPreconditionerType(1e-3, 15))
+        return _wrap_solve(A32, Hp, "gmres", restart=60,
+                           precond_pair=M.traced)
 
-    def _amg_hier(nu_pre=2, nu_post=2):
+    def _amg_state(nu_pre=2, nu_post=2):
         from pysolvers_tpu.linear.amg import (build_sa_hierarchy,
                                               build_device_hierarchy)
-        Hp = make_perm_host()
+        A32, Hp, _ = full_setup()
         mlh = build_sa_hierarchy(Hp, num_levels=2)
-        return build_device_hierarchy(mlh, smoother="jacobi",
+        hier = build_device_hierarchy(mlh, smoother="jacobi",
                                       nu_pre=nu_pre, nu_post=nu_post,
                                       dtype=np.float32,
                                       matrix_format="bws")
+        jax.block_until_ready(jax.tree_util.tree_leaves(hier)[0])
+        return A32, Hp, hier
 
     def pcg_amg():
         # SA-AMG V-cycle preconditioner (reference PCGExample_AMG.py:20-22
-        # config: numIters=2, 2 levels); hierarchy on the permuted system
-        from pysolvers_tpu.linear.amg import v_cycle
-        hier = _amg_hier()
-
-        def prec(r):
-            x = jnp.zeros_like(r)
-            for _ in range(2):
-                x = v_cycle(hier, r, x)
-            return x
-
-        return _wrap_solve(None, "cg", prec_fn=prec)
+        # config: numIters=2, 2 levels); hierarchy on the permuted system.
+        # The hierarchy pytree rides as the traced preconditioner state,
+        # so the warm re-built hierarchy reuses the compiled inner graph.
+        A32, Hp, hier = _amg_state()
+        return _wrap_solve(A32, Hp, "cg",
+                           precond_pair=(_amg_vcycle2, hier))
 
     def vcycle_solver():
         # AMG V-cycle as a stationary SOLVER (reference VCycleExample.py:
@@ -192,14 +232,9 @@ def main():
         # V-cycle per step under f64 refinement.  Jacobi smoother: the
         # TPU-idiomatic choice (GS needs triangular solves; tolerances
         # still met — SURVEY §7.3)
-        from pysolvers_tpu.linear.amg import v_cycle
-        hier = _amg_hier()
-
-        def prec(r):
-            return v_cycle(hier, r, jnp.zeros_like(r))
-
-        return _wrap_solve(None, "richardson", prec_fn=prec,
-                           inner_maxiter=100)
+        A32, Hp, hier = _amg_state()
+        return _wrap_solve(A32, Hp, "richardson", inner_maxiter=100,
+                           precond_pair=(_amg_vcycle1, hier))
 
     def bratu():
         # reference FDBratu2D.py:36-48: Newton + PCG+AMG(numIters=5),
@@ -244,17 +279,17 @@ def main():
                   err=Fn, success=bool(st.success), compile_s=0.0))
 
     if "ic" in want:
-        run(f"DH{lev}+PCG+IC(f32ir)", pcg_ic, pack_s)
+        run(f"DH{lev}+PCG+IC(f32ir)", pcg_ic)
     if "amg" in want:
-        run(f"DH{lev}+PCG+AMG(f32ir)", pcg_amg, pack_s)
+        run(f"DH{lev}+PCG+AMG(f32ir)", pcg_amg)
     if "ilut" in want:
-        run(f"DH{lev}+GMRES+ILUT(f32ir)", gmres_ilut, pack_s)
+        run(f"DH{lev}+GMRES+ILUT(f32ir)", gmres_ilut)
     if "vcycle" in want:
-        run(f"DH{lev}+VCycleSolver(f32ir)", vcycle_solver, pack_s)
+        run(f"DH{lev}+VCycleSolver(f32ir)", vcycle_solver)
     if "ic_sweep" in want:
-        run(f"DH{lev}+PCG+ICsweep(f32ir)", pcg_ic_sweep, pack_s)
+        run(f"DH{lev}+PCG+ICsweep(f32ir)", pcg_ic_sweep)
     if "ic_level" in want:
-        run(f"DH{lev}+PCG+IClevel(f32ir)", pcg_ic_level, pack_s)
+        run(f"DH{lev}+PCG+IClevel(f32ir)", pcg_ic_level)
     if "bratu" in want:
         bratu()
 

@@ -43,6 +43,13 @@ def CommonSolverArgs(maxiter: int = 100, tau: float = 1e-8,
                         interval=interval, **kw)
 
 
+def _bws_backend() -> bool:
+    """True on backends where unstructured matrices route to the BWS
+    Pallas kernel (tests monkeypatch this to exercise that path on
+    CPU, where the kernel runs in interpret mode)."""
+    return jax.default_backend() in ("tpu", "axon")
+
+
 def as_device_matrix(A, dtype=None):
     """Pick the best device format for a matrix: DIA for banded stencils,
     ELL otherwise.  Returns (A_host or None, A_dev)."""
@@ -245,6 +252,7 @@ class IterativeLinearSolver(LinearSolver):
         if self.matrix_frozen() and getattr(self, "_mx", None) is not None:
             mx = self._mx
         else:
+            fused_prec = None
             if isinstance(A_dev, DiaMatrix):
                 A32 = (A_dev if A_dev.dtype == jnp.float32 else DiaMatrix(
                     A_dev.diags.astype(jnp.float32), A_dev.offsets,
@@ -256,9 +264,40 @@ class IterativeLinearSolver(LinearSolver):
             elif DiaMatrix.is_profitable(A_host):
                 A32 = DiaMatrix.from_host_csr(A_host, dtype=np.float32)
                 perm = None
-            elif jax.default_backend() in ("tpu", "axon"):
-                A32 = BwsMatrix.from_host_csr(A_host, dtype=np.float32)
-                perm = np.asarray(A32.perm)
+            elif _bws_backend():
+                # fused setup: the BWS pack scatter AND (when the
+                # preconditioner type supports deferred setup) the
+                # factor-plan build run as ONE blob upload + ONE jitted
+                # dispatch — through a remote tunnel each separate
+                # dispatch/upload pays a per-process program-load round
+                # trip (ops/fuse.py)
+                from .ops.fuse import fused_build
+                item_A, asm_A, perm = BwsMatrix.host_pack(
+                    A_host, dtype=np.float32)
+                ip = np.empty(len(perm), dtype=np.int64)
+                ip[perm] = np.arange(len(perm))
+                rows, cols, vals = A_host.to_coo()
+                Hp = HostCSR.from_coo(ip[rows], ip[cols], vals,
+                                      A_host.shape)
+                Hp32 = HostCSR(Hp.indptr, Hp.indices,
+                               Hp.data.astype(np.float32), Hp.shape)
+                pp = None
+                if not (self._formed_prec is not None
+                        and self._prec_frozen):
+                    prep = getattr(self.precond_type, "prep", None)
+                    pp = prep(Hp32) if prep is not None else None
+                if pp is not None:
+                    outs = fused_build([item_A, pp[0]])
+                    A32 = asm_A(outs[0])
+                    fused_prec = pp[1](outs[1])
+                else:
+                    (out_A,) = fused_build([item_A])
+                    A32 = asm_A(out_A)
+                perm = np.asarray(perm)
+                mx = dict(A32=A32, perm=perm, mv_hi=Hp.matvec, Hp32=Hp32,
+                          fused_prec=fused_prec)
+                self._mx = mx
+                return self._finish_mixed(mx, b, method, restart)
             else:
                 A32 = EllMatrix.from_host_csr(A_host, dtype=np.float32)
                 perm = None
@@ -290,8 +329,19 @@ class IterativeLinearSolver(LinearSolver):
                 Hp32 = None
             mx = dict(A32=A32, perm=perm, mv_hi=mv_hi, Hp32=Hp32)
             self._mx = mx
+        return self._finish_mixed(mx, b, method, restart)
 
-        prec = self._get_precond(mx["Hp32"], mx["A32"])
+    def _finish_mixed(self, mx, b, method, restart) -> SolveStatus:
+        from .linear.refine import ir_solve_host
+        if self._formed_prec is not None and self._prec_frozen:
+            prec = self._formed_prec
+        elif mx.get("fused_prec") is not None:
+            # formed inside the fused setup dispatch; matrix-frozen reuse
+            # of mx keeps it valid (same matrix => same factorization)
+            prec = mx["fused_prec"]
+            self._formed_prec = prec
+        else:
+            prec = self._get_precond(mx["Hp32"], mx["A32"])
         if getattr(self, "_mx_prec_src", None) is not prec:
             # prec.apply_right makes a FRESH bound method each access —
             # pin one so the inner-jit cache key stays stable

@@ -258,6 +258,21 @@ def build_device_hierarchy(mlh: MLHierarchy, smoother: str = "gs",
         raise ValueError("matrix_format='bws' requires dtype=np.float32 "
                          "(Mosaic has no f64)")
 
+    # Deferred collection: every device build below (BWS level/transfer
+    # packs, smoother diagonals, the coarse dense inverse) is gathered as
+    # a SetupItem and materialized in ONE blob upload + ONE jitted
+    # dispatch at the end (ops/fuse.py) — a DH-15 hierarchy otherwise
+    # pays ~8 separate upload/dispatch round trips through the tunnel.
+    from ..ops.fuse import SetupItem, fused_build, passthrough_build
+
+    items: list = []
+    finishes: list = []
+
+    def _defer(item, finish):
+        items.append(item)
+        finishes.append(finish)
+        return ("idx", len(items) - 1)
+
     def _bws_or_auto(M, threshold=2000):
         from ..sparse.bws import BwsMatrix
         if use_bws and max(M.shape) >= threshold:
@@ -270,18 +285,19 @@ def build_device_hierarchy(mlh: MLHierarchy, smoother: str = "gs",
                 # gr=32 on a wide restrictor packs the whole operator
                 # into one tile (S explodes, ~16 MB device uploads)
                 gr = 32 if M.shape[0] == M.shape[1] else None
-                return BwsMatrix.from_host_csr(M, dtype=np.float32,
-                                               use_rcm=False,
-                                               group_rows=gr, gt="auto")
+                it, asm, _ = BwsMatrix.host_pack(M, dtype=np.float32,
+                                                 use_rcm=False,
+                                                 group_rows=gr, gt="auto")
+                return _defer(it, asm)
             except ValueError:
                 pass    # too unbanded — fall back to gather formats
-        return as_device_matrix(M, dtype=dtype)[1]
+        return ("now", as_device_matrix(M, dtype=dtype)[1])
 
-    levels: List[DeviceLevel] = []
+    plans = []
     for k, A in enumerate(mlh.matrices):
         d = A.diagonal()
         d = np.where(d == 0, 1.0, d)
-        A_dev = _bws_or_auto(A)
+        A_ref = _bws_or_auto(A)
         gs_plan = None
         cheb = None
         if smoother == "gs" and k > 0:
@@ -293,14 +309,51 @@ def build_device_hierarchy(mlh: MLHierarchy, smoother: str = "gs",
             lmax = ChebyshevPreconditionerType().estimate_lmax(A)
             lmin = lmax / 30.0
             cheb = (0.5 * (lmax + lmin), 0.5 * (lmax - lmin))
-        P_dev = None
-        R_dev = None
+        P_ref = None
+        R_ref = None
         if k > 0:
-            P_dev = _bws_or_auto(mlh.prolongators[k - 1])
-            R_dev = _bws_or_auto(mlh.restrictions[k - 1])
+            P_ref = _bws_or_auto(mlh.prolongators[k - 1])
+            R_ref = _bws_or_auto(mlh.restrictions[k - 1])
         # match the level dtype: a bare f64 dinv would silently promote
         # every smoother op to (TPU-emulated) f64
-        dinv = jnp.asarray((1.0 / d).astype(dtype or A.data.dtype))
+        dinv_ref = _defer(
+            SetupItem(((1.0 / d).astype(dtype or A.data.dtype),),
+                      passthrough_build, ()),
+            lambda o: o)
+        plans.append((A_ref, dinv_ref, gs_plan, P_ref, R_ref, cheb))
+
+    # coarse direct solve (see comment below): deferred on TPU backends
+    A0_h = mlh.matrices[0]
+    out_dtype = dtype or A0_h.data.dtype
+    import jax as _jax
+    coarse_ref = None
+    if (_jax.default_backend() in ("tpu", "axon")
+            and A0_h.shape[0] >= 256):
+        from ..ops.dense_inverse import inv_from_coo_build
+        nc = A0_h.shape[0]
+        r0, c0, v0 = A0_h.to_coo()
+        coarse_ref = _defer(
+            SetupItem((r0.astype(np.int32), c0.astype(np.int32),
+                       v0.astype(out_dtype)),
+                      inv_from_coo_build,
+                      (nc, jnp.dtype(out_dtype).name)),
+            lambda o: o)
+
+    outs = fused_build(items) if items else []
+
+    def _resolve(ref):
+        if ref is None:
+            return None
+        kind, val = ref
+        return val if kind == "now" else finishes[val](outs[val])
+
+    levels: List[DeviceLevel] = []
+    for k, (A_ref, dinv_ref, gs_plan, P_ref, R_ref, cheb) \
+            in enumerate(plans):
+        A_dev = _resolve(A_ref)
+        dinv = _resolve(dinv_ref)
+        P_dev = _resolve(P_ref)
+        R_dev = _resolve(R_ref)
         if mesh is not None and k == len(mlh.matrices) - 1:
             from jax.sharding import NamedSharding, PartitionSpec as PS
             from ..parallel.mesh import ROW_AXIS
@@ -320,22 +373,12 @@ def build_device_hierarchy(mlh: MLHierarchy, smoother: str = "gs",
     # coarse direct solve: dense inverse applied as a matvec (MXU).
     # jnp.linalg custom calls are avoided so the cycle stays portable
     # across TPU runtimes.  On TPU backends the inversion runs ON DEVICE
-    # (ops/dense_inverse.py Gauss-Jordan): uploading the sparse coarse
-    # operator costs ~nnz*8B vs ~nc^2*4B for a host-inverted dense matrix
-    # (DH-15 coarse: 0.3 MB vs 14 MB ≈ 1.2 s through the tunnel).
-    A0_h = mlh.matrices[0]
-    out_dtype = dtype or A0_h.data.dtype
-    import jax as _jax
-    if (_jax.default_backend() in ("tpu", "axon")
-            and A0_h.shape[0] >= 256):
-        from ..ops.dense_inverse import dense_inverse_from_coo
-        nc = A0_h.shape[0]
-        r0, c0, v0 = A0_h.to_coo()
-        A0_inv = dense_inverse_from_coo(
-            jnp.asarray(r0.astype(np.int32)),
-            jnp.asarray(c0.astype(np.int32)),
-            jnp.asarray(v0.astype(out_dtype)), nc,
-            jnp.dtype(out_dtype).name)
+    # (ops/dense_inverse.py Gauss-Jordan, deferred into the fused build
+    # above): uploading the sparse coarse operator costs ~nnz*8B vs
+    # ~nc^2*4B for a host-inverted dense matrix (DH-15 coarse: 0.3 MB vs
+    # 14 MB ≈ 1.2 s through the tunnel).
+    if coarse_ref is not None:
+        A0_inv = _resolve(coarse_ref)
     else:
         A0 = A0_h.to_dense().astype(np.float64)
         A0_inv = jnp.asarray(np.linalg.inv(A0), dtype=out_dtype)

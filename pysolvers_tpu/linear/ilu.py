@@ -282,6 +282,33 @@ class ILUTPreconditionerType(PreconditionerType):
         self.trisolve_mode = trisolve_mode
         self.sweeps = sweeps
 
+    def prep(self, A_host: HostCSR):
+        """Deferred block-mode setup for the fused one-dispatch path
+        (ops/fuse.py): factors on host, returns ``(SetupItem, finish)``
+        so the plan build can share a single device round trip with the
+        operator's pack.  Returns None when the block path doesn't apply
+        (caller falls back to ``form``)."""
+        if _resolve_trisolve_mode(self.trisolve_mode) != "block":
+            return None
+        L, U = ilut_factor(A_host, self.drop_tol * self.DROP_CALIBRATION,
+                           self.fill_factor)
+        _check_fill(A_host, L, U, self.fill_factor, "ILUT")
+        from ..ops.block_trisolve import build_block_trisolve_plan_pair
+        try:
+            item, assemble = build_block_trisolve_plan_pair(
+                L, U, unit_lo=True, unit_up=False, dtype=np.float32,
+                defer=True)
+        except ValueError:
+            return None
+
+        def finish(out):
+            state = assemble(out)
+            prec = self._wrap(lambda v: _block_pair_apply(state, v))
+            prec.traced = (_block_pair_apply, state)
+            return prec
+
+        return item, finish
+
     def form(self, A_host: HostCSR, A_dev=None) -> Preconditioner:
         L, U = ilut_factor(A_host, self.drop_tol * self.DROP_CALIBRATION,
                            self.fill_factor)
@@ -334,6 +361,28 @@ class ICPreconditionerType(PreconditionerType):
         self.side = side
         self.trisolve_mode = trisolve_mode
         self.sweeps = sweeps
+
+    def prep(self, A_host: HostCSR):
+        """Deferred block-mode setup (see ILUTPreconditionerType.prep)."""
+        if _resolve_trisolve_mode(self.trisolve_mode) != "block":
+            return None
+        Lc = ict_factor(A_host, self.drop_tol * self.DROP_CALIBRATION,
+                        self.fill_factor)
+        _check_fill(A_host, Lc, Lc, self.fill_factor, "IC")
+        from ..ops.block_trisolve import build_ic_block_trisolve_plan_pair
+        try:
+            item, assemble = build_ic_block_trisolve_plan_pair(
+                Lc, dtype=np.float32, defer=True)
+        except ValueError:
+            return None
+
+        def finish(out):
+            state = assemble(out)
+            prec = self._wrap(lambda v: _block_pair_apply(state, v))
+            prec.traced = (_block_pair_apply, state)
+            return prec
+
+        return item, finish
 
     def form(self, A_host: HostCSR, A_dev=None) -> Preconditioner:
         Lc = ict_factor(A_host, self.drop_tol * self.DROP_CALIBRATION,

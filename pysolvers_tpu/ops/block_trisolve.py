@@ -83,9 +83,18 @@ def _tri_inverse_doubling(D: jax.Array) -> jax.Array:
     K = D * tri * dinv[:, None, :]
     X = -K                                                   # (-K)^1
     inv = jnp.broadcast_to(jnp.eye(bs, dtype=D.dtype), D.shape) + X
-    for _ in range(max(int(math.ceil(math.log2(bs))) - 1, 0)):
+    steps = max(int(math.ceil(math.log2(bs))) - 1, 0)
+
+    # fori_loop, not an unrolled Python loop: identical MXU work, ~4x
+    # smaller HLO — the serialized setup executable ships through the
+    # tunnel on every process-first load, so program size is latency
+    def body(_, c):
+        X, inv = c
         X = jnp.einsum("nij,njk->nik", X, X, precision=_HI)  # (-K)^(2^k)
         inv = inv + jnp.einsum("nij,njk->nik", inv, X, precision=_HI)
+        return X, inv
+
+    X, inv = jax.lax.fori_loop(0, steps, body, (X, inv))
     # D^{-1} = Ddiag^{-1} (I + K)^{-1}  (row scaling)
     return dinv[:, :, None] * inv
 
@@ -127,10 +136,18 @@ def build_block_trisolve_plan(T: HostCSR, lower: bool, unit_diag: bool = False,
     # as ONE jitted dispatch (eager op-by-op costs ~25 ms/op through the
     # axon tunnel, and the doubling matmuls belong on the MXU anyway).
     vals, flat_idx, meta = _prep(rows, cols, vals, n, nb, bs, p)
-    s_hat, dinv = _build_blocks(jnp.asarray(vals), jnp.asarray(flat_idx),
-                                nb, bs, p, unit_diag,
-                                jnp.dtype(dtype).name)
+    from .fuse import SetupItem, fused_build
+    item = SetupItem((vals, flat_idx.astype(np.int32)), _single_build,
+                     (nb, bs, p, unit_diag, jnp.dtype(dtype).name))
+    ((s_hat, dinv),) = fused_build([item])
     return BlockTriSolvePlan(s_hat, dinv, n, bs, p, flip)
+
+
+def _single_build(arrs, st):
+    vals, flat_idx = arrs
+    nb, bs, p, unit_diag, dtype_name = st
+    return _build_blocks_impl(vals, flat_idx, nb, bs, p, unit_diag,
+                              dtype_name)
 
 
 def _prep(rows, cols, vals, n, nb, bs, p):
@@ -150,12 +167,16 @@ def build_block_trisolve_plan_pair(T_lo: HostCSR, T_up: HostCSR,
                                    unit_up: bool = False,
                                    bs: int = 256, dtype=np.float32,
                                    max_p: int = 4,
-                                   max_bytes: int = 2 << 30):
+                                   max_bytes: int = 2 << 30,
+                                   defer: bool = False):
     """Build the (lower, upper) plan pair of a factorization in ONE jitted
     dispatch — a preconditioner needs both, and through a remote tunnel
     each separate dispatch costs ~25 ms plus pipeline stalls.  The two
-    factors' buffers ship as ONE concatenated vals + ONE index array (two
-    transfers, not four — per-transfer latency is material on the tunnel).
+    factors' buffers ship as ONE blob transfer (ops/fuse.py).
+
+    ``defer=True`` returns ``(SetupItem, assemble)`` instead of
+    dispatching, so the build can fuse with other setup work (e.g. the
+    operator's BWS pack) in a single device round trip.
     """
     preps = []
     for T, lower, unit in ((T_lo, True, unit_lo), (T_up, False, unit_up)):
@@ -183,19 +204,27 @@ def build_block_trisolve_plan_pair(T_lo: HostCSR, T_up: HostCSR,
     v_cat = np.concatenate([v1, v2])
     i_cat = np.concatenate([i1.astype(np.int32), i2.astype(np.int32)])
 
-    (s1, d1), (s2, d2) = _pair_build(
-        jnp.asarray(v_cat), jnp.asarray(i_cat), m1, nb1, p1, u1, nb2, p2,
-        u2, bs, dtype_name)
-    return (BlockTriSolvePlan(s1, d1, n1, bs, p1, f1),
-            BlockTriSolvePlan(s2, d2, n2, bs, p2, f2))
+    from .fuse import SetupItem, fused_build
+    item = SetupItem((v_cat, i_cat), _pair_builder,
+                     (m1, nb1, p1, u1, nb2, p2, u2, bs, dtype_name))
+
+    def assemble(out):
+        (s1, d1), (s2, d2) = out
+        return (BlockTriSolvePlan(s1, d1, n1, bs, p1, f1),
+                BlockTriSolvePlan(s2, d2, n2, bs, p2, f2))
+
+    if defer:
+        return item, assemble
+    (out,) = fused_build([item])
+    return assemble(out)
 
 
-# module-level jits: a per-call local ``@jax.jit`` would RETRACE on every
-# ``form()`` (measured ~0.8 s per preconditioner build on the remote
-# backend); keyed on the static geometry these trace once per shape
-@partial(jax.jit, static_argnums=(2, 3, 4, 5, 6, 7, 8, 9, 10))
-def _pair_build(v_cat, i_cat, m1, nb1, p1, u1, nb2, p2, u2, bs,
-                dtype_name):
+# module-level builders: stable identity keys the fused-setup jit cache
+# (a per-call local closure would RETRACE on every ``form()`` — measured
+# ~0.8 s per preconditioner build on the remote backend)
+def _pair_builder(arrs, st):
+    v_cat, i_cat = arrs
+    m1, nb1, p1, u1, nb2, p2, u2, bs, dtype_name = st
     return (_build_blocks_impl(v_cat[:m1], i_cat[:m1], nb1, bs, p1, u1,
                                dtype_name),
             _build_blocks_impl(v_cat[m1:], i_cat[m1:], nb2, bs, p2, u2,
@@ -204,7 +233,8 @@ def _pair_build(v_cat, i_cat, m1, nb1, p1, u1, nb2, p2, u2, bs,
 
 def build_ic_block_trisolve_plan_pair(L: HostCSR, bs: int = 256,
                                       dtype=np.float32, max_p: int = 4,
-                                      max_bytes: int = 2 << 30):
+                                      max_bytes: int = 2 << 30,
+                                      defer: bool = False):
     """(L, Lᵀ) plan pair for an IC factorization — HALF the upload of the
     generic pair: only L ships; the upper plan's wide layout is derived on
     device by block transposition.
@@ -231,14 +261,24 @@ def build_ic_block_trisolve_plan_pair(L: HostCSR, bs: int = 256,
     v, fi, _ = _prep(rows, cols, vals, n, nb, bs, p)
     dtype_name = jnp.dtype(dtype).name
 
-    (s1, d1), (s2, d2) = _ic_pair_build(jnp.asarray(v), jnp.asarray(fi),
-                                        nb, bs, p, dtype_name)
-    return (BlockTriSolvePlan(s1, d1, n, bs, p, False),
-            BlockTriSolvePlan(s2, d2, n, bs, p, True, flip_pad=True))
+    from .fuse import SetupItem, fused_build
+    item = SetupItem((v, fi.astype(np.int32)), _ic_pair_builder,
+                     (nb, bs, p, dtype_name))
+
+    def assemble(out):
+        (s1, d1), (s2, d2) = out
+        return (BlockTriSolvePlan(s1, d1, n, bs, p, False),
+                BlockTriSolvePlan(s2, d2, n, bs, p, True, flip_pad=True))
+
+    if defer:
+        return item, assemble
+    (out,) = fused_build([item])
+    return assemble(out)
 
 
-@partial(jax.jit, static_argnums=(2, 3, 4, 5))
-def _ic_pair_build(v, fi, nb, bs, p, dtype_name):
+def _ic_pair_builder(arrs, st):
+    v, fi = arrs
+    nb, bs, p, dtype_name = st
     W = _wide_from_scatter(v, fi, nb, bs, p, dtype_name)
     WU = _transpose_wide(W, nb, bs, p)
     return (_plans_from_wide(W, bs, p, False),
@@ -261,12 +301,6 @@ def _transpose_wide(W: jax.Array, nb: int, bs: int, p: int) -> jax.Array:
                 [jnp.zeros((k, bs, bs), dtype=W.dtype), g[:nb - k]], axis=0)
         slabs.append(g)
     return jnp.concatenate(slabs, axis=2)
-
-
-@partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
-def _build_blocks(vals, flat_idx, nb, bs, p, unit_diag, dtype_name):
-    return _build_blocks_impl(vals, flat_idx, nb, bs, p, unit_diag,
-                              dtype_name)
 
 
 def _build_blocks_impl(vals, flat_idx, nb, bs, p, unit_diag, dtype_name):

@@ -25,6 +25,14 @@ def dense_inverse_from_coo(rows, cols, vals, n: int, dtype_name: str):
     """Scatter a sparse COO operator to dense and invert it in ONE jitted
     dispatch (an eager scatter + separate inverse pays several ~25 ms
     tunnel round-trips; only the compact COO streams ship)."""
+    return inv_from_coo_build((rows, cols, vals), (n, dtype_name))
+
+
+def inv_from_coo_build(arrs, st):
+    """ops/fuse.py builder form of ``dense_inverse_from_coo`` (stable
+    module-level identity keys the fused-setup jit cache)."""
+    rows, cols, vals = arrs
+    n, dtype_name = st
     dtype = jnp.dtype(dtype_name)
     M = jnp.zeros((n, n), dtype=dtype).at[rows, cols].set(
         vals.astype(dtype))

@@ -52,17 +52,18 @@ def _ceil_to(x, m):
 from functools import partial as _partial
 
 
-@_partial(jax.jit, static_argnums=(3, 4, 5))
-def _scatter_pack(vals, pos, lane_u8, n_groups, S, dtype_name):
+def _bws_build(arrs, statics):
     """Device-side materialization of the dense pack arrays from compact
-    nnz streams (values, flat positions, uint8 lane indices)."""
+    nnz streams (module-level: the fused-setup jit caches on identity)."""
+    vals, pos, lane, delta, perm, iperm, base = arrs
+    n_groups, S, dtype_name = statics
     dtype = jnp.dtype(dtype_name)
     flat = n_groups * S * 128
     data = jnp.zeros((flat,), dtype=dtype).at[pos].set(
         vals.astype(dtype)).reshape(n_groups, S, 128)
     lidx = jnp.zeros((flat,), dtype=jnp.int32).at[pos].set(
-        lane_u8.astype(jnp.int32)).reshape(n_groups, S, 128)
-    return data, lidx
+        lane).reshape(n_groups, S, 128)
+    return data, lidx, delta, perm, iperm, base
 
 
 def _build_classes(used, gt_val):
@@ -292,6 +293,31 @@ class BwsMatrix:
         kernel tile ("auto" = pick the measured-cost minimizer — slots
         plus per-step/per-call overheads; None = the 128-group
         default)."""
+        if not _device:
+            return BwsMatrix._pack(H, dtype, use_rcm, group_rows,
+                                   fast_select, gt, _perm, defer=False)
+        from ..ops.fuse import fused_build
+        item, assemble, _ = BwsMatrix.host_pack(H, dtype, use_rcm,
+                                                group_rows, fast_select,
+                                                gt, _perm)
+        (out,) = fused_build([item])
+        return assemble(out)
+
+    @staticmethod
+    def host_pack(H: HostCSR, dtype=np.float32, use_rcm: bool = True,
+                  group_rows: int = None, fast_select: bool = False,
+                  gt: int = None, _perm=None):
+        """Host-side pack returning ``(SetupItem, assemble, perm)`` for
+        the one-dispatch fused setup (ops/fuse.py): ``assemble(outputs)``
+        yields the BwsMatrix once ``fused_build`` ran the item; ``perm``
+        is the host-side row permutation (callers often need it to build
+        the permuted host matrix before the fused dispatch runs)."""
+        return BwsMatrix._pack(H, dtype, use_rcm, group_rows, fast_select,
+                               gt, _perm, defer=True)
+
+    @staticmethod
+    def _pack(H: HostCSR, dtype, use_rcm, group_rows, fast_select, gt,
+              _perm, defer: bool):
         if group_rows is None:
             # stats-only geometry pre-pass: pick (group_rows, gt) from
             # per-(row, block) counts without building candidate packs
@@ -299,10 +325,10 @@ class BwsMatrix:
             # winner is packed and materialized.  RCM is computed once.
             perm = BwsMatrix._rcm_perm(H) if use_rcm else None
             gr_win, gt_win = _auto_geometry(H, perm, fast_select)
-            return BwsMatrix.from_host_csr(
+            return BwsMatrix._pack(
                 H, dtype, use_rcm, gr_win, fast_select,
                 gt_win if gt in (None, "auto") else gt,
-                _device=_device, _perm=perm)
+                perm, defer)
         GROUP_ROWS = group_rows
         SLOTS = 128 // group_rows
         n = H.shape[0]
@@ -443,22 +469,34 @@ class BwsMatrix:
         # per-tile segment classes (tiles of gt_val groups)
         classes = _build_classes(used, gt_val)
 
-        if _device:
-            data, lidx = _scatter_pack(
-                jnp.asarray(vals.astype(dtype)), jnp.asarray(pos),
-                jnp.asarray(lane.astype(np.uint8)),
-                n_groups, S, jnp.dtype(dtype).name)
-            conv = jnp.asarray
-        else:
-            data = np.zeros((n_groups, S, 128), dtype=dtype)
-            lidx = np.zeros((n_groups, S, 128), dtype=np.int32)
-            data[grp, seg_of_nnz, lanepos] = vals
-            lidx[grp, seg_of_nnz, lanepos] = lane
-            conv = lambda a: a
+        if defer:
+            from ..ops.fuse import SetupItem
+            shape, win, margin = (n, n_cols), int(win_blocks), \
+                int(margin_blocks)
+            classes_t, gtv, gr = tuple(classes), int(gt_val), group_rows
+            item = SetupItem(
+                arrays=(vals.astype(dtype), pos,
+                        lane.astype(np.uint8), delta,
+                        perm.astype(np.int32), iperm.astype(np.int32),
+                        base_t.astype(np.int32)),
+                build=_bws_build,
+                statics=(int(n_groups), int(S), jnp.dtype(dtype).name))
+
+            def assemble(out):
+                data, lidx, delta_d, perm_d, iperm_d, base_d = out
+                return BwsMatrix(delta_d, data, lidx, perm_d, iperm_d,
+                                 base_d, shape, win, margin, gr,
+                                 classes_t, fast_select, gtv)
+
+            return item, assemble, perm
+        data = np.zeros((n_groups, S, 128), dtype=dtype)
+        lidx = np.zeros((n_groups, S, 128), dtype=np.int32)
+        data[grp, seg_of_nnz, lanepos] = vals
+        lidx[grp, seg_of_nnz, lanepos] = lane
         return BwsMatrix(
-            conv(delta), data, lidx,
-            conv(perm.astype(np.int32)),
-            conv(iperm.astype(np.int32)),
-            conv(base_t.astype(np.int32)),
+            delta, data, lidx,
+            perm.astype(np.int32),
+            iperm.astype(np.int32),
+            base_t.astype(np.int32),
             (n, n_cols), int(win_blocks), int(margin_blocks), group_rows,
             tuple(classes), fast_select, int(gt_val))

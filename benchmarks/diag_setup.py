@@ -51,18 +51,21 @@ def fine(args):
 
     H, x_exact, b_host = pst.problems.dh_test_problem(args.lev)
 
-    # --- pack breakdown: wrap the scatter jit to time its dispatches ---
-    orig_scatter = bws_mod._scatter_pack
-    scatter_times = []
+    # --- pack breakdown: time the fused blob dispatch separately ---
+    from pysolvers_tpu.ops import fuse as fuse_mod
+    orig_fused = fuse_mod.fused_build
+    fused_times = []
 
-    def timed_scatter(*a, **k):
+    def timed_fused(items):
         t = tic()
-        out = orig_scatter(*a, **k)
+        out = orig_fused(items)
         jax.block_until_ready(out)
-        scatter_times.append(round(time.perf_counter() - t, 4))
+        fused_times.append(round(time.perf_counter() - t, 4))
         return out
 
-    bws_mod._scatter_pack = timed_scatter
+    # (bws/block_trisolve import fused_build from the fuse module at call
+    # time, so patching the module attribute intercepts their dispatches)
+    fuse_mod.fused_build = timed_fused
     t0 = tic()
     p = BwsMatrix._rcm_perm(H)
     rec("sym_rcm", t0)
@@ -74,14 +77,15 @@ def fine(args):
                                   gt=gt, _perm=p)
     jax.block_until_ready(A32.data)
     rec("pack_given_geom", t0)
-    T["scatter_dispatch_1st"] = scatter_times[0]
     t0 = tic()
     A32b = BwsMatrix.from_host_csr(H, dtype=np.float32, group_rows=gr,
                                    gt=gt, _perm=p)
     jax.block_until_ready(A32b.data)
     rec("pack_given_geom_warm", t0)
-    T["scatter_dispatch_2nd"] = scatter_times[1]
-    bws_mod._scatter_pack = orig_scatter
+    if fused_times:
+        T["fused_dispatch_1st"] = fused_times[0]
+        T["fused_dispatch_2nd"] = fused_times[-1]
+    fuse_mod.fused_build = orig_fused
 
     # --- permuted host matrix ---
     t0 = tic()
@@ -97,13 +101,17 @@ def fine(args):
     Lic = ict_factor(Hp32, 1e-3 * 0.1, 15)
     rec("ic_factor_host", t0)
     from pysolvers_tpu.ops.block_trisolve import (
-        build_ic_block_trisolve_plan_pair)
+        build_block_trisolve_plan_pair)
     t0 = tic()
-    pl = build_ic_block_trisolve_plan_pair(Lic, dtype=np.float32)
+    pl = build_block_trisolve_plan_pair(Lic, Lic.transpose(),
+                                        unit_lo=False, unit_up=False,
+                                        dtype=np.float32)
     jax.block_until_ready(pl[0].s_hat)
     rec("ic_plan_pair_1st", t0)
     t0 = tic()
-    pl = build_ic_block_trisolve_plan_pair(Lic, dtype=np.float32)
+    pl = build_block_trisolve_plan_pair(Lic, Lic.transpose(),
+                                        unit_lo=False, unit_up=False,
+                                        dtype=np.float32)
     jax.block_until_ready(pl[0].s_hat)
     rec("ic_plan_pair_2nd", t0)
 
@@ -111,8 +119,6 @@ def fine(args):
     t0 = tic()
     L, U = ilut_factor(Hp32, 1e-3 * 0.1, 15)
     rec("ilut_factor_host", t0)
-    from pysolvers_tpu.ops.block_trisolve import (
-        build_block_trisolve_plan_pair)
     t0 = tic()
     pr = build_block_trisolve_plan_pair(L, U, unit_lo=True, unit_up=False,
                                         dtype=np.float32)
@@ -126,13 +132,27 @@ def fine(args):
 
     # --- full form() calls for cross-check ---
     t0 = tic()
-    M = ICPreconditionerType(1e-3, 15).form(Hp32)
+    M = ICPreconditionerType(1e-3, 15, trisolve_mode="block").form(Hp32)
     jax.block_until_ready(M.traced[1][0].s_hat)
     rec("ic_form_after_warm", t0)
     t0 = tic()
-    Mi = ILUTPreconditionerType(1e-3, 15).form(Hp32)
+    Mi = ILUTPreconditionerType(1e-3, 15, trisolve_mode="block").form(Hp32)
     jax.block_until_ready(Mi.traced[1][0].s_hat)
     rec("ilut_form_after_warm", t0)
+
+    # --- AMG hierarchy (fused device build) ---
+    from pysolvers_tpu.linear.amg import (build_sa_hierarchy,
+                                          build_device_hierarchy)
+    t0 = tic()
+    mlh = build_sa_hierarchy(Hp, num_levels=2)
+    rec("sa_host", t0)
+    for label in ("hier_1st", "hier_2nd", "hier_3rd"):
+        t0 = tic()
+        hier = build_device_hierarchy(mlh, smoother="jacobi", nu_pre=2,
+                                      nu_post=2, dtype=np.float32,
+                                      matrix_format="bws")
+        jax.block_until_ready(jax.tree_util.tree_leaves(hier))
+        rec(label, t0)
 
     print(json.dumps(T), flush=True)
 
@@ -238,13 +258,13 @@ def main():
     hier = build_device_hierarchy(mlh, smoother="jacobi", nu_pre=2,
                                   nu_post=2, dtype=np.float32,
                                   matrix_format="bws")
-    jax.block_until_ready(jax.tree_util.tree_leaves(hier)[0])
+    jax.block_until_ready(jax.tree_util.tree_leaves(hier))
     toc("device_hierarchy_bws")
     tic("device_hierarchy_bws2")
     hier = build_device_hierarchy(mlh, smoother="jacobi", nu_pre=2,
                                   nu_post=2, dtype=np.float32,
                                   matrix_format="bws")
-    jax.block_until_ready(jax.tree_util.tree_leaves(hier)[0])
+    jax.block_until_ready(jax.tree_util.tree_leaves(hier))
     toc("device_hierarchy_bws2")
 
     print(json.dumps(T), flush=True)

@@ -214,7 +214,7 @@ def main():
                                       nu_pre=nu_pre, nu_post=nu_post,
                                       dtype=np.float32,
                                       matrix_format="bws")
-        jax.block_until_ready(jax.tree_util.tree_leaves(hier)[0])
+        jax.block_until_ready(jax.tree_util.tree_leaves(hier))
         return A32, Hp, hier
 
     def pcg_amg():

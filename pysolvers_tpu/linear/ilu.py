@@ -363,16 +363,24 @@ class ICPreconditionerType(PreconditionerType):
         self.sweeps = sweeps
 
     def prep(self, A_host: HostCSR):
-        """Deferred block-mode setup (see ILUTPreconditionerType.prep)."""
+        """Deferred block-mode setup (see ILUTPreconditionerType.prep).
+
+        Uses the generic (L, Lᵀ) pair builder — the transpose costs a few
+        ms on host and doubles the factor upload, but the derive-Lᵀ-on-
+        device graph (build_ic_block_trisolve_plan_pair) is pathological
+        for the remote TPU compiler (measured 44-840 s fresh compiles
+        that don't reliably hit the persistent cache, vs ~10 s cacheable
+        for this builder)."""
         if _resolve_trisolve_mode(self.trisolve_mode) != "block":
             return None
         Lc = ict_factor(A_host, self.drop_tol * self.DROP_CALIBRATION,
                         self.fill_factor)
         _check_fill(A_host, Lc, Lc, self.fill_factor, "IC")
-        from ..ops.block_trisolve import build_ic_block_trisolve_plan_pair
+        from ..ops.block_trisolve import build_block_trisolve_plan_pair
         try:
-            item, assemble = build_ic_block_trisolve_plan_pair(
-                Lc, dtype=np.float32, defer=True)
+            item, assemble = build_block_trisolve_plan_pair(
+                Lc, Lc.transpose(), unit_lo=False, unit_up=False,
+                dtype=np.float32, defer=True)
         except ValueError:
             return None
 
@@ -392,11 +400,13 @@ class ICPreconditionerType(PreconditionerType):
         mode = _resolve_trisolve_mode(self.trisolve_mode)
 
         if mode == "block":
-            # symmetric factor: ship L once, derive the Lᵀ plan on device
-            # (halves the setup upload vs the generic pair)
-            from ..ops.block_trisolve import build_ic_block_trisolve_plan_pair
+            # generic (L, Lᵀ) pair with host transpose — see prep() for
+            # why the derive-Lᵀ-on-device route is avoided
+            from ..ops.block_trisolve import build_block_trisolve_plan_pair
             try:
-                pair = build_ic_block_trisolve_plan_pair(Lc, dtype=np.float32)
+                pair = build_block_trisolve_plan_pair(
+                    Lc, Lc.transpose(), unit_lo=False, unit_up=False,
+                    dtype=np.float32)
             except ValueError:
                 pair = None
             if pair is not None:

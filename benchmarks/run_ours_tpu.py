@@ -121,11 +121,33 @@ def main():
 
     from pysolvers_tpu.ops.fuse import fused_build
 
+    # the tunnel's FIRST program load in a process intermittently stalls
+    # for tens of seconds (observed 20-95 s on whichever config dispatches
+    # first, with the compile cache hit and later loads taking 0.6-2 s).
+    # Absorb it on a small synthetic setup, untimed — the per-config
+    # setup_cold_s then measures the configs' own graph loads.
+    t0 = time.perf_counter()
+    _rng = np.random.default_rng(0)
+    _nw = 2048
+    _rw = np.repeat(np.arange(_nw), 3)
+    _cw = np.clip(_rw + _rng.integers(-40, 41, len(_rw)), 0, _nw - 1)
+    _Hw = pst.HostCSR.from_coo(
+        np.concatenate([_rw, np.arange(_nw)]),
+        np.concatenate([_cw, np.arange(_nw)]),
+        np.concatenate([_rng.standard_normal(len(_rw)) * 0.01,
+                        np.full(_nw, 4.0)]), (_nw, _nw))
+    _Mw = ICPreconditionerType(1e-3, 15).prep(
+        pst.HostCSR(_Hw.indptr, _Hw.indices,
+                    _Hw.data.astype(np.float32), _Hw.shape))
+    _items = [BwsMatrix.host_pack(_Hw, dtype=np.float32)[0]]
+    if _Mw is not None:
+        _items.append(_Mw[0])
+    jax.block_until_ready(jax.tree_util.tree_leaves(fused_build(_items)))
+    print(json.dumps({"warmup_fused_s":
+                      round(time.perf_counter() - t0, 3)}), flush=True)
+
     def _perm_host(perm):
-        ip = np.empty(len(perm), dtype=np.int64)
-        ip[perm] = np.arange(len(perm))
-        rows, cols, vals = H.to_coo()
-        Hp = pst.HostCSR.from_coo(ip[rows], ip[cols], vals, H.shape)
+        Hp = H.permute_symmetric(perm)
         Hp32 = pst.HostCSR(Hp.indptr, Hp.indices,
                            Hp.data.astype(np.float32), Hp.shape)
         return Hp, Hp32

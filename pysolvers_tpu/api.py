@@ -274,11 +274,7 @@ class IterativeLinearSolver(LinearSolver):
                 from .ops.fuse import fused_build
                 item_A, asm_A, perm = BwsMatrix.host_pack(
                     A_host, dtype=np.float32)
-                ip = np.empty(len(perm), dtype=np.int64)
-                ip[perm] = np.arange(len(perm))
-                rows, cols, vals = A_host.to_coo()
-                Hp = HostCSR.from_coo(ip[rows], ip[cols], vals,
-                                      A_host.shape)
+                Hp = A_host.permute_symmetric(perm)
                 Hp32 = HostCSR(Hp.indptr, Hp.indices,
                                Hp.data.astype(np.float32), Hp.shape)
                 pp = None

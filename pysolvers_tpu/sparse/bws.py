@@ -44,6 +44,9 @@ CALL_COST_SLOTS = 65536
 SELECT_DIV_EXACT = 49
 SELECT_DIV_FAST = 196
 
+# structure-keyed symbolic pack plans (see BwsMatrix.host_pack); bounded
+_PACK_CACHE: dict = {}
+
 
 def _ceil_to(x, m):
     return ((x + m - 1) // m) * m
@@ -311,9 +314,35 @@ class BwsMatrix:
         the one-dispatch fused setup (ops/fuse.py): ``assemble(outputs)``
         yields the BwsMatrix once ``fused_build`` ran the item; ``perm``
         is the host-side row permutation (callers often need it to build
-        the permuted host matrix before the fused dispatch runs)."""
-        return BwsMatrix._pack(H, dtype, use_rcm, group_rows, fast_select,
-                               gt, _perm, defer=True)
+        the permuted host matrix before the fused dispatch runs).
+
+        Symbolic/numeric split: the pack PLAN (RCM, geometry sweep,
+        segment layout, index streams) depends only on the sparsity
+        structure, so it is cached on a structure hash — a same-structure
+        re-pack (Newton steps re-streaming Jacobian values, AMG hierarchy
+        rebuilds, repeated solver setups) only gathers the new values
+        into the cached nnz order.  HostCSR index arrays are treated as
+        immutable (the standard analyze-once/factor-many contract)."""
+        pk = None if _perm is None else hash(np.asarray(_perm).tobytes())
+        key = (hash(H.indptr.tobytes()), hash(H.indices.tobytes()),
+               H.shape, np.dtype(dtype).str, use_rcm, group_rows,
+               fast_select, gt, pk)
+        ent = _PACK_CACHE.get(key)
+        if ent is not None:
+            tail, build, statics, assemble, perm, order_full = ent
+            vals = np.ascontiguousarray(H.data[order_full]).astype(
+                dtype, copy=False)
+            from ..ops.fuse import SetupItem
+            return SetupItem((vals,) + tail, build, statics), assemble, \
+                perm
+        item, assemble, perm, order_full = BwsMatrix._pack(
+            H, dtype, use_rcm, group_rows, fast_select, gt, _perm,
+            defer=True)
+        if len(_PACK_CACHE) > 32:
+            _PACK_CACHE.pop(next(iter(_PACK_CACHE)))
+        _PACK_CACHE[key] = (item.arrays[1:], item.build, item.statics,
+                            assemble, perm, order_full)
+        return item, assemble, perm
 
     @staticmethod
     def _pack(H: HostCSR, dtype, use_rcm, group_rows, fast_select, gt,
@@ -376,6 +405,9 @@ class BwsMatrix:
         # re-sort so each (group, block, instance) is one contiguous run
         # (instances of different subrows would otherwise interleave)
         order2 = np.lexsort((lane, sub, inst, blk, grp))
+        # composite CSR-order -> stream-order map (the cached symbolic
+        # plan re-streams new values with this single gather)
+        order_full = order[order2]
         grp, sub, blk, lane, vals, inst, slot = (
             grp[order2], sub[order2], blk[order2], lane[order2],
             vals[order2], inst[order2], slot[order2])
@@ -488,7 +520,7 @@ class BwsMatrix:
                                  base_d, shape, win, margin, gr,
                                  classes_t, fast_select, gtv)
 
-            return item, assemble, perm
+            return item, assemble, perm, order_full
         data = np.zeros((n_groups, S, 128), dtype=dtype)
         lidx = np.zeros((n_groups, S, 128), dtype=np.int32)
         data[grp, seg_of_nnz, lanepos] = vals

@@ -11,6 +11,9 @@ from __future__ import annotations
 import dataclasses
 import numpy as np
 
+# structure-keyed symmetric-permutation plans (HostCSR.permute_symmetric)
+_PERM_CACHE: dict = {}
+
 
 @dataclasses.dataclass
 class HostCSR:
@@ -106,6 +109,34 @@ class HostCSR:
         on_diag = rows == cols
         d[rows[on_diag]] = vals[on_diag]
         return d
+
+    def permute_symmetric(self, perm: np.ndarray) -> "HostCSR":
+        """P·A·Pᵀ for a row/column permutation ``perm`` (new row i is old
+        row perm[i]).  The reorder plan depends only on the sparsity
+        structure + perm, so it is cached on a structure hash and a
+        same-structure re-permute (Newton steps, repeated setups) is a
+        single value gather — the symbolic/numeric split, matching
+        BwsMatrix.host_pack.  Index arrays are treated as immutable."""
+        perm = np.asarray(perm, dtype=np.int64)
+        key = (hash(self.indptr.tobytes()), hash(self.indices.tobytes()),
+               self.shape, hash(perm.tobytes()))
+        ent = _PERM_CACHE.get(key)
+        if ent is None:
+            n = self.shape[0]
+            iperm = np.empty(n, dtype=np.int64)
+            iperm[perm] = np.arange(n)
+            rows, cols, _ = self.to_coo()
+            r2, c2 = iperm[rows], iperm[cols]
+            order = np.lexsort((c2, r2))
+            indptr = np.zeros(n + 1, dtype=np.int64)
+            np.add.at(indptr, r2 + 1, 1)
+            np.cumsum(indptr, out=indptr)
+            ent = (order, indptr, c2[order].astype(np.int32))
+            if len(_PERM_CACHE) > 32:
+                _PERM_CACHE.pop(next(iter(_PERM_CACHE)))
+            _PERM_CACHE[key] = ent
+        order, indptr, indices = ent
+        return HostCSR(indptr, indices, self.data[order], self.shape)
 
     def transpose(self) -> "HostCSR":
         rows, cols, vals = self.to_coo()

@@ -163,3 +163,45 @@ class TestFusedMixedSolve:
         solver.freeze_prec()
         st2 = solver.solve(H, b)
         assert st2.success
+
+
+class TestSymbolicPackCache:
+    def test_same_structure_repack_matches_fresh(self):
+        """A re-pack with new values on cached structure must equal a
+        fresh pack of the same matrix (cache cleared)."""
+        from pysolvers_tpu.sparse import bws as bws_mod
+
+        H1 = _banded(seed=11)
+        rng = np.random.default_rng(12)
+        H2 = HostCSR(H1.indptr, H1.indices,
+                     rng.standard_normal(H1.nnz), H1.shape)
+
+        bws_mod._PACK_CACHE.clear()
+        A1 = BwsMatrix.from_host_csr(H1, dtype=np.float32)
+        assert len(bws_mod._PACK_CACHE) == 1
+        A2_cached = BwsMatrix.from_host_csr(H2, dtype=np.float32)
+
+        bws_mod._PACK_CACHE.clear()
+        A2_fresh = BwsMatrix.from_host_csr(H2, dtype=np.float32)
+
+        np.testing.assert_array_equal(np.asarray(A2_cached.data),
+                                      np.asarray(A2_fresh.data))
+        np.testing.assert_array_equal(np.asarray(A2_cached.lidx),
+                                      np.asarray(A2_fresh.lidx))
+        np.testing.assert_array_equal(np.asarray(A2_cached.perm),
+                                      np.asarray(A2_fresh.perm))
+        assert A2_cached.s_classes == A2_fresh.s_classes
+        # values actually differ from the first pack (not a stale hit)
+        assert not np.array_equal(np.asarray(A2_cached.data),
+                                  np.asarray(A1.data))
+
+    def test_different_structure_not_aliased(self):
+        from pysolvers_tpu.sparse import bws as bws_mod
+
+        bws_mod._PACK_CACHE.clear()
+        H1 = _banded(seed=21)
+        H3 = _banded(n=704, seed=22)
+        BwsMatrix.from_host_csr(H1, dtype=np.float32)
+        A3 = BwsMatrix.from_host_csr(H3, dtype=np.float32)
+        assert len(bws_mod._PACK_CACHE) == 2
+        assert A3.shape == (704, 704)

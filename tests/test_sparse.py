@@ -174,3 +174,34 @@ class TestDiaRectangular:
         y = dia_spmv_xla(D, jnp.asarray(x))
         np.testing.assert_allclose(np.asarray(y), S @ x, rtol=1e-12,
                                    atol=1e-12)
+
+
+def test_permute_symmetric_matches_coo_route():
+    import numpy as np
+    from pysolvers_tpu.sparse.host import HostCSR, _PERM_CACHE
+
+    rng = np.random.default_rng(7)
+    n = 60
+    rows = np.repeat(np.arange(n), 4)
+    cols = (rows + rng.integers(-9, 9, len(rows))) % n
+    vals = rng.standard_normal(len(rows))
+    H = HostCSR.from_coo(rows, cols, vals, (n, n))
+    perm = rng.permutation(n)
+
+    iperm = np.empty(n, dtype=np.int64)
+    iperm[perm] = np.arange(n)
+    r, c, v = H.to_coo()
+    ref = HostCSR.from_coo(iperm[r], iperm[c], v, (n, n))
+
+    _PERM_CACHE.clear()
+    got = H.permute_symmetric(perm)
+    np.testing.assert_array_equal(got.indptr, ref.indptr)
+    np.testing.assert_array_equal(got.indices, ref.indices)
+    np.testing.assert_allclose(got.data, ref.data)
+
+    # cached plan: same structure, new values -> single gather, same result
+    H2 = HostCSR(H.indptr, H.indices, rng.standard_normal(H.nnz), H.shape)
+    got2 = H2.permute_symmetric(perm)
+    ref2 = HostCSR.from_coo(iperm[r], iperm[c], H2.data, (n, n))
+    assert len(_PERM_CACHE) == 1
+    np.testing.assert_allclose(got2.data, ref2.data)

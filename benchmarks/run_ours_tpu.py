@@ -121,16 +121,19 @@ def main():
 
     from pysolvers_tpu.ops.fuse import fused_build
 
-    # the tunnel's FIRST program load in a process intermittently stalls
-    # for tens of seconds (observed 20-95 s on whichever config dispatches
-    # first, with the compile cache hit and later loads taking 0.6-2 s).
-    # Absorb it on a small synthetic setup, untimed — the per-config
-    # setup_cold_s then measures the configs' own graph loads.
+    # the FIRST large program load of a process intermittently stalls on
+    # the tunnel for tens of seconds (observed 20-465 s on whichever
+    # config loads its ~3 MB fused-setup executable first, with the
+    # compile cache HIT confirmed and identical later loads taking
+    # 0.5-2 s; a small-graph warmup did NOT absorb it).  Warm up with a
+    # problem-sized synthetic setup so the per-config setup_cold_s
+    # measures the configs' own graph loads, not the first-big-load
+    # roulette.
     t0 = time.perf_counter()
     _rng = np.random.default_rng(0)
-    _nw = 2048
+    _nw = 16 * 1024
     _rw = np.repeat(np.arange(_nw), 3)
-    _cw = np.clip(_rw + _rng.integers(-40, 41, len(_rw)), 0, _nw - 1)
+    _cw = np.clip(_rw + _rng.integers(-120, 121, len(_rw)), 0, _nw - 1)
     _Hw = pst.HostCSR.from_coo(
         np.concatenate([_rw, np.arange(_nw)]),
         np.concatenate([_cw, np.arange(_nw)]),
@@ -142,7 +145,14 @@ def main():
     _items = [BwsMatrix.host_pack(_Hw, dtype=np.float32)[0]]
     if _Mw is not None:
         _items.append(_Mw[0])
-    jax.block_until_ready(jax.tree_util.tree_leaves(fused_build(_items)))
+    _wout = fused_build(_items)
+    jax.block_until_ready(jax.tree_util.tree_leaves(_wout))
+    # explicit device->host FETCH: the process's first transfer is the
+    # roulette victim (20-660 s observed — it followed whichever call
+    # fetched first: A32.perm before the host-perm fix, then the first
+    # solve's result).  block_until_ready does not force a transfer on
+    # this backend; a real fetch does.
+    float(np.asarray(jax.tree_util.tree_leaves(_wout)[0]).ravel()[0])
     print(json.dumps({"warmup_fused_s":
                       round(time.perf_counter() - t0, 3)}), flush=True)
 
@@ -152,17 +162,30 @@ def main():
                            Hp.data.astype(np.float32), Hp.shape)
         return Hp, Hp32
 
+    _dbg = os.environ.get("PST_DEBUG_SETUP") == "1"
+
+    def _mark(label, t0):
+        if _dbg:
+            print(f"    [setup] {label}: "
+                  f"{time.perf_counter() - t0:.3f}s", flush=True)
+        return time.perf_counter()
+
     def full_setup(prec_type=None):
         """H -> (A32 BWS pack, permuted host f64 matrix, preconditioner)
         through the fused one-dispatch setup — the factory mixed path's
         exact sequence (api._solve_mixed)."""
+        t = time.perf_counter()
         item_A, asm_A, perm = BwsMatrix.host_pack(H, dtype=np.float32)
+        t = _mark("host_pack", t)
         Hp, Hp32 = _perm_host(perm)
+        t = _mark("perm_host", t)
         M = None
         if prec_type is not None:
             pp = prec_type.prep(Hp32)
+            t = _mark("prep(factor)", t)
             if pp is not None:
                 outs = fused_build([item_A, pp[0]])
+                t = _mark("fused_build", t)
                 A32 = asm_A(outs[0])
                 M = pp[1](outs[1])
             else:
@@ -171,15 +194,23 @@ def main():
                 M = prec_type.form(Hp32)
         else:
             (out_A,) = fused_build([item_A])
+            t = _mark("fused_build", t)
             A32 = asm_A(out_A)
         jax.block_until_ready(A32.data)
         if M is not None and M.traced is not None:
             jax.block_until_ready(jax.tree_util.tree_leaves(M.traced[1]))
-        return A32, Hp, M
+        _mark("block_until_ready", t)
+        return A32, Hp, M, perm
 
-    def _wrap_solve(A32, Hp, method, restart=None, inner_maxiter=300,
+    def _wrap_solve(A32, Hp, perm, method, restart=None, inner_maxiter=300,
                     precond_pair=None, prec_fn=None):
-        perm = np.asarray(A32.perm)
+        # perm stays HOST-side (host_pack returns it): fetching
+        # A32.perm/iperm from the device costs a tunnel round trip that
+        # intermittently stalls 20-660 s (measured; transfer-queue
+        # roulette, the same pathology the fused warmup can't absorb)
+        perm = np.asarray(perm)
+        iperm = np.empty(len(perm), dtype=np.int64)
+        iperm[perm] = np.arange(len(perm))
         bp = b_host[perm].astype(np.float64)
         # stable callables: the inner-solve jit is cached on identity
         # (refine._cached_inner*) — the traced precond_pair route keys on
@@ -196,7 +227,7 @@ def main():
                 method=method, restart=restart,
                 precond_lo=prec_fn, precond_pair=precond_pair,
                 host_residual=True, A_lo=A32, chain=2)
-            xu = np.asarray(x)[np.asarray(A32.iperm)]
+            xu = np.asarray(x)[iperm]
             err = np.linalg.norm(xu - x_exact)
             return int(st.k), err, int(st.reason) == 1
 
@@ -204,48 +235,48 @@ def main():
 
     def pcg_ic():
         # default trisolve_mode="auto" → exact block-banded MXU solves
-        A32, Hp, M = full_setup(ICPreconditionerType(1e-3, 15))
-        return _wrap_solve(A32, Hp, "cg", inner_maxiter=600,
+        A32, Hp, M, perm = full_setup(ICPreconditionerType(1e-3, 15))
+        return _wrap_solve(A32, Hp, perm, "cg", inner_maxiter=600,
                            precond_pair=M.traced)
 
     def pcg_ic_sweep():
         # approximate BWS Jacobi sweeps (pre-r2 default; comparison)
-        A32, Hp, M = full_setup(
+        A32, Hp, M, perm = full_setup(
             ICPreconditionerType(1e-3, 15, trisolve_mode="jacobi_bws"))
-        return _wrap_solve(A32, Hp, "cg", inner_maxiter=600,
+        return _wrap_solve(A32, Hp, perm, "cg", inner_maxiter=600,
                            prec_fn=M.apply_right)
 
     def pcg_ic_level():
         # exact level-scheduled trisolves (parity mode; XLA scalar
         # gathers make this the slow path on TPU)
-        A32, Hp, M = full_setup(
+        A32, Hp, M, perm = full_setup(
             ICPreconditionerType(1e-3, 15, trisolve_mode="level"))
-        return _wrap_solve(A32, Hp, "cg", prec_fn=M.apply_right)
+        return _wrap_solve(A32, Hp, perm, "cg", prec_fn=M.apply_right)
 
     def gmres_ilut():
-        A32, Hp, M = full_setup(ILUTPreconditionerType(1e-3, 15))
-        return _wrap_solve(A32, Hp, "gmres", restart=60,
+        A32, Hp, M, perm = full_setup(ILUTPreconditionerType(1e-3, 15))
+        return _wrap_solve(A32, Hp, perm, "gmres", restart=60,
                            precond_pair=M.traced)
 
     def _amg_state(nu_pre=2, nu_post=2):
         from pysolvers_tpu.linear.amg import (build_sa_hierarchy,
                                               build_device_hierarchy)
-        A32, Hp, _ = full_setup()
+        A32, Hp, _, perm = full_setup()
         mlh = build_sa_hierarchy(Hp, num_levels=2)
         hier = build_device_hierarchy(mlh, smoother="jacobi",
                                       nu_pre=nu_pre, nu_post=nu_post,
                                       dtype=np.float32,
                                       matrix_format="bws")
         jax.block_until_ready(jax.tree_util.tree_leaves(hier))
-        return A32, Hp, hier
+        return A32, Hp, hier, perm
 
     def pcg_amg():
         # SA-AMG V-cycle preconditioner (reference PCGExample_AMG.py:20-22
         # config: numIters=2, 2 levels); hierarchy on the permuted system.
         # The hierarchy pytree rides as the traced preconditioner state,
         # so the warm re-built hierarchy reuses the compiled inner graph.
-        A32, Hp, hier = _amg_state()
-        return _wrap_solve(A32, Hp, "cg",
+        A32, Hp, hier, perm = _amg_state()
+        return _wrap_solve(A32, Hp, perm, "cg",
                            precond_pair=(_amg_vcycle2, hier))
 
     def vcycle_solver():
@@ -254,8 +285,8 @@ def main():
         # V-cycle per step under f64 refinement.  Jacobi smoother: the
         # TPU-idiomatic choice (GS needs triangular solves; tolerances
         # still met — SURVEY §7.3)
-        A32, Hp, hier = _amg_state()
-        return _wrap_solve(A32, Hp, "richardson", inner_maxiter=100,
+        A32, Hp, hier, perm = _amg_state()
+        return _wrap_solve(A32, Hp, perm, "richardson", inner_maxiter=100,
                            precond_pair=(_amg_vcycle1, hier))
 
     def bratu():

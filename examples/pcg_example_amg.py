@@ -19,6 +19,10 @@ def main():
     ap.add_argument("--meshLev", type=int, default=10)
     ap.add_argument("--maxiter", type=int, default=100)
     ap.add_argument("--tau", type=float, default=1e-8)
+    ap.add_argument("--precision", default="native",
+                    choices=["native", "mixed"],
+                    help="mixed = f32 device kernels + f64 host-residual"
+                         " refinement (the fast TPU route to tight taus)")
     ap.add_argument("--numIters", type=int, default=2)
     from pysolvers_tpu.utils.platform import (add_platform_arg,
                                                enable_persistent_cache,
@@ -34,6 +38,7 @@ def main():
             pst.CommonSolverArgs(maxiter=args.maxiter, tau=args.tau,
                                  showFinal=True),
             precond=pst.AMG(num_iters=args.numIters, num_levels=2),
+            precision=args.precision,
         ).make_solver()
         st = solver.solve(A, b)
     err = np.linalg.norm(np.asarray(st.soln) - x_exact)

@@ -19,6 +19,10 @@ def main():
     ap.add_argument("--meshLev", type=int, default=10)
     ap.add_argument("--maxiter", type=int, default=100)
     ap.add_argument("--tau", type=float, default=1e-8)
+    ap.add_argument("--precision", default="native",
+                    choices=["native", "mixed"],
+                    help="mixed = f32 device kernels + f64 host-residual"
+                         " refinement (the fast TPU route to tight taus)")
     from pysolvers_tpu.utils.platform import (add_platform_arg,
                                                enable_persistent_cache,
                                                ensure_platform)
@@ -32,6 +36,7 @@ def main():
         pst.CommonSolverArgs(maxiter=args.maxiter, tau=args.tau,
                              showFinal=True),
         precond=pst.RightIC(drop_tol=1e-3, fill_factor=15),
+        precision=args.precision,
     ).make_solver()
     st = solver.solve(A, b)
     err = np.linalg.norm(np.asarray(st.soln) - x_exact)

@@ -290,8 +290,13 @@ class IterativeLinearSolver(LinearSolver):
                     (out_A,) = fused_build([item_A])
                     A32 = asm_A(out_A)
                 perm = np.asarray(perm)
+                # keep the inverse permutation HOST-side: a device fetch
+                # of A32.iperm intermittently stalls 20-660 s on the
+                # remote tunnel's transfer queue (measured)
+                iperm_h = np.empty(len(perm), dtype=np.int64)
+                iperm_h[perm] = np.arange(len(perm))
                 mx = dict(A32=A32, perm=perm, mv_hi=Hp.matvec, Hp32=Hp32,
-                          fused_prec=fused_prec)
+                          fused_prec=fused_prec, iperm_h=iperm_h)
                 self._mx = mx
                 return self._finish_mixed(mx, b, method, restart)
             else:
@@ -357,7 +362,11 @@ class IterativeLinearSolver(LinearSolver):
             precond_pair=prec.traced, chain=2)
         xh = np.asarray(x)
         if perm is not None:
-            xh = xh[np.asarray(mx["A32"].iperm)]
+            ih = mx.get("iperm_h")
+            if ih is None:
+                ih = np.empty(len(perm), dtype=np.int64)
+                ih[perm] = np.arange(len(perm))
+            xh = xh[ih]
         return make_status(jnp.asarray(xh), st, self.control, history=None)
 
 

@@ -124,11 +124,14 @@ def _mixed_state(A: HostCSR, method: str, precond: str, restart):
     else:
         from .sparse.bws import BwsMatrix
         from .ops.bws_spmv import bws_spmv
-        dev = BwsMatrix.from_host_csr(A, dtype=np.float32)
-        perm = np.asarray(dev.perm)
-        iperm = np.asarray(dev.iperm)
-        rows, cols, vals = A.to_coo()
-        Hp = HostCSR.from_coo(iperm[rows], iperm[cols], vals, A.shape)
+        from .ops.fuse import fused_build
+        # host_pack keeps the permutation host-side (a device fetch of
+        # dev.perm/iperm intermittently stalls on remote tunnels)
+        item, assemble, perm = BwsMatrix.host_pack(A, dtype=np.float32)
+        (out,) = fused_build([item])
+        dev = assemble(out)
+        perm = np.asarray(perm)
+        Hp = A.permute_symmetric(perm)
         mv_lo = lambda v: bws_spmv(dev, v)
 
     if precond == "auto":
@@ -169,8 +172,12 @@ def _mixed_state(A: HostCSR, method: str, precond: str, restart):
         prec_fn = lambda v: M.apply_right(v)
     mv_hi = lambda v: Hp.matvec(v)
 
-    ent = dict(A=A, dev=dev, perm=perm, mv_lo=mv_lo, mv_hi=mv_hi,
-               prec=prec_fn, M=M)
+    iperm_h = None
+    if perm is not None:
+        iperm_h = np.empty(len(perm), dtype=np.int64)
+        iperm_h[perm] = np.arange(len(perm))
+    ent = dict(A=A, dev=dev, perm=perm, iperm_h=iperm_h, mv_lo=mv_lo,
+               mv_hi=mv_hi, prec=prec_fn, M=M)
     if len(_MIXED_CACHE) > 8:
         _MIXED_CACHE.pop(next(iter(_MIXED_CACHE)))
     _MIXED_CACHE[key] = ent
@@ -193,7 +200,6 @@ def _solve_mixed(A: HostCSR, b, *, tau, maxiter, method, precond,
                              precond_lo=st8["prec"], host_residual=True)
     xh = np.asarray(x)
     if perm is not None:
-        iperm = np.asarray(st8["dev"].iperm)
-        xh = xh[iperm]
+        xh = xh[st8["iperm_h"]]
     control = SolverConfig(maxiter=maxiter, tau=tau)
     return make_status(xh, st, control)

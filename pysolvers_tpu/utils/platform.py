@@ -37,6 +37,23 @@ def enable_persistent_cache(path: str = "/tmp/pst_jax_cache") -> None:
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 
+def warmup_device() -> None:
+    """Dispatch a tiny matmul AND fetch one scalar back.
+
+    Initializes the backend and — crucially on remote-attached devices —
+    exercises the process's first device->host transfer, which can stall
+    tens to hundreds of seconds on a congested tunnel (measured 20-660 s;
+    the stall attaches to whichever call fetches first).
+    ``block_until_ready`` alone does not force a transfer."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    y = jnp.ones((8, 128)) @ jnp.ones((128, 8))
+    jax.block_until_ready(y)
+    float(np.asarray(y).ravel()[0])
+
+
 def add_platform_arg(parser) -> None:
     parser.add_argument("--platform", default=None,
                         choices=["cpu", "tpu", "axon"],

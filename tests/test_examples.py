@@ -39,6 +39,13 @@ class TestExamples:
                           "--tau", "1e-10")
         assert "succeeded" in out
 
+    def test_pcg_ic_mixed_precision(self):
+        # the TPU fast route exposed on the parity CLI: f32 device
+        # kernels + f64 host-residual refinement
+        out = run_example("pcg_example_ic.py", "--meshLev", "8",
+                          "--tau", "1e-10", "--precision", "mixed")
+        assert "succeeded" in out
+
     def test_vcycle(self):
         out = run_example("vcycle_example.py", "--meshLev", "8",
                           "--levels", "2")

@@ -295,6 +295,12 @@ def build_device_hierarchy(mlh: MLHierarchy, smoother: str = "gs",
 
     plans = []
     for k, A in enumerate(mlh.matrices):
+        if k == 0 and len(mlh.matrices) > 1:
+            # the coarsest level solves via the dense inverse only —
+            # its operator pack / smoother diagonal are never touched
+            # by v_cycle (k==0 returns A0_inv @ f)
+            plans.append((None, None, None, None, None, None))
+            continue
         d = A.diagonal()
         d = np.where(d == 0, 1.0, d)
         A_ref = _bws_or_auto(A)

@@ -39,8 +39,47 @@ def inv_from_coo_build(arrs, st):
     return dense_inverse(M)
 
 
-def dense_inverse(M: jax.Array) -> jax.Array:
-    """Return M^{-1} for square SPD-ish M (jittable, device-only)."""
+def dense_inverse(M: jax.Array, panel: int = 128) -> jax.Array:
+    """Return M^{-1} for square SPD-ish M (jittable, device-only).
+
+    BLOCKED pivot-free Gauss-Jordan: each step eliminates a ``panel``-wide
+    column block from every row with two MXU matmuls (a rank-1 version
+    streams the whole (n, 2n) tableau n times — ~600 GB of HBM traffic
+    and 0.66 s for the DH-15 coarse operator n=2976; the blocked version
+    streams it n/panel times).  Same no-pivot assumption: principal
+    blocks of an SPD-ish matrix stay invertible."""
+    n = M.shape[0]
+    dtype = M.dtype
+    if n <= panel:
+        return _gj_small(M)
+    npad = ((n + panel - 1) // panel) * panel
+    if npad != n:
+        # identity tail: inv(blockdiag(M, I)) = blockdiag(inv(M), I)
+        Mp = jnp.zeros((npad, npad), dtype=dtype).at[:n, :n].set(M)
+        tail = jnp.arange(n, npad)
+        Mp = Mp.at[tail, tail].set(1.0)
+    else:
+        Mp = M
+    X = jnp.concatenate([Mp, jnp.eye(npad, dtype=dtype)], axis=1)
+    idx = jnp.arange(npad)
+
+    def body(k, X):
+        c0 = k * panel
+        D = jax.lax.dynamic_slice(X, (c0, c0), (panel, panel))
+        rows = jax.lax.dynamic_slice(X, (c0, 0), (panel, 2 * npad))
+        R = jnp.dot(_gj_small(D), rows, precision=jax.lax.Precision.HIGHEST)
+        C = jax.lax.dynamic_slice(X, (0, c0), (npad, panel))
+        in_panel = (idx >= c0) & (idx < c0 + panel)
+        C = jnp.where(in_panel[:, None], 0.0, C)
+        X = X - jnp.dot(C, R, precision=jax.lax.Precision.HIGHEST)
+        return jax.lax.dynamic_update_slice(X, R, (c0, 0))
+
+    X = jax.lax.fori_loop(0, npad // panel, body, X)
+    return X[:n, npad:npad + n]
+
+
+def _gj_small(M: jax.Array) -> jax.Array:
+    """Rank-1 pivot-free Gauss-Jordan for one small block (jittable)."""
     n = M.shape[0]
     X = jnp.concatenate([M, jnp.eye(n, dtype=M.dtype)], axis=1)  # (n, 2n)
     idx = jnp.arange(n)

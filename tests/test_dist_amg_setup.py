@@ -24,6 +24,26 @@ class TestDenseInverse:
         np.testing.assert_allclose(X, np.linalg.inv(M), rtol=1e-8,
                                    atol=1e-10)
 
+    def test_blocked_path_padded(self):
+        # n > panel and not a multiple of it: exercises the blocked
+        # Gauss-Jordan with the identity-tail padding
+        rng = np.random.default_rng(1)
+        n = 300
+        B = rng.random((n, n))
+        M = B @ B.T + n * np.eye(n)          # SPD
+        X = np.asarray(jax.jit(dense_inverse)(jnp.asarray(M)))
+        np.testing.assert_allclose(X, np.linalg.inv(M), rtol=1e-7,
+                                   atol=1e-9)
+
+    def test_blocked_path_f32(self):
+        rng = np.random.default_rng(2)
+        n = 384                              # exact multiple of the panel
+        B = rng.random((n, n)).astype(np.float32)
+        M = B @ B.T + n * np.eye(n, dtype=np.float32)
+        X = np.asarray(jax.jit(dense_inverse)(jnp.asarray(M)))
+        err = np.abs(X @ M - np.eye(n)).max()
+        assert err < 5e-4                    # f32-grade
+
 
 class TestDistributedAMGSetup:
     def test_galerkin_matches_host_spgemm(self):

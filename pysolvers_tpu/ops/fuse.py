@@ -154,5 +154,7 @@ def fused_build(items: Sequence[SetupItem]):
             return tuple(bld(blob_split(blob, lay), st)
                          for bld, lay, st in zip(builds, lays, statics))
 
+        if len(_FUSE_CACHE) > 64:
+            _FUSE_CACHE.pop(next(iter(_FUSE_CACHE)))
         _FUSE_CACHE[key] = fn
     return list(fn(jnp.asarray(big)))

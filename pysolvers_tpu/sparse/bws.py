@@ -324,8 +324,11 @@ class BwsMatrix:
         into the cached nnz order.  HostCSR index arrays are treated as
         immutable (the standard analyze-once/factor-many contract)."""
         pk = None if _perm is None else hash(np.asarray(_perm).tobytes())
+        # nnz rides alongside the two content hashes so a (vanishingly
+        # unlikely) 64-bit collision can't silently return a wrong plan
+        # for a different-size structure
         key = (hash(H.indptr.tobytes()), hash(H.indices.tobytes()),
-               H.shape, np.dtype(dtype).str, use_rcm, group_rows,
+               H.nnz, H.shape, np.dtype(dtype).str, use_rcm, group_rows,
                fast_select, gt, pk)
         ent = _PACK_CACHE.get(key)
         if ent is not None:

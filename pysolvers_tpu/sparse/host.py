@@ -119,7 +119,7 @@ class HostCSR:
         BwsMatrix.host_pack.  Index arrays are treated as immutable."""
         perm = np.asarray(perm, dtype=np.int64)
         key = (hash(self.indptr.tobytes()), hash(self.indices.tobytes()),
-               self.shape, hash(perm.tobytes()))
+               self.nnz, self.shape, hash(perm.tobytes()))
         ent = _PERM_CACHE.get(key)
         if ent is None:
             n = self.shape[0]

@@ -6,6 +6,8 @@ from .spmv import (ShardedDia, ShardedEll, ShardedEllHalo, shard_dia,
 from .precond import (BlockJacobiILU, build_block_jacobi_ilu,
                       block_jacobi_apply,
                       BlockJacobiILUPreconditionerType)
+from .spmv2d import (ShardedEll2D, make_mesh_2d, shard_ell_2d,
+                     dist_ell_2d_spmv, pad_vector_2d, unpad_vector_2d)
 
 __all__ = [
     "make_mesh", "row_sharding", "replicated", "ROW_AXIS",
@@ -15,4 +17,6 @@ __all__ = [
     "pad_vector_ell_halo",
     "BlockJacobiILU", "build_block_jacobi_ilu", "block_jacobi_apply",
     "BlockJacobiILUPreconditionerType",
+    "ShardedEll2D", "make_mesh_2d", "shard_ell_2d", "dist_ell_2d_spmv",
+    "pad_vector_2d", "unpad_vector_2d",
 ]

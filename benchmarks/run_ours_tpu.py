@@ -73,7 +73,7 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     import jax.numpy as jnp
     import pysolvers_tpu as pst
-    from pysolvers_tpu.linear.refine import ir_solve_host
+    from pysolvers_tpu.linear.refine import ir_solve_host, ir_solve_dd
     from pysolvers_tpu.linear.ilu import (ILUTPreconditionerType,
                                           ICPreconditionerType)
     from pysolvers_tpu.sparse.bws import BwsMatrix
@@ -163,6 +163,7 @@ def main():
         return Hp, Hp32
 
     _dbg = os.environ.get("PST_DEBUG_SETUP") == "1"
+    _dd_on = os.environ.get("PST_DD_CHAIN", "1") != "0"
 
     def _mark(label, t0):
         if _dbg:
@@ -196,14 +197,22 @@ def main():
             (out_A,) = fused_build([item_A])
             t = _mark("fused_build", t)
             A32 = asm_A(out_A)
+        A64 = None
+        if _dd_on:
+            # f64 ELL copy for the dd-chain's in-graph residuals
+            # (refine.ir_solve_dd); upload counted as setup
+            A64 = pst.EllMatrix.from_host_csr(Hp, dtype=np.float64)
+            t = _mark("A64_upload", t)
         jax.block_until_ready(A32.data)
+        if A64 is not None:
+            jax.block_until_ready(A64.data)
         if M is not None and M.traced is not None:
             jax.block_until_ready(jax.tree_util.tree_leaves(M.traced[1]))
         _mark("block_until_ready", t)
-        return A32, Hp, M, perm
+        return A32, Hp, M, perm, A64
 
     def _wrap_solve(A32, Hp, perm, method, restart=None, inner_maxiter=300,
-                    precond_pair=None, prec_fn=None):
+                    precond_pair=None, prec_fn=None, A64=None):
         # perm stays HOST-side (host_pack returns it): fetching
         # A32.perm/iperm from the device costs a tunnel round trip that
         # intermittently stalls 20-660 s (measured; transfer-queue
@@ -219,14 +228,26 @@ def main():
         mv_hi = Hp.matvec
 
         def solve():
-            # chain=2: two f32-residual-chained corrections per dispatch
-            # — halves the outer passes a remote tunnel pays for
-            x, st, _ = ir_solve_host(
-                mv_hi, None, bp,
-                tau=1e-10, inner_tau=1e-6, inner_maxiter=inner_maxiter,
-                method=method, restart=restart,
-                precond_lo=prec_fn, precond_pair=precond_pair,
-                host_residual=True, A_lo=A32, chain=2)
+            if A64 is not None:
+                # one-dispatch dd-chain: chain f64-residual corrections
+                # in-graph (refine.ir_solve_dd) — the whole 1e-10 solve
+                # usually costs ONE upload/dispatch/fetch round trip
+                x, st, _ = ir_solve_dd(
+                    mv_hi, bp, A_lo=A32, A64=A64,
+                    tau=1e-10, inner_tau=1e-6,
+                    inner_maxiter=inner_maxiter, method=method,
+                    restart=restart, precond_pair=precond_pair,
+                    precond_lo=prec_fn, chain=4)
+            else:
+                # chain=2: two f32-residual-chained corrections per
+                # dispatch — halves the outer passes the tunnel pays for
+                x, st, _ = ir_solve_host(
+                    mv_hi, None, bp,
+                    tau=1e-10, inner_tau=1e-6,
+                    inner_maxiter=inner_maxiter,
+                    method=method, restart=restart,
+                    precond_lo=prec_fn, precond_pair=precond_pair,
+                    host_residual=True, A_lo=A32, chain=2)
             xu = np.asarray(x)[iperm]
             err = np.linalg.norm(xu - x_exact)
             return int(st.k), err, int(st.reason) == 1
@@ -235,49 +256,50 @@ def main():
 
     def pcg_ic():
         # default trisolve_mode="auto" → exact block-banded MXU solves
-        A32, Hp, M, perm = full_setup(ICPreconditionerType(1e-3, 15))
+        A32, Hp, M, perm, A64 = full_setup(ICPreconditionerType(1e-3, 15))
         return _wrap_solve(A32, Hp, perm, "cg", inner_maxiter=600,
-                           precond_pair=M.traced)
+                           precond_pair=M.traced, A64=A64)
 
     def pcg_ic_sweep():
         # approximate BWS Jacobi sweeps (pre-r2 default; comparison)
-        A32, Hp, M, perm = full_setup(
+        A32, Hp, M, perm, A64 = full_setup(
             ICPreconditionerType(1e-3, 15, trisolve_mode="jacobi_bws"))
         return _wrap_solve(A32, Hp, perm, "cg", inner_maxiter=600,
-                           prec_fn=M.apply_right)
+                           prec_fn=M.apply_right, A64=A64)
 
     def pcg_ic_level():
         # exact level-scheduled trisolves (parity mode; XLA scalar
         # gathers make this the slow path on TPU)
-        A32, Hp, M, perm = full_setup(
+        A32, Hp, M, perm, A64 = full_setup(
             ICPreconditionerType(1e-3, 15, trisolve_mode="level"))
-        return _wrap_solve(A32, Hp, perm, "cg", prec_fn=M.apply_right)
+        return _wrap_solve(A32, Hp, perm, "cg", prec_fn=M.apply_right,
+                           A64=A64)
 
     def gmres_ilut():
-        A32, Hp, M, perm = full_setup(ILUTPreconditionerType(1e-3, 15))
+        A32, Hp, M, perm, A64 = full_setup(ILUTPreconditionerType(1e-3, 15))
         return _wrap_solve(A32, Hp, perm, "gmres", restart=60,
-                           precond_pair=M.traced)
+                           precond_pair=M.traced, A64=A64)
 
     def _amg_state(nu_pre=2, nu_post=2):
         from pysolvers_tpu.linear.amg import (build_sa_hierarchy,
                                               build_device_hierarchy)
-        A32, Hp, _, perm = full_setup()
+        A32, Hp, _, perm, A64 = full_setup()
         mlh = build_sa_hierarchy(Hp, num_levels=2)
         hier = build_device_hierarchy(mlh, smoother="jacobi",
                                       nu_pre=nu_pre, nu_post=nu_post,
                                       dtype=np.float32,
                                       matrix_format="bws")
         jax.block_until_ready(jax.tree_util.tree_leaves(hier))
-        return A32, Hp, hier, perm
+        return A32, Hp, hier, perm, A64
 
     def pcg_amg():
         # SA-AMG V-cycle preconditioner (reference PCGExample_AMG.py:20-22
         # config: numIters=2, 2 levels); hierarchy on the permuted system.
         # The hierarchy pytree rides as the traced preconditioner state,
         # so the warm re-built hierarchy reuses the compiled inner graph.
-        A32, Hp, hier, perm = _amg_state()
+        A32, Hp, hier, perm, A64 = _amg_state()
         return _wrap_solve(A32, Hp, perm, "cg",
-                           precond_pair=(_amg_vcycle2, hier))
+                           precond_pair=(_amg_vcycle2, hier), A64=A64)
 
     def vcycle_solver():
         # AMG V-cycle as a stationary SOLVER (reference VCycleExample.py:
@@ -285,9 +307,9 @@ def main():
         # V-cycle per step under f64 refinement.  Jacobi smoother: the
         # TPU-idiomatic choice (GS needs triangular solves; tolerances
         # still met — SURVEY §7.3)
-        A32, Hp, hier, perm = _amg_state()
+        A32, Hp, hier, perm, A64 = _amg_state()
         return _wrap_solve(A32, Hp, perm, "richardson", inner_maxiter=100,
-                           precond_pair=(_amg_vcycle1, hier))
+                           precond_pair=(_amg_vcycle1, hier), A64=A64)
 
     def bratu():
         # reference FDBratu2D.py:36-48: Newton + PCG+AMG(numIters=5),

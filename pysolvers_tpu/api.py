@@ -50,6 +50,16 @@ def _bws_backend() -> bool:
     return jax.default_backend() in ("tpu", "axon")
 
 
+def _dd_chain_enabled() -> bool:
+    """One-dispatch f64-residual refinement chains (refine.ir_solve_dd).
+
+    Default on (needs x64 for the on-device f64 accumulator);
+    PST_DD_CHAIN=0 reverts to per-pass host-residual refinement."""
+    import os
+    return (os.environ.get("PST_DD_CHAIN", "1") != "0"
+            and bool(jax.config.jax_enable_x64))
+
+
 def as_device_matrix(A, dtype=None):
     """Pick the best device format for a matrix: DIA for banded stencils,
     ELL otherwise.  Returns (A_host or None, A_dev)."""
@@ -296,12 +306,15 @@ class IterativeLinearSolver(LinearSolver):
                 iperm_h = np.empty(len(perm), dtype=np.int64)
                 iperm_h[perm] = np.arange(len(perm))
                 mx = dict(A32=A32, perm=perm, mv_hi=Hp.matvec, Hp32=Hp32,
-                          fused_prec=fused_prec, iperm_h=iperm_h)
+                          fused_prec=fused_prec, iperm_h=iperm_h,
+                          Hp64=Hp)
                 self._mx = mx
                 return self._finish_mixed(mx, b, method, restart)
             else:
                 A32 = EllMatrix.from_host_csr(A_host, dtype=np.float32)
                 perm = None
+            Hp64 = None
+            A64 = None
             if A_host is not None:
                 if perm is None:
                     Hp = A_host
@@ -313,6 +326,7 @@ class IterativeLinearSolver(LinearSolver):
                 mv_hi = Hp.matvec
                 Hp32 = HostCSR(Hp.indptr, Hp.indices,
                                Hp.data.astype(np.float32), Hp.shape)
+                Hp64 = Hp
             else:
                 # DIA device only: true residuals from its diagonals on
                 # host (at the device matrix's own precision)
@@ -328,7 +342,14 @@ class IterativeLinearSolver(LinearSolver):
                     return y
 
                 Hp32 = None
-            mx = dict(A32=A32, perm=perm, mv_hi=mv_hi, Hp32=Hp32)
+                if isinstance(A_dev, DiaMatrix) \
+                        and A_dev.dtype == jnp.float64:
+                    # device f64 DIA (e.g. Newton Jacobians): the
+                    # dd-chain's hi residual runs on it directly
+                    # (gather-free f64)
+                    A64 = A_dev
+            mx = dict(A32=A32, perm=perm, mv_hi=mv_hi, Hp32=Hp32,
+                      Hp64=Hp64, A64=A64)
             self._mx = mx
         return self._finish_mixed(mx, b, method, restart)
 
@@ -354,12 +375,30 @@ class IterativeLinearSolver(LinearSolver):
         bp = b_h if perm is None else b_h[perm]
         eff = self._effective_tau()
         inner_tau = max(min(eff, 0.5), 1e-6)
-        x, st, _ = ir_solve_host(
-            mx["mv_hi"], None, bp, tau=eff, inner_tau=inner_tau,
-            inner_maxiter=self.control.maxiter, method=method,
-            restart=restart, precond_lo=self._mx_papply,
-            host_residual=True, A_lo=mx["A32"],
-            precond_pair=prec.traced, chain=2)
+        A64 = mx.get("A64")
+        if _dd_chain_enabled() and A64 is None \
+                and mx.get("Hp64") is not None:
+            src = mx["Hp64"]
+            A64 = (DiaMatrix.from_host_csr(src, dtype=np.float64)
+                   if DiaMatrix.is_profitable(src)
+                   else EllMatrix.from_host_csr(src, dtype=np.float64))
+            mx["A64"] = A64
+        if _dd_chain_enabled() and A64 is not None:
+            from .linear.refine import ir_solve_dd
+            tr = prec.traced
+            x, st, _ = ir_solve_dd(
+                mx["mv_hi"], bp, A_lo=mx["A32"], A64=A64, tau=eff,
+                inner_tau=inner_tau, inner_maxiter=self.control.maxiter,
+                method=method, restart=restart, precond_pair=tr,
+                precond_lo=None if tr is not None else self._mx_papply,
+                chain=4)
+        else:
+            x, st, _ = ir_solve_host(
+                mx["mv_hi"], None, bp, tau=eff, inner_tau=inner_tau,
+                inner_maxiter=self.control.maxiter, method=method,
+                restart=restart, precond_lo=self._mx_papply,
+                host_residual=True, A_lo=mx["A32"],
+                precond_pair=prec.traced, chain=2)
         xh = np.asarray(x)
         if perm is not None:
             ih = mx.get("iperm_h")

@@ -55,6 +55,34 @@ def ell_spmv_xla(A: EllMatrix, x: jax.Array) -> jax.Array:
     return y[:n]
 
 
+def ell_spmv_f64_splitgather(A: EllMatrix, x: jax.Array) -> jax.Array:
+    """f64 ELL SpMV whose gathers run on the fast f32 vector path.
+
+    On TPU f64 is emulated: elementwise emulated-f64 arithmetic is
+    vectorized and cheap, but XLA lowers an f64 *gather* onto the scalar
+    path (measured ~0.5 s for one DH-15 SpMV — it dominated whole
+    solves).  Fix: split x into hi/lo f32 planes (xh = f32(x),
+    xl = f32(x - xh) — captures x to ~2^-48 relative), gather each with
+    the fast f32 vector gather, and rebuild g = f64(gh) + f64(gl)
+    exactly; products/accumulation stay full f64 against the f64 data.
+
+    Used for the in-graph high-precision residuals of the one-dispatch
+    refinement chain (linear/refine.py::dd-chain); accuracy ~2^-48·kappa
+    instead of f64's 2^-53·kappa, which a host-verified final residual
+    covers.
+    """
+    n = A.n_rows
+    xh = x.astype(jnp.float32)
+    xl = (x - xh.astype(jnp.float64)).astype(jnp.float32)
+    npad = max(A.n_cols_pad, A.n_cols + 1)
+    xph = jnp.zeros((npad,), jnp.float32).at[: A.n_cols].set(xh[: A.n_cols])
+    xpl = jnp.zeros((npad,), jnp.float32).at[: A.n_cols].set(xl[: A.n_cols])
+    g = (jnp.take(xph, A.cols, axis=0).astype(jnp.float64)
+         + jnp.take(xpl, A.cols, axis=0).astype(jnp.float64))
+    y = jnp.sum(A.data.astype(jnp.float64) * g, axis=1)
+    return y[:n]
+
+
 # ---------------------------------------------------------------------------
 # DIA pallas kernel: y = sum_d diag_d * shift(x, off_d)
 # ---------------------------------------------------------------------------

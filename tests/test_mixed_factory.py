@@ -91,5 +91,7 @@ class TestMixedFactory:
         # at most the chain-1 and chain-2 graph variants — NOT one per
         # Newton step or per solve
         assert len(refine._INNER_CACHE) - before <= 2
-        new_keys = [k for k in refine._INNER_CACHE if k[0] == "pair"]
+        # traced-state routes: dd-chain (default) or the pair route
+        new_keys = [k for k in refine._INNER_CACHE
+                    if k[0] in ("pair", "ddchain")]
         assert len(new_keys) >= 1

@@ -12,6 +12,7 @@ calls — one compiled computation end to end.
 """
 from __future__ import annotations
 
+import functools
 from typing import Callable, NamedTuple, Optional
 
 import jax
@@ -220,8 +221,14 @@ def _cached_dd_chain(apply_fn, method, inner_maxiter, restart, chain):
     from ..ops import matvec as op_matvec
     from ..ops.spmv import ell_spmv_f64_splitgather
 
-    @jax.jit
-    def run(A_lo, prec_state, A64, b64, x64, tol64, inner_tau):
+    # x64=None (the common whole-solve-in-one-dispatch case) builds the
+    # zero start vector IN-GRAPH — saves a 0-filled device upload (~25 ms
+    # of tunnel latency per solve)
+    @functools.partial(jax.jit, static_argnames=("x_is_zero",))
+    def run(A_lo, prec_state, A64, b64, x64, tol64, inner_tau,
+            x_is_zero=False):
+        if x_is_zero:
+            x64 = jnp.zeros_like(b64)
         mv = lambda v: op_matvec(A_lo, v)
         papply = (precond_lo if apply_fn is None
                   else (lambda v: apply_fn(prec_state, v)))
@@ -290,9 +297,10 @@ def ir_solve_dd(mv_hi_host, b, *, A_lo, A64, tau=1e-10, inner_tau=1e-6,
     rn_prev = float("inf")
     reason = StopReason.MAXITER
     max_disp = max(1, -(-max_outer // chain))
-    for _ in range(max_disp):
+    for disp in range(max_disp):
         packed = np.asarray(run(A_lo, prec_state, A64, b64,
-                                jnp.asarray(x_h), tol64, tau32))
+                                None if disp == 0 else jnp.asarray(x_h),
+                                tol64, tau32, x_is_zero=(disp == 0)))
         x_h = packed[:-2]
         inner_total += int(packed[-2])
         rn_dev = float(packed[-1])

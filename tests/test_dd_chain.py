@@ -80,10 +80,10 @@ class TestIrSolveDd:
         def counting(*a, **k):
             run = orig(*a, **k)
 
-            def wrapped(*ra):
+            def wrapped(*ra, **rk):
                 nonlocal calls
                 calls += 1
-                return run(*ra)
+                return run(*ra, **rk)
             return wrapped
 
         refine._cached_dd_chain, cached = counting, refine._INNER_CACHE

@@ -29,7 +29,9 @@ from .linear.preconditioner import (IdentityPreconditionerType,
                                     ChebyshevPreconditionerType)
 from .linear import amg as _amg
 from .linear.amg import AMG, AMGPreconditionerType, AMGVCycle
-from .linear.gmg import GMGVCycle
+from .linear.gmg import GMGVCycle, GMGPreconditionerType
+from .linear.gmg_grid import (GridHierarchy, build_grid_hierarchy,
+                              v_cycle_grid)
 from . import nonlinear
 from .nonlinear import (NewtonSolver, FuncAdapter1D, SimpleBacktrack,
                         TrivialLinesearch)
@@ -51,6 +53,8 @@ __all__ = [
     "IdentityPreconditionerType", "JacobiPreconditionerType",
     "ChebyshevPreconditionerType",
     "AMG", "AMGPreconditionerType", "AMGVCycle", "GMGVCycle",
+    "GMGPreconditionerType",
+    "GridHierarchy", "build_grid_hierarchy", "v_cycle_grid",
     "NewtonSolver", "FuncAdapter1D", "SimpleBacktrack", "TrivialLinesearch",
     "solve",
 ]

@@ -460,7 +460,13 @@ def v_cycle(h: DeviceHierarchy, f: jax.Array, x: jax.Array) -> jax.Array:
     Structure parity: reference VCycleManager.runLevel (VCycleManager.py:31-62)
     — coarsest direct solve; else pre-smooth, restrict residual, recurse,
     prolong-correct, post-smooth.
+
+    Accepts either hierarchy flavor: sparse-transfer ``DeviceHierarchy``
+    or the gather-free structured-grid ``GridHierarchy`` (gmg_grid.py).
     """
+    from .gmg_grid import GridHierarchy, v_cycle_grid
+    if isinstance(h, GridHierarchy):
+        return v_cycle_grid(h, f, x)
 
     def run(k, f_k, x_k):
         lev = h.levels[k]
@@ -521,6 +527,14 @@ class AMGVCycleSolver(IterativeLinearSolver):
         return build_sa_hierarchy(A_host, self.typ.num_levels,
                                   self.typ.base_tol)
 
+    def _build_device(self, mlh: MLHierarchy, dtype):
+        """Device-lowering hook — the structured-grid executor
+        (gmg.py ``matrix_format="grid"``) overrides this."""
+        return build_device_hierarchy(
+            mlh, self.typ.smoother, self.typ.nu_pre, self.typ.nu_post,
+            dtype=dtype, mesh=self.typ.mesh,
+            matrix_format=self.typ.matrix_format)
+
     def _ensure_hierarchy(self, A_host: HostCSR, dtype):
         # hierarchy rebuilt unless matrix frozen (reference VCycleSolver.py:71-76)
         if self._hierarchy is not None and self.matrix_frozen():
@@ -528,10 +542,7 @@ class AMGVCycleSolver(IterativeLinearSolver):
         if A_host is None:
             raise ValueError("AMG setup needs a HostCSR matrix")
         mlh = self._build_mlh(A_host)
-        self._hierarchy = build_device_hierarchy(
-            mlh, self.typ.smoother, self.typ.nu_pre, self.typ.nu_post,
-            dtype=dtype, mesh=self.typ.mesh,
-            matrix_format=self.typ.matrix_format)
+        self._hierarchy = self._build_device(mlh, dtype)
         h = self._hierarchy
         maxiter = self.control.maxiter
         norm_fn = self.control.norm_fn()

@@ -26,6 +26,7 @@ from ..core import SolverConfig
 from ..sparse.host import HostCSR
 from .amg import (AMGVCycle, AMGVCycleSolver, MLHierarchy,
                   make_restriction)
+from .preconditioner import PreconditionerType
 
 
 def interp_1d(m_fine: int, m_coarse: int) -> HostCSR:
@@ -155,3 +156,66 @@ class GMGVCycleSolver(AMGVCycleSolver):
     def _build_mlh(self, A_host: HostCSR) -> MLHierarchy:
         return build_gmg_hierarchy(A_host, self.typ.num_levels,
                                    self.typ.dims)
+
+    def _build_device(self, mlh: MLHierarchy, dtype):
+        """``matrix_format="grid"`` lowers onto the gather-free
+        structured-grid executor (gmg_grid.py) — DIA stencil levels and
+        strided-slice transfers, the TPU-native path for uniform grids."""
+        if self.typ.matrix_format != "grid":
+            return super()._build_device(mlh, dtype)
+        from .gmg_grid import build_grid_hierarchy
+        import numpy as _np
+        return build_grid_hierarchy(
+            None, self.typ.num_levels, self.typ.dims,
+            smoother=self.typ.smoother, nu_pre=self.typ.nu_pre,
+            nu_post=self.typ.nu_post,
+            dtype=_np.dtype(dtype) if dtype is not None else _np.float64,
+            mlh=mlh)
+
+
+class GMGPreconditionerType(PreconditionerType):
+    """Geometric MG as a preconditioner: fixed number of V-cycles per
+    application (the GMG counterpart of AMGPreconditionerType /
+    reference AMGPreconditioner.py:8-51 semantics).
+
+    ``executor="grid"`` (default) lowers onto the gather-free
+    structured-grid executor (gmg_grid.py) — the TPU-native choice for
+    uniform 1-D/2-D grids; ``executor="sparse"`` uses the generic
+    sparse-transfer device hierarchy.
+    """
+
+    side = "both"
+
+    def __init__(self, dims: Tuple[int, ...], num_iters: int = 5,
+                 num_levels: int = 2, nu_pre: int = 2, nu_post: int = 2,
+                 smoother: str = "jacobi", executor: str = "grid",
+                 side: str = "both"):
+        self.dims = tuple(int(d) for d in dims)
+        self.num_iters = num_iters
+        self.num_levels = num_levels
+        self.nu_pre = nu_pre
+        self.nu_post = nu_post
+        self.smoother = smoother
+        self.executor = executor
+        self.side = side
+
+    def _hierarchy(self, A_host: HostCSR, dtype):
+        import numpy as np
+        if self.executor == "grid":
+            from .gmg_grid import build_grid_hierarchy
+            return build_grid_hierarchy(
+                A_host, self.num_levels, self.dims,
+                smoother=self.smoother, nu_pre=self.nu_pre,
+                nu_post=self.nu_post, dtype=np.dtype(dtype))
+        from .amg import build_device_hierarchy
+        mlh = build_gmg_hierarchy(A_host, self.num_levels, self.dims)
+        return build_device_hierarchy(mlh, self.smoother, self.nu_pre,
+                                      self.nu_post, dtype=dtype)
+
+    def form(self, A_host: HostCSR, A_dev=None):
+        from .amg import _amg_apply_fn
+        h = self._hierarchy(A_host, A_host.data.dtype)
+        apply_fn = _amg_apply_fn(self.num_iters)
+        prec = self._wrap(lambda v: apply_fn(h, v))
+        prec.traced = (apply_fn, h)
+        return prec

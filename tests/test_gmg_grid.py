@@ -1,0 +1,156 @@
+"""Structured-grid GMG executor: transfer exactness vs the sparse
+operators, V-cycle equivalence with the sparse executor, and solver
+convergence (reference analogs: stash/GMGVCycleSolver.py,
+VCycleManager.py:31-62)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import pysolvers_tpu as pst
+from pysolvers_tpu.linear.amg import (build_device_hierarchy, v_cycle,
+                                      make_restriction)
+from pysolvers_tpu.linear.gmg import (build_gmg_hierarchy, interp_1d,
+                                      interp_2d)
+from pysolvers_tpu.linear.gmg_grid import (build_grid_hierarchy,
+                                           grid_prolong, grid_restrict,
+                                           v_cycle_grid)
+from pysolvers_tpu.linear.refine import ir_solve_dd
+from pysolvers_tpu.sparse.device import DiaMatrix
+
+
+@pytest.mark.parametrize("m_c", [3, 7, 15])
+def test_grid_transfers_match_sparse_1d(m_c):
+    m_f = 2 * m_c + 1
+    P = interp_1d(m_f, m_c)
+    R = make_restriction(P)
+    rng = np.random.default_rng(0)
+    xc = rng.random(m_c)
+    xf = rng.random(m_f)
+    np.testing.assert_allclose(
+        np.asarray(grid_prolong(jnp.asarray(xc), 1, m_c, m_f)),
+        P.matvec(xc), rtol=0, atol=1e-14)
+    np.testing.assert_allclose(
+        np.asarray(grid_restrict(jnp.asarray(xf), 1, m_f, m_c)),
+        R.matvec(xf), rtol=0, atol=1e-14)
+
+
+@pytest.mark.parametrize("m_c", [3, 7])
+def test_grid_transfers_match_sparse_2d(m_c):
+    m_f = 2 * m_c + 1
+    P = interp_2d(m_f, m_c)
+    R = make_restriction(P)
+    rng = np.random.default_rng(1)
+    xc = rng.random(m_c * m_c)
+    xf = rng.random(m_f * m_f)
+    np.testing.assert_allclose(
+        np.asarray(grid_prolong(jnp.asarray(xc), 2, m_c, m_f)),
+        P.matvec(xc), rtol=0, atol=1e-14)
+    np.testing.assert_allclose(
+        np.asarray(grid_restrict(jnp.asarray(xf), 2, m_f, m_c)),
+        R.matvec(xf), rtol=0, atol=1e-14)
+
+
+@pytest.mark.parametrize("smoother", ["jacobi", "chebyshev"])
+def test_vcycle_grid_matches_sparse_executor(smoother):
+    m = 15
+    A = pst.problems.fd_laplacian_2d(m)
+    mlh = build_gmg_hierarchy(A, num_levels=3, dims=(m, m))
+    hs = build_device_hierarchy(mlh, smoother=smoother, nu_pre=2,
+                                nu_post=2, dtype=np.float64)
+    hg = build_grid_hierarchy(A, num_levels=3, dims=(m, m),
+                              smoother=smoother, dtype=np.float64)
+    rng = np.random.default_rng(2)
+    f = jnp.asarray(rng.random(m * m))
+    x0 = jnp.zeros(m * m)
+    ys = np.asarray(v_cycle(hs, f, x0))
+    yg = np.asarray(v_cycle_grid(hg, f, x0))
+    # same hierarchy, same smoothers, same transfers — only fp
+    # reassociation differs (chebyshev lmax power iteration on identical
+    # host matrices gives identical params)
+    np.testing.assert_allclose(yg, ys, rtol=1e-12, atol=1e-14)
+
+
+def test_pcg_grid_gmg_converges_mixed():
+    m = 31
+    A = pst.problems.fd_laplacian_2d(m)
+    n = m * m
+    rng = np.random.default_rng(3)
+    x_exact = rng.random(n)
+    b = A.matvec(x_exact)
+    hier = build_grid_hierarchy(A, num_levels=3, dims=(m, m),
+                                smoother="jacobi", dtype=np.float32)
+    A32 = DiaMatrix.from_host_csr(
+        pst.HostCSR(A.indptr, A.indices, A.data.astype(np.float32),
+                    A.shape))
+    A64 = DiaMatrix.from_host_csr(A, dtype=np.float64)
+
+    def _vc2(state, r):
+        x = jnp.zeros_like(r)
+        for _ in range(2):
+            x = v_cycle_grid(state, r, x)
+        return x
+
+    x, st, _ = ir_solve_dd(A.matvec, b, A_lo=A32, A64=A64, tau=1e-10,
+                           inner_tau=1e-6, inner_maxiter=60, method="cg",
+                           precond_pair=(_vc2, hier), chain=4)
+    rel = float(st.resid) / np.linalg.norm(b)
+    assert rel <= 1e-10
+    assert np.linalg.norm(np.asarray(x) - x_exact) < 1e-7 * np.linalg.norm(
+        x_exact)
+
+
+def test_grid_hierarchy_1d():
+    m = 31
+    A = pst.problems.fd_laplacian_1d(m)
+    hier = build_grid_hierarchy(A, num_levels=3, dims=(m,),
+                                smoother="jacobi", dtype=np.float64)
+    mlh = build_gmg_hierarchy(A, num_levels=3, dims=(m,))
+    hs = build_device_hierarchy(mlh, smoother="jacobi", dtype=np.float64)
+    rng = np.random.default_rng(4)
+    f = jnp.asarray(rng.random(m))
+    ys = np.asarray(v_cycle(hs, f, jnp.zeros(m)))
+    yg = np.asarray(v_cycle_grid(hier, f, jnp.zeros(m)))
+    np.testing.assert_allclose(yg, ys, rtol=1e-12, atol=1e-14)
+
+
+def test_gmg_factory_grid_executor():
+    """OO shell: GMGVCycle(matrix_format="grid") runs the stationary
+    V-cycle solver on the gather-free grid executor (reference
+    VCycleExample.py:22-25 pattern on the stashed GMG intent)."""
+    from pysolvers_tpu import GMGVCycle, SolverConfig
+    m = 31
+    A = pst.problems.fd_laplacian_2d(m)
+    rng = np.random.default_rng(5)
+    x_exact = rng.random(m * m)
+    b = A.matvec(x_exact)
+    s = GMGVCycle(SolverConfig(maxiter=60, tau=1e-10), dims=(m, m),
+                  num_levels=3, smoother="jacobi", nu_pre=2, nu_post=2,
+                  matrix_format="grid").make_solver()
+    st = s.solve(A, b)
+    assert st.success
+    assert np.linalg.norm(np.asarray(st.soln) - x_exact) < 1e-7
+
+
+def test_gmg_preconditioner_type_in_pcg_factory():
+    """GMGPreconditionerType drives PCG through the factory API (the GMG
+    counterpart of reference PCGExample_AMG.py:20-22)."""
+    from pysolvers_tpu import PCG, CommonSolverArgs, GMGPreconditionerType
+    m = 31
+    A = pst.problems.fd_laplacian_2d(m)
+    rng = np.random.default_rng(6)
+    x_exact = rng.random(m * m)
+    b = A.matvec(x_exact)
+    s = PCG(CommonSolverArgs(maxiter=100, tau=1e-10),
+            precond=GMGPreconditionerType((m, m), num_iters=2,
+                                          num_levels=3)).make_solver()
+    st = s.solve(A, b)
+    assert st.success
+    assert np.linalg.norm(np.asarray(st.soln) - x_exact) < 1e-7
+
+
+def test_grid_executor_rejects_gs():
+    m = 7
+    A = pst.problems.fd_laplacian_2d(m)
+    with pytest.raises(ValueError):
+        build_grid_hierarchy(A, 2, dims=(m, m), smoother="gs")

@@ -233,6 +233,35 @@ class DeviceHierarchy:
         return len(self.levels)
 
 
+def _pad_fine_level(mlh: MLHierarchy, n_pad: int) -> MLHierarchy:
+    """Pad the finest operator to n_pad rows with a unit diagonal (the
+    appended equations are decoupled: x_tail = f_tail) and extend the
+    fine transfers with zero rows/columns.  Used by the ``mesh=`` path so
+    row sharding divides evenly on odd problem sizes."""
+    A = mlh.matrices[-1]
+    n = A.shape[0]
+    r, c, v = A.to_coo()
+    extra = np.arange(n, n_pad)
+    A_p = HostCSR.from_coo(np.concatenate([r, extra]),
+                           np.concatenate([c, extra]),
+                           np.concatenate([v, np.ones(len(extra),
+                                                      dtype=v.dtype)]),
+                           (n_pad, n_pad))
+    mats = list(mlh.matrices[:-1]) + [A_p]
+    Ps = list(mlh.prolongators)
+    Rs = list(mlh.restrictions)
+    if Ps:
+        P = Ps[-1]          # (n, nc): pad rows — CSR shape change only
+        Ps[-1] = HostCSR(np.concatenate([
+            P.indptr, np.full(n_pad - n, P.indptr[-1],
+                              dtype=P.indptr.dtype)]),
+            P.indices, P.data, (n_pad, P.shape[1]))
+        R = Rs[-1]          # (nc, n): pad cols — shape change only
+        Rs[-1] = HostCSR(R.indptr, R.indices, R.data,
+                         (R.shape[0], n_pad))
+    return MLHierarchy(mats, Ps, Rs)
+
+
 def build_device_hierarchy(mlh: MLHierarchy, smoother: str = "gs",
                            nu_pre: int = 2, nu_post: int = 2,
                            dtype=None, mesh=None,
@@ -257,6 +286,20 @@ def build_device_hierarchy(mlh: MLHierarchy, smoother: str = "gs",
     if use_bws and dtype not in (np.float32, "float32", jnp.float32):
         raise ValueError("matrix_format='bws' requires dtype=np.float32 "
                          "(Mosaic has no f64)")
+
+    if mesh is not None:
+        # GSPMD row sharding needs the fine dimension divisible by the
+        # mesh; DH/GMG sizes are odd, so pad the FINE level with unit
+        # diagonal rows at setup (decoupled x_tail = f_tail equations —
+        # every cycle/solve below runs unchanged on the padded system).
+        # Transfers: P gains zero rows, R zero columns (shape-only).
+        n_dev = int(mesh.devices.size)
+        n_fine = mlh.matrices[-1].shape[0]
+        import math as _math
+        unit = _math.lcm(8, n_dev)
+        n_pad = ((n_fine + unit - 1) // unit) * unit
+        if n_pad != n_fine:
+            mlh = _pad_fine_level(mlh, n_pad)
 
     # Deferred collection: every device build below (BWS level/transfer
     # packs, smoother diagonals, the coarse dense inverse) is gathered as
@@ -558,14 +601,21 @@ class AMGVCycleSolver(IterativeLinearSolver):
     def solve(self, A, b) -> SolveStatus:
         A_host, A_dev = self._split_matrix(A)
         b = jnp.asarray(b)
+        n = b.shape[0]
         self._ensure_hierarchy(A_host, b.dtype)
         h = self._hierarchy
         if self.typ.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as PS
             from ..parallel.mesh import ROW_AXIS
+            # fine level may be identity-padded for even sharding
+            n_pad = h.levels[-1].A_dev.shape[0]
+            if n_pad != n:
+                b = jnp.concatenate([b, jnp.zeros(n_pad - n, b.dtype)])
             b = jax.device_put(b, NamedSharding(self.typ.mesh, PS(ROW_AXIS)))
         x, (k, resid, reason) = self._solve_jit(
             b, tau=self._effective_tau())
+        if x.shape[0] != n:
+            x = x[:n]
 
         class _S:
             pass

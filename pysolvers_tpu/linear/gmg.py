@@ -138,12 +138,12 @@ class GMGVCycle(AMGVCycle):
     def __init__(self, control: Optional[SolverConfig] = None,
                  dims: Tuple[int, ...] = None, num_levels: int = 2,
                  nu_pre: int = 3, nu_post: int = 3, smoother: str = "gs",
-                 matrix_format: str = "auto"):
+                 matrix_format: str = "auto", mesh=None):
         if dims is None:
             raise ValueError("GMGVCycle needs dims=(m,) or (m, m)")
         super().__init__(control, num_levels=num_levels, nu_pre=nu_pre,
                          nu_post=nu_post, smoother=smoother,
-                         matrix_format=matrix_format)
+                         matrix_format=matrix_format, mesh=mesh)
         self.dims = tuple(int(d) for d in dims)
 
     def make_solver(self):

@@ -315,6 +315,47 @@ class TestDistAMGHelper:
         np.testing.assert_allclose(np.asarray(st.soln), x_exact, atol=1e-6)
 
 
+class TestMeshOddSizes:
+    """mesh= hierarchy path on problem sizes NOT divisible by the mesh
+    (DH/GMG sizes are odd): the fine level is identity-padded at setup."""
+
+    def test_amg_vcycle_mesh_on_dh(self, mesh):
+        from pysolvers_tpu.linear.amg import AMGVCycle
+        from pysolvers_tpu.core import SolverConfig
+        import pysolvers_tpu as pst
+        H, x_exact, b = pst.problems.dh_test_problem(8)
+        assert H.shape[0] % 8 != 0      # the interesting case
+        solver = AMGVCycle(SolverConfig(maxiter=80, tau=1e-10),
+                           num_levels=2, smoother="jacobi",
+                           mesh=mesh).make_solver()
+        st = solver.solve(H, b)
+        assert st.success
+        assert st.soln.shape[0] == H.shape[0]
+        np.testing.assert_allclose(np.asarray(st.soln), x_exact, atol=1e-6)
+
+
+class TestDistGMG:
+    """Distributed geometric multigrid: GMGVCycle(mesh=...) shards the
+    finest level over the mesh (gather-coarse policy shared with AMG)."""
+
+    def test_gmg_vcycle_solver_with_mesh(self, mesh):
+        from pysolvers_tpu.linear.gmg import GMGVCycle
+        from pysolvers_tpu.core import SolverConfig
+        m = 31
+        H = fd_laplacian_2d(m)
+        rng = np.random.default_rng(13)
+        x_exact = rng.random(m * m)
+        b = H.matvec(x_exact)
+        solver = GMGVCycle(SolverConfig(maxiter=60, tau=1e-10),
+                           dims=(m, m), num_levels=3, smoother="jacobi",
+                           nu_pre=2, nu_post=2, mesh=mesh).make_solver()
+        st = solver.solve(H, b)
+        assert st.success
+        h = solver._hierarchy
+        assert not h.levels[-1].dinv.sharding.is_fully_replicated
+        np.testing.assert_allclose(np.asarray(st.soln), x_exact, atol=1e-6)
+
+
 class TestEllHalo:
     """Neighbor-halo ELL path (no all-gather — scales past one chip's
     HBM for the vector; VERDICT r1 missing item 7)."""

@@ -244,10 +244,19 @@ def _cached_dd_chain(apply_fn, method, inner_maxiter, restart, chain):
             r = b64 - mv_hi(A64, x)
             rn = jnp.sqrt(jnp.sum(r * r))
             scale = jnp.where(rn > 0, rn, 1.0)
+            # adaptive inner tolerance: the step only needs to close the
+            # remaining gap tol/‖r‖ (×0.25 for f32 true-vs-recurrence
+            # slack), never tighter than the f32-floor inner_tau — the
+            # final chain step stops iterating the moment the global
+            # 1e-10 target is met instead of grinding to inner_tau
+            # (an unpreconditioned CG chain over-converged to 1e-16,
+            # wasting a full extra pass of iterations)
+            tau_k = jnp.clip((0.25 * tol64 / scale).astype(jnp.float32),
+                             inner_tau, jnp.float32(0.5))
 
             def go(_):
                 r32 = (r / scale).astype(jnp.float32)
-                d, k = _one_solve(method, mv, papply, r32, inner_tau,
+                d, k = _one_solve(method, mv, papply, r32, tau_k,
                                   inner_maxiter, restart)
                 return (scale * d.astype(jnp.float64)), k
 

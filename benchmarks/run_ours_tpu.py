@@ -254,11 +254,21 @@ def main():
 
         return {"solve": solve}
 
+    def _prec_kw(M):
+        """traced route when the preconditioner state can ride as a jit
+        argument (block plans); closure route otherwise — passing a None
+        traced as precond_pair would silently solve UNPRECONDITIONED
+        (the CPU fallback of this runner did exactly that: DH-13 IC ran
+        484 iterations instead of ~24)."""
+        if M.traced is not None:
+            return dict(precond_pair=M.traced)
+        return dict(prec_fn=M.apply_right)
+
     def pcg_ic():
         # default trisolve_mode="auto" → exact block-banded MXU solves
         A32, Hp, M, perm, A64 = full_setup(ICPreconditionerType(1e-3, 15))
         return _wrap_solve(A32, Hp, perm, "cg", inner_maxiter=600,
-                           precond_pair=M.traced, A64=A64)
+                           A64=A64, **_prec_kw(M))
 
     def pcg_ic_sweep():
         # approximate BWS Jacobi sweeps (pre-r2 default; comparison)
@@ -278,7 +288,7 @@ def main():
     def gmres_ilut():
         A32, Hp, M, perm, A64 = full_setup(ILUTPreconditionerType(1e-3, 15))
         return _wrap_solve(A32, Hp, perm, "gmres", restart=60,
-                           precond_pair=M.traced, A64=A64)
+                           A64=A64, **_prec_kw(M))
 
     def _amg_state(nu_pre=2, nu_post=2):
         from pysolvers_tpu.linear.amg import (build_sa_hierarchy,

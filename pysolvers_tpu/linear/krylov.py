@@ -164,6 +164,129 @@ def cg_solve(matvec: Callable, b: jax.Array, x0: Optional[jax.Array] = None,
     return final.x, KrylovState(final.k, final.resid, final.reason), final.history
 
 
+class _CGRRCarry(NamedTuple):
+    k: jax.Array
+    x64: jax.Array        # f64 accumulated correction
+    r: jax.Array          # f32 recurrence residual (periodically replaced)
+    p: jax.Array
+    u_dot_r: jax.Array
+    resid: jax.Array
+    anchor: jax.Array     # residual norm at the last replacement
+    reason: jax.Array
+
+
+def cg_solve_rr(matvec: Callable, b_hi: jax.Array, *, mv_hi: Callable,
+                maxiter: int = 100, tau: float = 1e-8,
+                precond: Optional[Callable] = None,
+                replace_every: int = 6, replace_drop: float = 3e-4,
+                hi_dots: bool = True,
+                norm_fn: Optional[Callable] = None):
+    """Preconditioned CG with periodic f64 residual replacement.
+
+    A plain f32 CG's attainable TRUE residual stalls at ~eps32·kappa(A):
+    the recurrence residual drifts from b−A·x by the accumulated rounding
+    of the x/r updates, so mixed-precision refinement must restart it
+    every ~eps32·kappa of reduction — and each restart re-spends Krylov
+    iterations rebuilding the search space (measured: ~40 total inner
+    its on DH-15 across 4-5 restarts vs the reference's 20 f64 its,
+    reference PCGSolver.py:109-138).  Residual replacement (Van der
+    Vorst & Ye 2000) removes the restarts: every ``replace_every`` steps
+    the recurrence residual is REPLACED by the true residual
+    b_hi − A₆₄·x₆₄, computed in (emulated) f64 against the f64-accumulated
+    solution, while the search direction p — and with it the whole
+    Krylov history — carries on.  Between replacements the drift is
+    ~eps32·‖r_window_start‖, i.e. harmless as long as a window reduces
+    less than 1/eps32; with replacement the method converges like f64 CG
+    at f32 kernel speed, all the way to f64-grade tolerances.
+
+    Replacement triggers on whichever comes first: every
+    ``replace_every`` steps, or the recurrence residual dropping below
+    ``replace_drop`` × its value at the last replacement.  The second
+    trigger matters for STRONG preconditioners (measured on DH-11 + IC:
+    convergence at ~0.05×/iteration outruns the eps32·‖r_anchor‖ drift
+    within a 6-step window, and iterations burn on recurrence noise —
+    59 its where f64 CG takes 8; with the drop trigger: 9).
+    ``replace_drop`` must sit well above eps32 ≈ 6e-8 so the replaced
+    residual is still accurate relative to the window's drift.
+
+    Arguments: ``matvec``/``precond`` run in f32 (the fast kernels);
+    ``mv_hi`` is the f64 operator apply (``ops.spmv.ell_spmv_f64_
+    splitgather`` or the gather-free DIA f64 path); ``b_hi`` is the f64
+    right-hand side (an outer residual scaled to O(1)).  Returns
+    ``(x64, KrylovState, None)`` where ``resid`` is the f32-norm of the
+    (last replaced) recurrence residual.
+    """
+    if hi_dots:
+        # f32 dot products carry ~sqrt(n)·eps32 accumulation error — enough
+        # to perturb alpha/beta and visibly degrade conjugacy (measured:
+        # +9 its on DH-15).  Casting the f32 values to f64 and reducing in
+        # f64 is elementwise-cheap on TPU and restores f64-CG iteration
+        # counts.
+        dot = lambda a, c: jnp.sum(a.astype(jnp.float64)
+                                   * c.astype(jnp.float64))
+    else:
+        dot = _dot
+    norm = norm_fn or (lambda v: jnp.sqrt(dot(v, v)))
+    M = precond or (lambda v: v)
+    b32 = b_hi.astype(jnp.float32)
+    b_norm = norm(b32)
+    tol = tau * b_norm
+
+    r0 = b32                      # x0 = 0
+    u0 = M(r0)
+    udr0 = dot(u0, r0)
+    resid0 = norm(r0)
+
+    def cond(c: _CGRRCarry):
+        return c.reason == StopReason.RUNNING
+
+    def body(c: _CGRRCarry):
+        Ap = matvec(c.p)
+        pAp = dot(c.p, Ap)
+        breakdown_pap = pAp == 0.0
+        alpha = jnp.where(breakdown_pap, 0.0, c.u_dot_r / pAp)
+        # accumulate in f64: the increment direction is f32 (that only
+        # perturbs WHERE the step goes, not the bookkeeping); summing in
+        # f64 keeps x exact against the replaced residuals
+        x64 = c.x64 + alpha.astype(jnp.float64) * c.p.astype(jnp.float64)
+        k = c.k + 1
+        alpha32 = alpha.astype(jnp.float32)
+
+        def replaced(_):
+            return (b_hi - mv_hi(x64)).astype(jnp.float32)
+
+        def recurred(_):
+            return c.r - alpha32 * Ap
+
+        do_replace = ((k % replace_every == 0)
+                      | (c.resid <= replace_drop * c.anchor))
+        r = jax.lax.cond(do_replace, replaced, recurred, None)
+        resid = norm(r)
+        anchor = jnp.where(do_replace, resid, c.anchor)
+        u = M(r)
+        udr_new = dot(u, r)
+        breakdown_udr = udr_new == 0.0
+        beta = jnp.where(c.u_dot_r == 0, 0.0, udr_new / c.u_dot_r)
+        p = u + beta.astype(jnp.float32) * c.p
+
+        converged = resid <= tol
+        reason = jnp.where(
+            converged, StopReason.CONVERGED,
+            jnp.where(breakdown_pap | breakdown_udr, StopReason.BREAKDOWN,
+                      jnp.where(k >= maxiter, StopReason.MAXITER,
+                                StopReason.RUNNING))).astype(jnp.int32)
+        return _CGRRCarry(k, x64, r, p, udr_new, resid, anchor, reason)
+
+    init_reason = jnp.where(
+        resid0 <= tol, StopReason.CONVERGED,
+        jnp.where(udr0 == 0, StopReason.BREAKDOWN,
+                  StopReason.RUNNING)).astype(jnp.int32)
+    init = _CGRRCarry(jnp.int32(0), jnp.zeros_like(b_hi), r0, u0, udr0,
+                      resid0, resid0, init_reason)
+    final = jax.lax.while_loop(cond, body, init)
+    return final.x64, KrylovState(final.k, final.resid, final.reason), None
+
+
 # ---------------------------------------------------------------------------
 # GMRES(m) with restarts
 # ---------------------------------------------------------------------------

@@ -95,6 +95,13 @@ def ir_solve(matvec_hi: Callable, matvec_lo: Callable, b: jax.Array,
 _INNER_CACHE = {}
 
 
+def _rr_enabled() -> bool:
+    """Residual-replacement CG inside the dd-chain (PST_RR=0 reverts to
+    restart-per-pass corrections)."""
+    import os
+    return os.environ.get("PST_RR", "1") != "0"
+
+
 def _cached_inner_op(precond_lo, method, inner_maxiter, restart, chain=1):
     """Like ``_cached_inner`` but the operator AND the tolerance are traced
     ARGUMENTS of the jitted graph instead of closed-over constants:
@@ -192,7 +199,8 @@ def _cached_inner_pair(apply_fn, method, inner_maxiter, restart, chain=1):
     return inner
 
 
-def _cached_dd_chain(apply_fn, method, inner_maxiter, restart, chain):
+def _cached_dd_chain(apply_fn, method, inner_maxiter, restart, chain,
+                     first_tau):
     """One-dispatch refinement chain: ``chain`` f32 inner corrections, each
     against an ACCURATE f64 residual computed in-graph.
 
@@ -206,14 +214,27 @@ def _cached_dd_chain(apply_fn, method, inner_maxiter, restart, chain):
     TPU this turns ~4 upload/dispatch/fetch round trips (~50 ms each)
     into ONE.
 
+    Floor-aware inner tolerances: a pass's achievable TRUE-residual
+    reduction is floored at ~eps32·kappa(A) no matter how far the inner
+    recurrence residual is pushed, so iterating every pass to a fixed
+    inner_tau=1e-6 wastes 2-3× iterations grinding past the floor
+    (measured: ~70 total inner its on DH-15 vs the reference's 20 f64
+    its).  Each pass k>1 instead targets half the reduction the previous
+    pass actually ACHIEVED (``f_obs``, observed in-graph from the f64
+    residuals) — probing geometrically deeper until the floor bites,
+    never burning iterations the floor will throw away.  The first pass
+    of a solve has no observation and uses ``first_tau``; the host loop
+    threads ``f_obs`` across re-dispatches.
+
     Operator (f32 + f64), preconditioner state, start vector and
     tolerances all ride as traced arguments — Newton re-factorizations
     reuse the compiled graph.  Steps after convergence are skipped by
     ``lax.cond``.
     """
     apply_fn, precond_lo = apply_fn
+    rr = method == "cg" and _rr_enabled()
     key = ("ddchain", id(apply_fn), id(precond_lo), method, inner_maxiter,
-           restart, chain)
+           restart, chain, first_tau, rr)
     ent = _INNER_CACHE.get(key)
     if ent is not None and ent[0] is apply_fn and ent[2] is precond_lo:
         return ent[1]
@@ -225,7 +246,7 @@ def _cached_dd_chain(apply_fn, method, inner_maxiter, restart, chain):
     # zero start vector IN-GRAPH — saves a 0-filled device upload (~25 ms
     # of tunnel latency per solve)
     @functools.partial(jax.jit, static_argnames=("x_is_zero",))
-    def run(A_lo, prec_state, A64, b64, x64, tol64, inner_tau,
+    def run(A_lo, prec_state, A64, b64, x64, tol64, inner_tau, f0,
             x_is_zero=False):
         if x_is_zero:
             x64 = jnp.zeros_like(b64)
@@ -240,36 +261,68 @@ def _cached_dd_chain(apply_fn, method, inner_maxiter, restart, chain):
                  else (lambda M, v: op_matvec(M, v)))
         x = x64
         k_tot = jnp.int32(0)
+        f_obs = f0                       # observed per-pass reduction (0 = none yet)
+        rn_prev = jnp.zeros((), jnp.float64)   # >0 marks "previous pass ran"
         for _ in range(chain):
             r = b64 - mv_hi(A64, x)
             rn = jnp.sqrt(jnp.sum(r * r))
+            # update the floor estimate from the reduction the previous
+            # pass actually achieved (skipped passes leave it untouched)
+            f_obs = jnp.where(rn_prev > 0,
+                              jnp.clip(rn / jnp.maximum(rn_prev, 1e-300),
+                                       0.0, 1.0),
+                              f_obs)
             scale = jnp.where(rn > 0, rn, 1.0)
-            # adaptive inner tolerance: the step only needs to close the
-            # remaining gap tol/‖r‖ (×0.25 for f32 true-vs-recurrence
-            # slack), never tighter than the f32-floor inner_tau — the
-            # final chain step stops iterating the moment the global
-            # 1e-10 target is met instead of grinding to inner_tau
-            # (an unpreconditioned CG chain over-converged to 1e-16,
-            # wasting a full extra pass of iterations)
-            tau_k = jnp.clip((0.25 * tol64 / scale).astype(jnp.float32),
-                             inner_tau, jnp.float32(0.5))
+            # adaptive inner tolerance, the larger of two bounds:
+            # * the remaining gap tol/‖r‖ (×0.25 for f32 true-vs-
+            #   recurrence slack) — the final pass stops the moment the
+            #   global target is met instead of grinding to a fixed tau;
+            # * half the previously OBSERVED per-pass reduction — no pass
+            #   pushes its recurrence residual far past the eps32·kappa
+            #   floor of the true residual (probing 2× deeper each pass
+            #   keeps well-conditioned problems converging geometrically).
+            gap = 0.25 * tol64 / scale
+            tau_est = jnp.where(f_obs > 0, 0.5 * f_obs,
+                                jnp.float64(first_tau))
+            if rr:
+                # residual replacement removes the per-pass floor: one
+                # pass closes the whole remaining gap, so the tolerance
+                # is just the gap (floored only by f32's own range)
+                tau_k = jnp.clip(gap.astype(jnp.float32),
+                                 jnp.float32(1e-30), jnp.float32(0.5))
+            else:
+                tau_k = jnp.clip(
+                    jnp.maximum(gap, tau_est).astype(jnp.float32),
+                    inner_tau, jnp.float32(0.5))
 
             def go(_):
+                if rr:
+                    from .krylov import cg_solve_rr
+                    d64, st, _ = cg_solve_rr(
+                        mv, r / scale, mv_hi=lambda v: mv_hi(A64, v),
+                        maxiter=inner_maxiter, tau=tau_k, precond=papply)
+                    return scale * d64, st.k
                 r32 = (r / scale).astype(jnp.float32)
                 d, k = _one_solve(method, mv, papply, r32, tau_k,
                                   inner_maxiter, restart)
                 return (scale * d.astype(jnp.float64)), k
 
-            d64, k = jax.lax.cond(rn > tol64, go,
+            will_run = rn > tol64
+            d64, k = jax.lax.cond(will_run, go,
                                   lambda _: (jnp.zeros_like(x),
                                              jnp.int32(0)), None)
+            rn_prev = jnp.where(will_run, rn, jnp.zeros_like(rn))
             x = x + d64
             k_tot = k_tot + k
         r = b64 - mv_hi(A64, x)
         rn = jnp.sqrt(jnp.sum(r * r))
+        f_obs = jnp.where(rn_prev > 0,
+                          jnp.clip(rn / jnp.maximum(rn_prev, 1e-300),
+                                   0.0, 1.0),
+                          f_obs)
         # one array out -> one device->host fetch per dispatch
         return jnp.concatenate([x, k_tot.astype(jnp.float64)[None],
-                                rn[None]])
+                                rn[None], f_obs[None]])
 
     if len(_INNER_CACHE) > 64:
         _INNER_CACHE.pop(next(iter(_INNER_CACHE)))
@@ -279,20 +332,32 @@ def _cached_dd_chain(apply_fn, method, inner_maxiter, restart, chain):
 
 def ir_solve_dd(mv_hi_host, b, *, A_lo, A64, tau=1e-10, inner_tau=1e-6,
                 inner_maxiter=500, method="cg", precond_pair=None,
-                precond_lo=None, restart=None, chain=4, max_outer=20):
+                precond_lo=None, restart=None, chain=4, max_outer=20,
+                first_tau=1e-4):
     """Host-driven refinement where each dispatch runs a ``chain``-step
     f64-residual correction chain fully on device (``_cached_dd_chain``).
 
     ``mv_hi_host``: numpy f64 matvec for the final host-verified residual
     (the in-graph residual is ~2^-48-grade; the host check is exact f64).
-    Semantics and return match ``ir_solve_host``.
+    ``first_tau``: inner tolerance of the very first pass, before any
+    per-pass reduction has been observed (see ``_cached_dd_chain``); the
+    observed floor rides across re-dispatches.  Semantics and return
+    match ``ir_solve_host``.
     """
     import numpy as np
 
+    if method == "cg" and _rr_enabled():
+        # residual replacement converges through the eps32·kappa floor in
+        # ONE continuous pass (krylov.cg_solve_rr) — a chain of passes
+        # would only compile `chain` unrolled copies of the biggest graph
+        # in the framework (rr while_loop + preconditioner + emulated-f64
+        # matvec) for lax.cond to skip at runtime.  The host loop still
+        # re-dispatches on the rare non-converged return.
+        chain = 1
     apply_fn, prec_state = (precond_pair if precond_pair is not None
                             else (None, None))
     run = _cached_dd_chain((apply_fn, precond_lo), method, inner_maxiter,
-                           restart, chain)
+                           restart, chain, float(first_tau))
 
     b_h = np.asarray(b, dtype=np.float64)
     b_norm = float(np.linalg.norm(b_h))
@@ -305,14 +370,17 @@ def ir_solve_dd(mv_hi_host, b, *, A_lo, A64, tau=1e-10, inner_tau=1e-6,
     inner_total = 0
     rn_prev = float("inf")
     reason = StopReason.MAXITER
+    f_obs = 0.0
     max_disp = max(1, -(-max_outer // chain))
     for disp in range(max_disp):
         packed = np.asarray(run(A_lo, prec_state, A64, b64,
                                 None if disp == 0 else jnp.asarray(x_h),
-                                tol64, tau32, x_is_zero=(disp == 0)))
-        x_h = packed[:-2]
-        inner_total += int(packed[-2])
-        rn_dev = float(packed[-1])
+                                tol64, tau32, jnp.float64(f_obs),
+                                x_is_zero=(disp == 0)))
+        x_h = packed[:-3]
+        inner_total += int(packed[-3])
+        rn_dev = float(packed[-2])
+        f_obs = float(packed[-1])
         # exact host residual: covers the 2^-48 in-graph representation
         rn = float(np.linalg.norm(b_h - mv_hi_host(x_h)))
         if rn <= tol:

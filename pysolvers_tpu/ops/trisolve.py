@@ -118,8 +118,9 @@ def build_trisolve_plan(T: HostCSR, lower: bool, unit_diag: bool = False,
 def trisolve(plan: TriSolvePlan, b: jax.Array) -> jax.Array:
     """Solve T x = b with the level schedule (jittable)."""
     n = plan.n
-    bp = jnp.concatenate([b, jnp.zeros((1,), dtype=b.dtype)])
-    x0 = jnp.zeros((n + 1,), dtype=b.dtype)
+    dt = jnp.promote_types(b.dtype, plan.ell_data.dtype)
+    bp = jnp.concatenate([b.astype(dt), jnp.zeros((1,), dtype=dt)])
+    x0 = jnp.zeros((n + 1,), dtype=dt)
 
     def step(x, rows):
         d = plan.ell_data[rows]                        # (width, k)
@@ -129,7 +130,7 @@ def trisolve(plan: TriSolvePlan, b: jax.Array) -> jax.Array:
         return x.at[rows].set(xv), None
 
     x, _ = jax.lax.scan(step, x0, plan.levels)
-    return x[:n]
+    return x[:n].astype(b.dtype)
 
 
 def trisolve_jacobi(plan: TriSolvePlan, b: jax.Array, sweeps: int = 10

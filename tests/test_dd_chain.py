@@ -144,3 +144,17 @@ class TestFactoryDd:
         assert _dd_chain_enabled()
         monkeypatch.setenv("PST_DD_CHAIN", "0")
         assert not _dd_chain_enabled()
+
+    def test_rr_off_fallback(self, monkeypatch):
+        """PST_RR=0 reverts the CG dd-chain to restart-per-pass
+        corrections; the solve must still reach 1e-10."""
+        monkeypatch.setenv("PST_RR", "0")
+        H, x_exact, b = dh_test_problem(10)
+        A32 = EllMatrix.from_host_csr(H, dtype=np.float32)
+        A64 = EllMatrix.from_host_csr(H, dtype=np.float64)
+        x, st, _ = refine.ir_solve_dd(
+            H.matvec, jnp.asarray(b, jnp.float64), A_lo=A32, A64=A64,
+            tau=1e-10, inner_tau=1e-6, inner_maxiter=2000, method="cg",
+            chain=4)
+        assert int(st.reason) == StopReason.CONVERGED
+        np.testing.assert_allclose(np.asarray(x), x_exact, atol=1e-7)

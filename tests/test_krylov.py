@@ -169,3 +169,62 @@ class TestFGMRES:
                                  flexible=True)
         assert int(st1.reason) == int(st2.reason) == StopReason.CONVERGED
         np.testing.assert_allclose(np.asarray(x1), np.asarray(x2), atol=1e-8)
+
+
+class TestCGResidualReplacement:
+    """cg_solve_rr: f32 CG + periodic f64 residual replacement converges to
+    f64-grade TRUE residuals in near-f64 iteration counts (no restarts)."""
+
+    def _setup(self, lev=11):
+        from pysolvers_tpu.problems import dh_test_problem
+        from pysolvers_tpu.ops.spmv import ell_spmv_f64_splitgather
+        H, x_exact, b = dh_test_problem(lev)
+        A32 = EllMatrix.from_host_csr(H, dtype=np.float32)
+        A64 = EllMatrix.from_host_csr(H, dtype=np.float64)
+        bn = np.linalg.norm(b)
+        b_hi = jnp.asarray(b / bn)
+        mv = lambda v: matvec(A32, v)
+        mv_hi = lambda v: ell_spmv_f64_splitgather(A64, v)
+        return H, x_exact * bn ** 0, b, bn, b_hi, mv, mv_hi
+
+    def test_true_residual_reaches_f64_grade(self):
+        from pysolvers_tpu.linear.krylov import cg_solve_rr
+        H, _, b, bn, b_hi, mv, mv_hi = self._setup()
+        x64, st, _ = cg_solve_rr(mv, b_hi, mv_hi=mv_hi, maxiter=3000,
+                                 tau=1e-10)
+        assert int(st.reason) == StopReason.CONVERGED
+        # the reported residual must be HONEST: true f64 residual agrees
+        true = np.linalg.norm(np.asarray(b_hi) - H.matvec(np.asarray(x64)))
+        assert true <= 2e-10
+        assert abs(true - float(st.resid)) <= 0.5 * max(true, 1e-14) + 1e-12
+
+    def test_beats_plain_f32_floor(self):
+        """Plain f32 CG's true residual stalls at ~eps32*kappa; rr goes
+        through the floor in one continuous solve."""
+        from pysolvers_tpu.linear.krylov import cg_solve_rr
+        H, _, b, bn, b_hi, mv, mv_hi = self._setup()
+        x32, _, _ = cg_solve(mv, b_hi.astype(jnp.float32), maxiter=3000,
+                             tau=1e-12)
+        floor32 = np.linalg.norm(np.asarray(b_hi)
+                                 - H.matvec(np.asarray(x32, np.float64)))
+        x64, st, _ = cg_solve_rr(mv, b_hi, mv_hi=mv_hi, maxiter=3000,
+                                 tau=1e-10)
+        true = np.linalg.norm(np.asarray(b_hi) - H.matvec(np.asarray(x64)))
+        assert true < floor32 * 1e-2
+
+    def test_preconditioned_iteration_count_near_f64(self):
+        """With IC(t), rr lands within ~1.5x of the all-f64 CG count —
+        the restart-per-pass refinement chain costs ~2x (VERDICT r2
+        'remaining' item: close the 71-vs-20 gap)."""
+        from pysolvers_tpu.linear.ilu import ICPreconditionerType
+        from pysolvers_tpu.linear.krylov import cg_solve_rr
+        H, _, b, bn, b_hi, mv, mv_hi = self._setup()
+        papply = ICPreconditionerType().form(H).apply_right
+        x_oracle, st_oracle, _ = cg_solve(mv_hi, b_hi, maxiter=400,
+                                          tau=1e-10, precond=lambda v:
+                                          papply(v.astype(jnp.float32))
+                                          .astype(jnp.float64))
+        x64, st, _ = cg_solve_rr(mv, b_hi, mv_hi=mv_hi, maxiter=400,
+                                 tau=1e-10, precond=papply)
+        assert int(st.reason) == StopReason.CONVERGED
+        assert int(st.k) <= int(st_oracle.k) * 1.5 + 3

@@ -28,6 +28,8 @@ class StopReason(enum.IntEnum):
     TRUE_RESID_MISMATCH = 4   # GMRES implicit/true residual disagreement
     LINESEARCH_FAIL = 5
     INNER_SOLVE_FAIL = 6
+    STALL = 7                 # divergence/stagnation guard tripped
+                              # (best-so-far iterate returned)
 
 
 @dataclasses.dataclass(frozen=True)

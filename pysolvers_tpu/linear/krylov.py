@@ -172,6 +172,8 @@ class _CGRRCarry(NamedTuple):
     u_dot_r: jax.Array
     resid: jax.Array
     anchor: jax.Array     # residual norm at the last replacement
+    x_best: jax.Array     # iterate at the smallest REPLACED (true) residual
+    r_best: jax.Array
     reason: jax.Array
 
 
@@ -213,8 +215,15 @@ def cg_solve_rr(matvec: Callable, b_hi: jax.Array, *, mv_hi: Callable,
     ``mv_hi`` is the f64 operator apply (``ops.spmv.ell_spmv_f64_
     splitgather`` or the gather-free DIA f64 path); ``b_hi`` is the f64
     right-hand side (an outer residual scaled to O(1)).  Returns
-    ``(x64, KrylovState, None)`` where ``resid`` is the f32-norm of the
-    (last replaced) recurrence residual.
+    ``(x64, KrylovState, None)``.  Convergence is declared on the
+    recurrence norm (optimistic by up to the window drift ~eps32·anchor
+    — callers needing certified residuals verify outside; the dd-chain
+    host loop does, in exact f64).  A divergence guard tracks the best
+    REPLACED iterate and exits with it (StopReason.STALL) if a
+    replacement comes back 16× worse — reachable with NONSYMMETRIC
+    preconditioners (e.g. one-directional-GS AMG V-cycles), where PCG
+    stops being a descent method once the residual reaches the f32
+    noise floor.
     """
     if hi_dots:
         # f32 dot products carry ~sqrt(n)·eps32 accumulation error — enough
@@ -262,29 +271,61 @@ def cg_solve_rr(matvec: Callable, b_hi: jax.Array, *, mv_hi: Callable,
                       | (c.resid <= replace_drop * c.anchor))
         r = jax.lax.cond(do_replace, replaced, recurred, None)
         resid = norm(r)
+        # a replacement that comes back much LARGER than the recurrence
+        # means the recurrence had drifted below the attainable floor —
+        # its Krylov history is rounding noise, and carrying it forward
+        # explodes (beta = u·r_true / u·r_tiny amplifies the stale
+        # direction; measured: divergence to 1e+25 on a near-converged
+        # Newton step).  Restart the direction instead (p = u).
+        restart_dir = do_replace & (resid > 4.0 * c.resid)
         anchor = jnp.where(do_replace, resid, c.anchor)
+        # best-so-far tracking over REPLACED (true) residuals only: if the
+        # solve enters a divergent regime (possible with a nonsymmetric
+        # preconditioner — e.g. an AMG V-cycle with one-directional GS
+        # sweeps — once the residual sits at the f32 noise floor), exit
+        # with the best verified iterate instead of grinding to maxiter
+        better = do_replace & (resid < c.r_best)
+        x_best = jnp.where(better, x64, c.x_best)
+        r_best = jnp.where(better, resid, c.r_best)
+        diverged = do_replace & (resid > 16.0 * c.r_best)
         u = M(r)
         udr_new = dot(u, r)
         breakdown_udr = udr_new == 0.0
-        beta = jnp.where(c.u_dot_r == 0, 0.0, udr_new / c.u_dot_r)
+        beta = jnp.where((c.u_dot_r == 0) | restart_dir, 0.0,
+                         udr_new / c.u_dot_r)
         p = u + beta.astype(jnp.float32) * c.p
 
+        # optimistic convergence on the recurrence norm — between
+        # replacements it can understate the true residual by the window
+        # drift (~eps32·anchor); callers needing certified residuals
+        # verify outside (the dd-chain host loop recomputes in exact f64
+        # and re-dispatches on a miss)
         converged = resid <= tol
         reason = jnp.where(
             converged, StopReason.CONVERGED,
             jnp.where(breakdown_pap | breakdown_udr, StopReason.BREAKDOWN,
                       jnp.where(k >= maxiter, StopReason.MAXITER,
-                                StopReason.RUNNING))).astype(jnp.int32)
-        return _CGRRCarry(k, x64, r, p, udr_new, resid, anchor, reason)
+                                jnp.where(diverged, StopReason.STALL,
+                                          StopReason.RUNNING)))
+        ).astype(jnp.int32)
+        return _CGRRCarry(k, x64, r, p, udr_new, resid, anchor,
+                          x_best, r_best, reason)
 
     init_reason = jnp.where(
         resid0 <= tol, StopReason.CONVERGED,
         jnp.where(udr0 == 0, StopReason.BREAKDOWN,
                   StopReason.RUNNING)).astype(jnp.int32)
     init = _CGRRCarry(jnp.int32(0), jnp.zeros_like(b_hi), r0, u0, udr0,
-                      resid0, resid0, init_reason)
+                      resid0, resid0, jnp.zeros_like(b_hi),
+                      resid0.astype(jnp.float64), init_reason)
     final = jax.lax.while_loop(cond, body, init)
-    return final.x64, KrylovState(final.k, final.resid, final.reason), None
+    # on a non-converged exit, fall back to the best REPLACED iterate if
+    # the final recurrence state is worse (divergence guard payoff)
+    take_best = (final.reason != StopReason.CONVERGED) & \
+        (final.r_best < final.resid)
+    x_out = jnp.where(take_best, final.x_best, final.x64)
+    r_out = jnp.where(take_best, final.r_best, final.resid)
+    return x_out, KrylovState(final.k, r_out, final.reason), None
 
 
 # ---------------------------------------------------------------------------

@@ -247,6 +247,97 @@ class IterativeLinearSolver(LinearSolver):
                                      self._effective_tau())
         return make_status(x[:n], st, self.control, history=hist)
 
+    # --- distributed mixed precision (mesh= + precision="mixed") -------
+    # f32 sharded inner Krylov corrections + host f64 residual
+    # refinement: the sharded solve is the SAME jitted core as
+    # `_solve_mesh` (GSPMD psums, halo-exchange SpMV) but on an f32 copy
+    # of the operator; the outer loop recomputes exact f64 residuals on
+    # the host CSR and re-dispatches scaled-to-O(1) correction solves
+    # (restart-chain semantics of refine.ir_solve_host).  This is the
+    # one-line distributed path to 1e-10-grade tolerances.
+
+    def _solve_mesh_mixed(self, A, b, method: str,
+                          restart=None) -> SolveStatus:
+        from .parallel import (shard_dia, shard_ell, dist_dia_spmv,
+                               dist_ell_spmv, pad_vector_dia,
+                               pad_vector_ell)
+        from .linear.krylov import cg_solve as _cg, gmres_solve as _gm
+        from .linear.krylov import KrylovState
+
+        A_host = A[0] if isinstance(A, tuple) else A
+        if not isinstance(A_host, HostCSR):
+            raise TypeError("mesh= solves take a HostCSR matrix "
+                            "(row partitioning happens at setup)")
+        if self.matrix_frozen() and getattr(self, "_mm_state", None):
+            ms = self._mm_state
+        else:
+            H32 = HostCSR(A_host.indptr, A_host.indices,
+                          A_host.data.astype(np.float32), A_host.shape)
+            if DiaMatrix.is_profitable(H32):
+                ms = dict(H32=H32, A=shard_dia(H32, self.mesh),
+                          mv=dist_dia_spmv, pad=pad_vector_dia)
+            else:
+                ms = dict(H32=H32, A=shard_ell(H32, self.mesh),
+                          mv=dist_ell_spmv, pad=pad_vector_ell)
+            self._mm_state = ms
+        prec = self._get_precond(ms["H32"], ms["A"])
+        if getattr(self, "_mm_prec_src", None) is not prec:
+            self._mm_prec_src = prec
+            self._mm_papply = (None if prec.is_identity
+                               else prec.apply_right)
+        papply = self._mm_papply
+        n = A_host.shape[0]
+        control = self.control
+        if getattr(self, "_mm_jit", None) is None or \
+                self._mm_jit_key != (method, restart, id(prec)):
+            dist_mv = ms["mv"]
+
+            def _solve(A_sh, bv, tau):
+                mv = lambda v: dist_mv(A_sh, v)
+                if method == "cg":
+                    return _cg(mv, bv, maxiter=control.maxiter, tau=tau,
+                               precond=papply, norm_fn=control.norm_fn())
+                return _gm(mv, bv, maxiter=control.maxiter, tau=tau,
+                           precond=papply, restart=restart,
+                           norm_fn=control.norm_fn())
+
+            self._mm_jit = jax.jit(_solve)
+            self._mm_jit_key = (method, restart, id(prec))
+
+        # host-driven refinement: exact f64 residuals on the host CSR,
+        # scaled O(1) f32 correction solves on the mesh
+        b_h = np.asarray(b, dtype=np.float64)
+        b_norm = float(np.linalg.norm(b_h))
+        tol = self._effective_tau() * b_norm
+        x_h = np.zeros_like(b_h)
+        inner_total = 0
+        rn_prev = float("inf")
+        reason = StopReason.MAXITER
+        rn = b_norm
+        for _ in range(20):
+            r = b_h - A_host.matvec(x_h)
+            rn = float(np.linalg.norm(r))
+            if rn <= tol:
+                reason = StopReason.CONVERGED
+                break
+            if rn >= rn_prev * 0.5:
+                reason = (StopReason.MAXITER if rn <= b_norm * 1e-3
+                          else StopReason.BREAKDOWN)
+                break
+            rn_prev = rn
+            # close the remaining gap with f32 slack; floored at the f32
+            # single-pass limit (ir_solve_host's inner_tau semantics)
+            tau_k = float(np.clip(0.25 * tol / rn, 1e-6, 0.5))
+            r_pad = ms["pad"](ms["A"], (r / rn).astype(np.float32))
+            d, st, _ = self._mm_jit(ms["A"], r_pad, tau_k)
+            inner_total += int(st.k)
+            x_h = x_h + rn * np.asarray(d[:n], dtype=np.float64)
+        return make_status(
+            jnp.asarray(x_h),
+            KrylovState(jnp.int32(inner_total), jnp.float64(rn),
+                        jnp.int32(int(reason))),
+            self.control)
+
     # --- mixed-precision route (precision="mixed") ---------------------
     # Inner f32 Krylov on the TPU kernels (DIA for banded stencils, BWS
     # for unstructured on TPU backends) + host f64 residual refinement.
@@ -418,7 +509,9 @@ class PCG(IterativeLinearSolverType):
 
     ``precision="mixed"`` solves to f64-grade tolerances with f32 device
     kernels (host-residual refinement); ``mesh=`` runs the solve sharded
-    over a 1-D device mesh (parallel/)."""
+    over a 1-D device mesh (parallel/).  The two compose: ``mesh=`` +
+    ``precision="mixed"`` runs f32 sharded correction solves inside a
+    host f64 refinement loop (`_solve_mesh_mixed`)."""
 
     def make_solver(self):
         s = PCGSolver(self.control, self.precond)
@@ -454,8 +547,7 @@ class PCGSolver(IterativeLinearSolver):
     def solve(self, A, b) -> SolveStatus:
         if getattr(self, "mesh", None) is not None:
             if getattr(self, "precision", "native") == "mixed":
-                raise NotImplementedError("mesh= with precision='mixed' "
-                                          "is not supported yet")
+                return self._solve_mesh_mixed(A, b, "cg")
             return self._solve_mesh(A, b, "cg")
         if getattr(self, "precision", "native") == "mixed":
             return self._solve_mixed(A, b, "cg")
@@ -539,8 +631,8 @@ class GMRESSolver(IterativeLinearSolver):
     def solve(self, A, b) -> SolveStatus:
         if getattr(self, "mesh", None) is not None:
             if getattr(self, "precision", "native") == "mixed":
-                raise NotImplementedError("mesh= with precision='mixed' "
-                                          "is not supported yet")
+                return self._solve_mesh_mixed(A, b, "gmres",
+                                              restart=self.restart or 60)
             return self._solve_mesh(A, b, "gmres", restart=self.restart)
         if getattr(self, "precision", "native") == "mixed":
             return self._solve_mixed(A, b, "gmres",

@@ -59,9 +59,33 @@ class TestMeshFactory:
         err = np.linalg.norm(np.asarray(st.soln) - x_exact)
         assert err / np.linalg.norm(x_exact) <= 1e-7
 
-    def test_mesh_with_mixed_rejected(self, mesh):
-        H, _, b = dh_test_problem(8)
-        s = PCG(CommonSolverArgs(), precision="mixed",
-                mesh=mesh).make_solver()
-        with pytest.raises(NotImplementedError):
-            s.solve(H, b)
+    def test_pcg_mesh_mixed_unpreconditioned(self, mesh):
+        """mesh= + precision='mixed': f32 sharded inner solves + host f64
+        refinement reach 1e-10 even though the device arithmetic is f32."""
+        H, x_exact, b = dh_test_problem(10)
+        s = PCG(CommonSolverArgs(maxiter=2000, tau=1e-10),
+                precision="mixed", mesh=mesh).make_solver()
+        st = s.solve(H, b)
+        assert st.success
+        rel = np.linalg.norm(np.asarray(st.soln) - x_exact) \
+            / np.linalg.norm(x_exact)
+        assert rel <= 1e-7
+        # the residual reported is the exact host f64 residual
+        rn = np.linalg.norm(b - H.matvec(np.asarray(st.soln)))
+        assert rn <= 1e-10 * np.linalg.norm(b) * 1.01
+
+    def test_pcg_mesh_mixed_block_ilu(self, mesh):
+        H, x_exact, b = dh_test_problem(10)
+        prec = BlockJacobiILUPreconditionerType(mesh, drop_tol=1e-4,
+                                                sweeps=10)
+        st = PCG(CommonSolverArgs(maxiter=2000, tau=1e-10), precond=prec,
+                 precision="mixed", mesh=mesh).make_solver().solve(H, b)
+        assert st.success
+        assert np.linalg.norm(np.asarray(st.soln) - x_exact) <= 1e-6
+
+    def test_gmres_mesh_mixed(self, mesh):
+        H, x_exact, b = dh_test_problem(8)
+        st = GMRES(CommonSolverArgs(maxiter=1200, tau=1e-10), restart=60,
+                   precision="mixed", mesh=mesh).make_solver().solve(H, b)
+        assert st.success
+        assert np.linalg.norm(np.asarray(st.soln) - x_exact) <= 1e-6

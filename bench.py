@@ -81,9 +81,45 @@ def bench_scipy_spmv(m=1448, iters=20):
     return A.nnz / dt
 
 
+def _child():
+    """Device-touching half, run in a subprocess: the axon tunnel wedges
+    periodically (device ops block forever), and a hung bench would end
+    the round with no number at all.  The parent enforces a timeout."""
+    tpu_nnzs, _, _ = bench_tpu_spmv()
+    print(json.dumps({"tpu_nnzs": tpu_nnzs}), flush=True)
+
+
 def main():
-    tpu_nnzs, nnz, dt = bench_tpu_spmv()
+    import os
+    import subprocess
+    import sys
+
+    tpu_nnzs = None
+    for attempt in range(2):
+        try:
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--tpu-child"],
+                capture_output=True, text=True, timeout=2400)
+            for line in out.stdout.splitlines():
+                if line.startswith("{"):
+                    tpu_nnzs = json.loads(line)["tpu_nnzs"]
+            if tpu_nnzs is not None:
+                break
+        except subprocess.TimeoutExpired:
+            pass
+        if attempt == 0:
+            time.sleep(60)       # wedges sometimes clear; one retry
     ref_nnzs = bench_scipy_spmv()
+    if tpu_nnzs is None:
+        print(json.dumps({
+            "metric": "spmv_nnz_per_s_per_chip_fd_laplacian2d",
+            "value": 0.0,
+            "unit": "Gnnz/s",
+            "vs_baseline": 0.0,
+            "error": "tpu tunnel unresponsive (device ops hung; "
+                     "2 attempts timed out)",
+        }))
+        return
     print(json.dumps({
         "metric": "spmv_nnz_per_s_per_chip_fd_laplacian2d",
         "value": round(tpu_nnzs / 1e9, 4),
@@ -93,4 +129,8 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+    if "--tpu-child" in sys.argv:
+        _child()
+    else:
+        main()

@@ -61,7 +61,19 @@ def main():
     err = np.linalg.norm(np.asarray(x)[:n] - x_exact)
     print(f"n={n}: reason={pst.StopReason(int(st.reason)).name} "
           f"iters={int(st.k)} resid={float(st.resid):.3e} err={err:.3e}")
-    return 0 if int(st.reason) == pst.StopReason.CONVERGED else 1
+
+    # the same solve as a factory ONE-LINER: mesh= shards everything,
+    # precision="mixed" wraps the sharded f32 solve in host f64
+    # refinement so tau=1e-10 is reached with f32 device arithmetic
+    st2 = pst.PCG(pst.CommonSolverArgs(maxiter=4000, tau=args.tau),
+                  precision="mixed", mesh=mesh).make_solver() \
+        .solve(H, H.matvec(x_exact))
+    err2 = np.linalg.norm(np.asarray(st2.soln) - x_exact)
+    print(f"factory mesh+mixed: success={st2.success} "
+          f"iters={st2.iters} resid={st2.resid:.3e} err={err2:.3e}")
+
+    ok = (int(st.reason) == pst.StopReason.CONVERGED) and st2.success
+    return 0 if ok else 1
 
 
 if __name__ == "__main__":

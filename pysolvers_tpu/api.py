@@ -199,7 +199,8 @@ class IterativeLinearSolver(LinearSolver):
     # parallel.BlockJacobiILUPreconditionerType for a distributed
     # preconditioned solve (VERDICT r1 item 5).
 
-    def _solve_mesh(self, A, b, method: str, restart=None) -> SolveStatus:
+    def _solve_mesh(self, A, b, method: str, restart=None,
+                    orthog: str = "mgs") -> SolveStatus:
         from .parallel import (shard_dia, shard_ell, dist_dia_spmv,
                                dist_ell_spmv, pad_vector_dia,
                                pad_vector_ell)
@@ -229,7 +230,7 @@ class IterativeLinearSolver(LinearSolver):
         b_pad = ms["pad"](ms["A"], np.asarray(b))
         control = self.control
         if getattr(self, "_mesh_jit", None) is None or \
-                self._mesh_jit_key != (method, restart, id(prec)):
+                self._mesh_jit_key != (method, restart, orthog, id(prec)):
             dist_mv = ms["mv"]
 
             def _solve(A_sh, bv, tau):
@@ -239,10 +240,10 @@ class IterativeLinearSolver(LinearSolver):
                                precond=papply, norm_fn=control.norm_fn())
                 return _gm(mv, bv, maxiter=control.maxiter, tau=tau,
                            precond=papply, restart=restart,
-                           norm_fn=control.norm_fn())
+                           orthog=orthog, norm_fn=control.norm_fn())
 
             self._mesh_jit = jax.jit(_solve)
-            self._mesh_jit_key = (method, restart, id(prec))
+            self._mesh_jit_key = (method, restart, orthog, id(prec))
         x, st, hist = self._mesh_jit(ms["A"], b_pad,
                                      self._effective_tau())
         return make_status(x[:n], st, self.control, history=hist)
@@ -256,8 +257,8 @@ class IterativeLinearSolver(LinearSolver):
     # (restart-chain semantics of refine.ir_solve_host).  This is the
     # one-line distributed path to 1e-10-grade tolerances.
 
-    def _solve_mesh_mixed(self, A, b, method: str,
-                          restart=None) -> SolveStatus:
+    def _solve_mesh_mixed(self, A, b, method: str, restart=None,
+                          orthog: str = "mgs") -> SolveStatus:
         from .parallel import (shard_dia, shard_ell, dist_dia_spmv,
                                dist_ell_spmv, pad_vector_dia,
                                pad_vector_ell)
@@ -289,7 +290,7 @@ class IterativeLinearSolver(LinearSolver):
         n = A_host.shape[0]
         control = self.control
         if getattr(self, "_mm_jit", None) is None or \
-                self._mm_jit_key != (method, restart, id(prec)):
+                self._mm_jit_key != (method, restart, orthog, id(prec)):
             dist_mv = ms["mv"]
 
             def _solve(A_sh, bv, tau):
@@ -299,10 +300,10 @@ class IterativeLinearSolver(LinearSolver):
                                precond=papply, norm_fn=control.norm_fn())
                 return _gm(mv, bv, maxiter=control.maxiter, tau=tau,
                            precond=papply, restart=restart,
-                           norm_fn=control.norm_fn())
+                           orthog=orthog, norm_fn=control.norm_fn())
 
             self._mm_jit = jax.jit(_solve)
-            self._mm_jit_key = (method, restart, id(prec))
+            self._mm_jit_key = (method, restart, orthog, id(prec))
 
         # host-driven refinement: exact f64 residuals on the host CSR,
         # scaled O(1) f32 correction solves on the mesh
@@ -632,8 +633,10 @@ class GMRESSolver(IterativeLinearSolver):
         if getattr(self, "mesh", None) is not None:
             if getattr(self, "precision", "native") == "mixed":
                 return self._solve_mesh_mixed(A, b, "gmres",
-                                              restart=self.restart or 60)
-            return self._solve_mesh(A, b, "gmres", restart=self.restart)
+                                              restart=self.restart or 60,
+                                              orthog=self.orthog)
+            return self._solve_mesh(A, b, "gmres", restart=self.restart,
+                                    orthog=self.orthog)
         if getattr(self, "precision", "native") == "mixed":
             return self._solve_mixed(A, b, "gmres",
                                      restart=self.restart or 60)

@@ -83,6 +83,17 @@ class TestMeshFactory:
         assert st.success
         assert np.linalg.norm(np.asarray(st.soln) - x_exact) <= 1e-6
 
+    def test_gmres_mesh_cgs2(self, mesh):
+        """orthog="cgs2" (one all-reduce per Arnoldi step — the
+        distributed-friendly orthogonalization) threads through the mesh
+        route and matches MGS."""
+        H, x_exact, b = dh_test_problem(8)
+        control = CommonSolverArgs(maxiter=600, tau=1e-10)
+        st = GMRES(control, restart=60, orthog="cgs2",
+                   mesh=mesh).make_solver().solve(H, b)
+        assert st.success
+        assert np.linalg.norm(np.asarray(st.soln) - x_exact) <= 1e-6
+
     def test_gmres_mesh_mixed(self, mesh):
         H, x_exact, b = dh_test_problem(8)
         st = GMRES(CommonSolverArgs(maxiter=1200, tau=1e-10), restart=60,

@@ -212,6 +212,31 @@ class TestCGResidualReplacement:
         true = np.linalg.norm(np.asarray(b_hi) - H.matvec(np.asarray(x64)))
         assert true < floor32 * 1e-2
 
+    def test_divergence_guard_nonsymmetric_precond(self):
+        """PCG is not a descent method with a NONSYMMETRIC M once the
+        residual sits at the f32 noise floor (measured divergence to
+        1e+25 pre-guard on a near-converged Newton step with a
+        one-directional-GS AMG V-cycle).  The guard must exit with the
+        best replaced iterate — never a blowup."""
+        from pysolvers_tpu.linear.krylov import cg_solve_rr
+        H, _, b, bn, b_hi, mv, mv_hi = self._setup(lev=9)
+        # strongly nonsymmetric "preconditioner": one damped-Jacobi-ish
+        # sweep skewed by a triangular mask of A — deliberately NOT SPD
+        A32 = EllMatrix.from_host_csr(H, dtype=np.float32)
+        skew = jnp.asarray(np.triu(H.to_dense()).astype(np.float32))
+        papply = lambda r: r - 0.4 * (skew @ r) / jnp.float32(
+            H.data.max())
+        # tolerance far below what this M lets f32 CG reach
+        x64, st, _ = cg_solve_rr(mv, b_hi, mv_hi=mv_hi, maxiter=600,
+                                 tau=1e-14, precond=papply)
+        true = np.linalg.norm(np.asarray(b_hi)
+                              - H.matvec(np.asarray(x64)))
+        # exit state may be STALL/MAXITER/BREAKDOWN — but the returned
+        # iterate must be the best verified one, not a diverged x
+        assert np.isfinite(true)
+        assert true <= 1.0          # never worse than the zero iterate
+        assert float(st.resid) <= 1.0
+
     def test_preconditioned_iteration_count_near_f64(self):
         """With IC(t), rr lands within ~1.5x of the all-f64 CG count —
         the restart-per-pass refinement chain costs ~2x (VERDICT r2

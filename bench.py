@@ -95,18 +95,25 @@ def main():
     import sys
 
     tpu_nnzs = None
+    fail = "no result"
     for attempt in range(2):
         try:
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--tpu-child"],
                 capture_output=True, text=True, timeout=2400)
             for line in out.stdout.splitlines():
-                if line.startswith("{"):
-                    tpu_nnzs = json.loads(line)["tpu_nnzs"]
+                try:
+                    rec = json.loads(line)
+                except ValueError:
+                    continue
+                if isinstance(rec, dict) and "tpu_nnzs" in rec:
+                    tpu_nnzs = rec["tpu_nnzs"]
             if tpu_nnzs is not None:
                 break
+            fail = (f"child exited {out.returncode} without a result; "
+                    f"stderr tail: {out.stderr.strip()[-300:]!r}")
         except subprocess.TimeoutExpired:
-            pass
+            fail = "tpu tunnel unresponsive (device ops hung past timeout)"
         if attempt == 0:
             time.sleep(60)       # wedges sometimes clear; one retry
     ref_nnzs = bench_scipy_spmv()
@@ -116,8 +123,7 @@ def main():
             "value": 0.0,
             "unit": "Gnnz/s",
             "vs_baseline": 0.0,
-            "error": "tpu tunnel unresponsive (device ops hung; "
-                     "2 attempts timed out)",
+            "error": fail,
         }))
         return
     print(json.dumps({

@@ -287,7 +287,12 @@ def cg_solve_rr(matvec: Callable, b_hi: jax.Array, *, mv_hi: Callable,
         better = do_replace & (resid < c.r_best)
         x_best = jnp.where(better, x64, c.x_best)
         r_best = jnp.where(better, resid, c.r_best)
-        diverged = do_replace & (resid > 16.0 * c.r_best)
+        # NaN-proof: a blowup can overflow f32 to inf/NaN within one
+        # replacement window, and `resid > 16*r_best` is False for NaN —
+        # negate the inverted comparison instead, and trip immediately
+        # on any non-finite residual
+        diverged = ((do_replace & ~(resid <= 16.0 * c.r_best))
+                    | ~jnp.isfinite(resid))
         u = M(r)
         udr_new = dot(u, r)
         breakdown_udr = udr_new == 0.0
@@ -320,9 +325,11 @@ def cg_solve_rr(matvec: Callable, b_hi: jax.Array, *, mv_hi: Callable,
                       resid0.astype(jnp.float64), init_reason)
     final = jax.lax.while_loop(cond, body, init)
     # on a non-converged exit, fall back to the best REPLACED iterate if
-    # the final recurrence state is worse (divergence guard payoff)
+    # the final recurrence state is worse (divergence guard payoff);
+    # ~(resid <= r_best) instead of (r_best < resid) so a NaN final
+    # residual also takes the best iterate
     take_best = (final.reason != StopReason.CONVERGED) & \
-        (final.r_best < final.resid)
+        ~(final.resid <= final.r_best)
     x_out = jnp.where(take_best, final.x_best, final.x64)
     r_out = jnp.where(take_best, final.r_best, final.resid)
     return x_out, KrylovState(final.k, r_out, final.reason), None

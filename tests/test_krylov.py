@@ -185,7 +185,7 @@ class TestCGResidualReplacement:
         b_hi = jnp.asarray(b / bn)
         mv = lambda v: matvec(A32, v)
         mv_hi = lambda v: ell_spmv_f64_splitgather(A64, v)
-        return H, x_exact * bn ** 0, b, bn, b_hi, mv, mv_hi
+        return H, x_exact, b, bn, b_hi, mv, mv_hi
 
     def test_true_residual_reaches_f64_grade(self):
         from pysolvers_tpu.linear.krylov import cg_solve_rr

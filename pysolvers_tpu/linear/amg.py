@@ -404,20 +404,10 @@ def build_device_hierarchy(mlh: MLHierarchy, smoother: str = "gs",
         P_dev = _resolve(P_ref)
         R_dev = _resolve(R_ref)
         if mesh is not None and k == len(mlh.matrices) - 1:
-            from jax.sharding import NamedSharding, PartitionSpec as PS
-            from ..parallel.mesh import ROW_AXIS
-            row = NamedSharding(mesh, PS(ROW_AXIS))
-            if isinstance(A_dev, DiaMatrix):
-                A_dev = DiaMatrix(
-                    jax.device_put(A_dev.diags,
-                                   NamedSharding(mesh, PS(None, ROW_AXIS))),
-                    A_dev.offsets, A_dev.shape)
-            elif isinstance(A_dev, EllMatrix):
-                sh2 = NamedSharding(mesh, PS(ROW_AXIS, None))
-                A_dev = EllMatrix(jax.device_put(A_dev.data, sh2),
-                                  jax.device_put(A_dev.cols, sh2),
-                                  A_dev.shape, A_dev.n_cols_pad)
-            dinv = jax.device_put(dinv, row)
+            from ..parallel.mesh import row_sharding, shard_operator_rows
+            if isinstance(A_dev, (DiaMatrix, EllMatrix)):
+                A_dev = shard_operator_rows(A_dev, mesh)
+            dinv = jax.device_put(dinv, row_sharding(mesh))
         levels.append(DeviceLevel(A_dev, dinv, gs_plan, P_dev, R_dev, cheb))
     # coarse direct solve: dense inverse applied as a matvec (MXU).
     # jnp.linalg custom calls are avoided so the cycle stays portable

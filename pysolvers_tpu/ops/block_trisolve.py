@@ -116,13 +116,16 @@ def build_block_trisolve_plan(T: HostCSR, lower: bool, unit_diag: bool = False,
         rows, cols = (n - 1) - rows, (n - 1) - cols
     flip = not lower
 
+    # element-wise, not block-level: an above-diagonal entry INSIDE a
+    # diagonal block passes a block-reach check but would be silently
+    # masked by the tril mask in the doubling inverse — wrong solve
+    if (cols > rows).any():
+        raise ValueError("matrix is not (reversed-)lower triangular")
     nb = max((n + bs - 1) // bs, 1)
     npad = nb * bs
     blk_r = rows // bs
     blk_c = cols // bs
     reach = blk_r - blk_c
-    if reach.min(initial=0) < 0:
-        raise ValueError("matrix is not (reversed-)lower triangular")
     p = int(reach.max(initial=0))
     if p > max_p:
         raise ValueError(f"block reach {p} exceeds max_p={max_p}; "
@@ -137,7 +140,7 @@ def build_block_trisolve_plan(T: HostCSR, lower: bool, unit_diag: bool = False,
     # axon tunnel, and the doubling matmuls belong on the MXU anyway).
     vals, flat_idx, meta = _prep(rows, cols, vals, n, nb, bs, p)
     from .fuse import SetupItem, fused_build
-    item = SetupItem((vals, flat_idx.astype(np.int32)), _single_build,
+    item = SetupItem((vals, flat_idx), _single_build,
                      (nb, bs, p, unit_diag, jnp.dtype(dtype).name))
     ((s_hat, dinv),) = fused_build([item])
     return BlockTriSolvePlan(s_hat, dinv, n, bs, p, flip)
@@ -151,15 +154,21 @@ def _single_build(arrs, st):
 
 
 def _prep(rows, cols, vals, n, nb, bs, p):
-    """Host-side scatter-index prep; int32 indices when they fit (halves
-    the host->device index upload)."""
+    """Host-side scatter-index prep.  Every call site ships the indices
+    as int32 (halves the host->device index upload), so refuse loudly
+    when the wide array is too large for int32 instead of letting the
+    downstream .astype(np.int32) wrap silently."""
     blk_r = rows // bs
     reach = blk_r - cols // bs
     wide = (p + 1) * bs
-    flat_idx = (blk_r * bs + rows % bs) * wide + (p - reach) * bs + cols % bs
-    if nb * bs * wide < 2 ** 31:
-        flat_idx = flat_idx.astype(np.int32)
-    return vals, flat_idx, (nb, bs, p)
+    if nb * bs * wide >= 2 ** 31:
+        raise ValueError(
+            f"block plan wide array ({nb * bs * wide} elements) exceeds "
+            "int32 scatter-index range; reduce max_bytes/problem size or "
+            "use another trisolve mode")
+    flat_idx = (blk_r * bs + rows % bs) * wide + (p - reach) * bs \
+        + cols % bs
+    return vals, flat_idx.astype(np.int32), (nb, bs, p)
 
 
 def build_block_trisolve_plan_pair(T_lo: HostCSR, T_up: HostCSR,
@@ -185,11 +194,11 @@ def build_block_trisolve_plan_pair(T_lo: HostCSR, T_up: HostCSR,
         vals = vals.astype(dtype)
         if not lower:
             rows, cols = (n - 1) - rows, (n - 1) - cols
+        if (cols > rows).any():
+            raise ValueError("matrix is not (reversed-)lower triangular")
         nb = max((n + bs - 1) // bs, 1)
         blk_r = rows // bs
         reach = blk_r - cols // bs
-        if reach.min(initial=0) < 0:
-            raise ValueError("matrix is not (reversed-)lower triangular")
         p = int(reach.max(initial=0))
         if p > max_p:
             raise ValueError(f"block reach {p} exceeds max_p={max_p}")
@@ -202,7 +211,7 @@ def build_block_trisolve_plan_pair(T_lo: HostCSR, T_up: HostCSR,
     (v1, i1, n1, nb1, p1, u1, f1), (v2, i2, n2, nb2, p2, u2, f2) = preps
     m1 = len(v1)
     v_cat = np.concatenate([v1, v2])
-    i_cat = np.concatenate([i1.astype(np.int32), i2.astype(np.int32)])
+    i_cat = np.concatenate([i1, i2])
 
     from .fuse import SetupItem, fused_build
     item = SetupItem((v_cat, i_cat), _pair_builder,
@@ -262,7 +271,7 @@ def build_ic_block_trisolve_plan_pair(L: HostCSR, bs: int = 256,
     dtype_name = jnp.dtype(dtype).name
 
     from .fuse import SetupItem, fused_build
-    item = SetupItem((v, fi.astype(np.int32)), _ic_pair_builder,
+    item = SetupItem((v, fi), _ic_pair_builder,
                      (nb, bs, p, dtype_name))
 
     def assemble(out):

@@ -208,7 +208,11 @@ def matvec(A, x: jax.Array) -> jax.Array:
         # the XLA-gather fallback and the distributed all-gather format.
         return ell_spmv_xla(A, x)
     if isinstance(A, jax.Array) or hasattr(A, "ndim") and A.ndim == 2:
-        return A @ x
+        # dense operators here are AMG coarse levels / inverses — small,
+        # and their products feed preconditioner consistency, so force
+        # exact accumulation (TPU default matmul precision is bf16,
+        # measured ~4e-3 relative noise — enough to break PCG)
+        return jnp.matmul(A, x, precision=jax.lax.Precision.HIGHEST)
     raise TypeError(f"unknown matrix type {type(A)}")
 
 
@@ -223,7 +227,10 @@ def ell_spmm_xla(A: EllMatrix, X: jax.Array) -> jax.Array:
                    dtype=X.dtype)
     Xp = Xp.at[: A.n_cols].set(X[: A.n_cols])
     g = jnp.take(Xp, A.cols, axis=0)             # (n_pad, k, k_rhs)
-    return jnp.einsum("nk,nkr->nr", A.data, g)[:n]
+    # exact accumulation: SpMM feeds AMG construction products (Galerkin,
+    # prolongator smoothing) where bf16 noise breaks PCG consistency
+    return jnp.einsum("nk,nkr->nr", A.data, g,
+                      precision=jax.lax.Precision.HIGHEST)[:n]
 
 
 def dia_spmm(A: DiaMatrix, X: jax.Array) -> jax.Array:
@@ -239,4 +246,4 @@ def matmat(A, X: jax.Array) -> jax.Array:
         return dia_spmm(A, X)
     if isinstance(A, EllMatrix):
         return ell_spmm_xla(A, X)
-    return A @ X
+    return jnp.matmul(A, X, precision=jax.lax.Precision.HIGHEST)

@@ -61,37 +61,42 @@ def pad_csr_identity(H: HostCSR, n_pad: int) -> HostCSR:
 def _device_op(A_host: HostCSR, dtype, mesh):
     """Row-sharded device matrix (DIA when banded, ELL otherwise)."""
     from ..api import as_device_matrix
-    from ..sparse.device import DiaMatrix, EllMatrix
+    from .mesh import shard_operator_rows
     _, A_dev = as_device_matrix(A_host, dtype=dtype)
     if mesh is None:
         return A_dev
-    if isinstance(A_dev, DiaMatrix):
-        return DiaMatrix(
-            jax.device_put(A_dev.diags, NamedSharding(mesh, PS(None, ROW_AXIS))),
-            A_dev.offsets, A_dev.shape)
-    sh2 = NamedSharding(mesh, PS(ROW_AXIS, None))
-    return EllMatrix(jax.device_put(A_dev.data, sh2),
-                     jax.device_put(A_dev.cols, sh2),
-                     A_dev.shape, A_dev.n_cols_pad)
+    return shard_operator_rows(A_dev, mesh)
+
+
+import functools
+
+
+@functools.partial(jax.jit, static_argnames=("nc", "omega", "dtype"))
+def _setup_products(A_dev, Af_dev, dinv_f, agg_arr, *, nc, omega, dtype):
+    """One jitted setup computation: smoothed P, R, dense A_c.
+
+    Module-level jit (statics: nc/omega/dtype) so same-shaped hierarchy
+    rebuilds — e.g. per Newton step — hit the compile cache instead of
+    retracing (a per-call closure would retrace every build; measured
+    ~0.8 s per preconditioner build for the analogous block-trisolve
+    case, and remote-TPU compiles cost minutes)."""
+    P_hat = jax.nn.one_hot(agg_arr, nc, dtype=dtype)      # (n, nc)
+    P = P_hat - omega * (dinv_f[:, None] * matmat(Af_dev, P_hat))
+    AP = matmat(A_dev, P)                                  # (n, nc)
+    M = jnp.einsum("nc,nk->ck", P, AP, precision=_HI)      # Pᵀ A P
+    s = jnp.sum(P, axis=0)                                 # R row sums
+    s = jnp.where(s == 0, 1.0, s)
+    A_c = M / s[:, None]                                   # diag(1/s)·
+    R = (P / s[None, :]).T                                 # (nc, n)
+    return P, R, A_c
 
 
 def _coarsen_on_device(A_dev, Af_dev, dinv_f, agg, nc, omega, dtype):
-    """One jitted setup computation: smoothed P, R, dense A_c."""
+    return _setup_products(A_dev, Af_dev, dinv_f, jnp.asarray(agg),
+                           nc=nc, omega=float(omega), dtype=dtype)
 
-    @jax.jit
-    def setup(A_dev, Af_dev, dinv_f, agg_arr):
-        n = agg_arr.shape[0]
-        P_hat = jax.nn.one_hot(agg_arr, nc, dtype=dtype)      # (n, nc)
-        P = P_hat - omega * (dinv_f[:, None] * matmat(Af_dev, P_hat))
-        AP = matmat(A_dev, P)                                  # (n, nc)
-        M = jnp.einsum("nc,nk->ck", P, AP, precision=_HI)      # Pᵀ A P
-        s = jnp.sum(P, axis=0)                                 # R row sums
-        s = jnp.where(s == 0, 1.0, s)
-        A_c = M / s[:, None]                                   # diag(1/s)·
-        R = (P / s[None, :]).T                                 # (nc, n)
-        return P, R, A_c
 
-    return setup(A_dev, Af_dev, dinv_f, jnp.asarray(agg))
+_dense_inverse_jit = jax.jit(dense_inverse)
 
 
 def build_distributed_hierarchy(A_host: HostCSR, mesh=None, *,
@@ -112,9 +117,13 @@ def build_distributed_hierarchy(A_host: HostCSR, mesh=None, *,
                          "smoothing (GS needs triangular solves; use the "
                          "host path for GS parity)")
     if mesh is not None:
-        nd = int(np.prod([s for s in mesh.devices.shape]))
+        # pad to lcm(8, n_dev) like linear/amg.py's mesh path: DiaMatrix
+        # pads rows to a multiple of 8 internally, and the two paddings
+        # must agree for the row sharding to divide evenly
+        nd = int(mesh.devices.size)
+        q = int(np.lcm(8, nd))
         n0 = A_host.shape[0]
-        n_pad = ((n0 + nd - 1) // nd) * nd
+        n_pad = ((n0 + q - 1) // q) * q
         if n_pad != n0:
             # identity padding rows: solves on the padded system restrict
             # exactly to the original coordinates for zero-padded b
@@ -128,14 +137,22 @@ def build_distributed_hierarchy(A_host: HostCSR, mesh=None, *,
         tol = base_tol * (0.5 ** lvl)
         if A_cur_host is None:
             # coarser-than-second levels operate on the dense coarse
-            # operator; aggregation needs sparsity info — threshold the
-            # dense matrix on host (small by construction)
+            # operator; aggregation needs sparsity info — re-sparsify on
+            # host with a relative drop (the f32 device Galerkin product
+            # leaves tiny nonzero noise everywhere; without the drop the
+            # "sparse" coarse matrix is effectively dense)
             A_np = np.asarray(A_cur_dense, dtype=np.float64)
             A_cur_host = HostCSR.from_dense(
-                np.where(np.abs(A_np) > 0, A_np, 0.0))
+                A_np, tol=1e-10 * float(np.abs(A_np).max() or 1.0))
         n = A_cur_host.shape[0]
         agg = build_aggregates(A_cur_host, tol)
         nc = int(agg.max()) + 1 if n else 0
+        if nc >= n or n <= 8:
+            # coarsening stalled (every node its own aggregate) or the
+            # level is already direct-solve-sized — stop here, like the
+            # host path (build_sa_hierarchy); the current level becomes
+            # the coarsest
+            break
         if n * nc * itemsize > max_bytes:
             raise ValueError(
                 f"dense prolongator {n}x{nc} exceeds max_bytes; use the "
@@ -171,10 +188,14 @@ def build_distributed_hierarchy(A_host: HostCSR, mesh=None, *,
         A_cur_host = None
         A_cur_dense = A_c
 
-    # coarsest level
-    A_c_np = A_cur_dense
+    # coarsest level — A_cur_dense is None when the loop never produced a
+    # coarse operator (num_levels=1, or coarsening stalled at the finest
+    # level): densify the current host matrix and direct-solve it, like
+    # the host path
+    A_c_np = (A_cur_dense if A_cur_dense is not None
+              else jnp.asarray(A_cur_host.to_dense().astype(dtype)))
     if coarse_inverse == "device":
-        A0_inv = jax.jit(dense_inverse)(A_c_np.astype(dtype))
+        A0_inv = _dense_inverse_jit(A_c_np.astype(dtype))
     else:
         A0_inv = jnp.asarray(
             np.linalg.inv(np.asarray(A_c_np, dtype=np.float64))

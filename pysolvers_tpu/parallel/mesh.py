@@ -35,3 +35,21 @@ def row2d_sharding(mesh: Mesh) -> NamedSharding:
 
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
+
+
+def shard_operator_rows(A_dev, mesh: Mesh):
+    """Re-place an already-built device matrix with its rows sharded over
+    the mesh (DIA stores rows in the diags' SECOND axis; ELL in the
+    first).  Shared by linear/amg.py's mesh path and the distributed AMG
+    setup so the two layouts can't drift."""
+    from ..sparse.device import DiaMatrix, EllMatrix
+    if isinstance(A_dev, DiaMatrix):
+        return DiaMatrix(
+            jax.device_put(A_dev.diags, NamedSharding(mesh, P(None, ROW_AXIS))),
+            A_dev.offsets, A_dev.shape)
+    if isinstance(A_dev, EllMatrix):
+        sh2 = row2d_sharding(mesh)
+        return EllMatrix(jax.device_put(A_dev.data, sh2),
+                         jax.device_put(A_dev.cols, sh2),
+                         A_dev.shape, A_dev.n_cols_pad)
+    return jax.device_put(A_dev, row2d_sharding(mesh))

@@ -130,3 +130,18 @@ def test_gmres_ilut_block_converges():
     x, st, _ = gmres_solve(mv, bp, maxiter=100, tau=1e-5,
                            precond=M.apply_right)
     assert int(st.reason) == 1
+
+
+def test_inside_block_violation_raises():
+    """An above-diagonal entry INSIDE a diagonal block passes a
+    block-level reach check but corrupts the solve (silently masked by
+    the tril mask) — must raise element-wise."""
+    from pysolvers_tpu.ops.block_trisolve import build_block_trisolve_plan
+    n = 8
+    rows = np.concatenate([np.arange(n), [1]])
+    cols = np.concatenate([np.arange(n), [2]])   # (1, 2): upper, same block
+    vals = np.concatenate([np.full(n, 2.0), [0.5]])
+    T = HostCSR.from_coo(rows, cols, vals, (n, n), sum_duplicates=False)
+    import pytest
+    with pytest.raises(ValueError, match="triangular"):
+        build_block_trisolve_plan(T, lower=True, bs=4)

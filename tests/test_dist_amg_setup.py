@@ -12,6 +12,7 @@ from pysolvers_tpu.linear.krylov import cg_solve
 from pysolvers_tpu.ops.dense_inverse import dense_inverse
 from pysolvers_tpu.parallel import make_mesh
 from pysolvers_tpu.parallel.amg_setup import build_distributed_hierarchy
+from pysolvers_tpu.sparse.host import HostCSR
 from pysolvers_tpu.problems import dh_test_problem, fd_laplacian_2d
 
 
@@ -114,3 +115,28 @@ class TestDistributedAMGSetup:
         with pytest.raises(ValueError, match="max_bytes"):
             build_distributed_hierarchy(H, None, num_levels=2,
                                         dtype=np.float64, max_bytes=1024)
+
+
+class TestEdgeCases:
+    def test_single_level_direct(self):
+        """num_levels=1: no coarsening loop — the fine level direct-solves
+        (previously crashed with AttributeError on None)."""
+        H = fd_laplacian_2d(8)
+        h = build_distributed_hierarchy(H, None, num_levels=1)
+        rng = np.random.default_rng(0)
+        x_exact = rng.random(H.shape[0])
+        b = jnp.asarray(H.matvec(x_exact), dtype=jnp.float32)
+        x = h.A0_inv @ b
+        np.testing.assert_allclose(np.asarray(x), x_exact, atol=1e-3)
+
+    def test_coarsening_stall_stops(self):
+        """A diagonal matrix aggregates every node into its own singleton
+        (nc == n): the builder must stop instead of building a full-size
+        dense 'coarse' level."""
+        n = 64
+        H = HostCSR.from_coo(np.arange(n), np.arange(n),
+                             2.0 + np.arange(n) % 3, (n, n),
+                             sum_duplicates=False)
+        h = build_distributed_hierarchy(H, None, num_levels=4)
+        assert len(h.levels) <= 2
+        assert h.A0_inv.shape[0] == n    # current level became coarsest

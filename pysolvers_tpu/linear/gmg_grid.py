@@ -157,8 +157,11 @@ def build_grid_hierarchy(A: Optional[HostCSR], num_levels: int,
 
     plans = []
     for k, M in enumerate(mlh.matrices):
-        if k == 0 and n_lev > 1:
-            plans.append(None)       # coarsest: dense inverse only
+        if k == 0:
+            # coarsest: dense inverse only — also when it is the ONLY
+            # level (v_cycle_grid then just applies A0_inv; packing a
+            # DIA operator for it would upload dead weight)
+            plans.append(None)
             continue
         d = M.diagonal()
         d = np.where(d == 0, 1.0, d)

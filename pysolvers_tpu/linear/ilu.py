@@ -40,17 +40,6 @@ def _resolve_trisolve_mode(mode: str) -> str:
             else "level")
 
 
-def _block_plan(T: HostCSR, lower: bool, unit_diag: bool, dtype):
-    """Exact block-banded trisolve plan, or None if the factor doesn't
-    qualify (not banded enough / too much dense storage)."""
-    from ..ops.block_trisolve import build_block_trisolve_plan
-    try:
-        return build_block_trisolve_plan(T, lower=lower,
-                                         unit_diag=unit_diag, dtype=dtype)
-    except ValueError:
-        return None
-
-
 def _block_plan_pair(T_lo: HostCSR, T_up: HostCSR, unit_lo: bool,
                      unit_up: bool, dtype):
     """Both factor plans in ONE device dispatch (tunnel-latency saver),
@@ -63,6 +52,26 @@ def _block_plan_pair(T_lo: HostCSR, T_up: HostCSR, unit_lo: bool,
         return None
 
 
+def _degrade_from_block(requested_mode: str, what: str) -> str:
+    """Pick the fallback when the exact block-banded path doesn't apply.
+
+    An EXPLICIT trisolve_mode="block" request degrades to the exact
+    level-scheduled solve (exactness was asked for); "auto" (TPU) keeps
+    the fast approximate BWS sweeps.  Either way: warn — a silently
+    weakened preconditioner costs iterations or BREAKDOWNs that are
+    miserable to trace back."""
+    import warnings
+    if requested_mode == "block":
+        warnings.warn(f"{what}: factor not banded enough for the block "
+                      "trisolve; using exact level-scheduled solves "
+                      "(slow on TPU)", stacklevel=3)
+        return "level"
+    warnings.warn(f"{what}: factor not banded enough for the block "
+                  "trisolve; degrading to approximate Jacobi/BWS sweeps "
+                  "(pass trisolve_mode='level' for exact)", stacklevel=3)
+    return "jacobi_bws"
+
+
 def _block_pair_apply(state, v):
     """Stable apply for the (planL, planU) traced pair: M^{-1} v via two
     exact block trisolves (see Preconditioner.traced)."""
@@ -71,7 +80,7 @@ def _block_pair_apply(state, v):
     return block_trisolve(planU, block_trisolve(planL, v))
 
 
-def _bws_sweep_solver(T: HostCSR, lower: bool, unit_diag: bool,
+def _bws_sweep_solver(T: HostCSR, unit_diag: bool,
                       sweeps: int, dtype):
     """Approximate triangular solve as Jacobi sweeps whose matvec runs in
     the BWS Pallas kernel:  x_{k+1} = D^{-1}(b - N x_k), T = D + N.
@@ -299,6 +308,10 @@ class ILUTPreconditionerType(PreconditionerType):
                 L, U, unit_lo=True, unit_up=False, dtype=np.float32,
                 defer=True)
         except ValueError:
+            # keep the (expensive, sequential) factorization for the
+            # form() fallback the caller is about to take — refactoring
+            # the same matrix would double the dominant setup cost
+            self._factor_cache = (A_host, (L, U))
             return None
 
         def finish(out):
@@ -310,9 +323,15 @@ class ILUTPreconditionerType(PreconditionerType):
         return item, finish
 
     def form(self, A_host: HostCSR, A_dev=None) -> Preconditioner:
-        L, U = ilut_factor(A_host, self.drop_tol * self.DROP_CALIBRATION,
-                           self.fill_factor)
-        _check_fill(A_host, L, U, self.fill_factor, "ILUT")
+        cache = getattr(self, "_factor_cache", None)
+        if cache is not None and cache[0] is A_host:
+            L, U = cache[1]          # prep() already factored this matrix
+            self._factor_cache = None
+        else:
+            L, U = ilut_factor(A_host,
+                               self.drop_tol * self.DROP_CALIBRATION,
+                               self.fill_factor)
+            _check_fill(A_host, L, U, self.fill_factor, "ILUT")
         dtype = A_host.data.dtype
         mode = _resolve_trisolve_mode(self.trisolve_mode)
 
@@ -323,10 +342,10 @@ class ILUTPreconditionerType(PreconditionerType):
                 prec = self._wrap(lambda v: _block_pair_apply(state, v))
                 prec.traced = (_block_pair_apply, state)
                 return prec
-            mode = "jacobi_bws"     # factor not banded enough
+            mode = _degrade_from_block(self.trisolve_mode, "ILUT")
         if mode == "jacobi_bws":
-            sl = _bws_sweep_solver(L, True, True, self.sweeps, np.float32)
-            su = _bws_sweep_solver(U, False, False, self.sweeps, np.float32)
+            sl = _bws_sweep_solver(L, True, self.sweeps, np.float32)
+            su = _bws_sweep_solver(U, False, self.sweeps, np.float32)
             if sl is not None and su is not None:
                 return self._wrap(lambda v: su(sl(v)))
         # level-scheduled plans only on the paths that use them (building
@@ -382,6 +401,7 @@ class ICPreconditionerType(PreconditionerType):
                 Lc, Lc.transpose(), unit_lo=False, unit_up=False,
                 dtype=np.float32, defer=True)
         except ValueError:
+            self._factor_cache = (A_host, Lc)
             return None
 
         def finish(out):
@@ -393,31 +413,32 @@ class ICPreconditionerType(PreconditionerType):
         return item, finish
 
     def form(self, A_host: HostCSR, A_dev=None) -> Preconditioner:
-        Lc = ict_factor(A_host, self.drop_tol * self.DROP_CALIBRATION,
-                        self.fill_factor)
-        _check_fill(A_host, Lc, Lc, self.fill_factor, "IC")
+        cache = getattr(self, "_factor_cache", None)
+        if cache is not None and cache[0] is A_host:
+            Lc = cache[1]            # prep() already factored this matrix
+            self._factor_cache = None
+        else:
+            Lc = ict_factor(A_host,
+                            self.drop_tol * self.DROP_CALIBRATION,
+                            self.fill_factor)
+            _check_fill(A_host, Lc, Lc, self.fill_factor, "IC")
         dtype = A_host.data.dtype
         mode = _resolve_trisolve_mode(self.trisolve_mode)
 
         if mode == "block":
             # generic (L, Lᵀ) pair with host transpose — see prep() for
             # why the derive-Lᵀ-on-device route is avoided
-            from ..ops.block_trisolve import build_block_trisolve_plan_pair
-            try:
-                pair = build_block_trisolve_plan_pair(
-                    Lc, Lc.transpose(), unit_lo=False, unit_up=False,
-                    dtype=np.float32)
-            except ValueError:
-                pair = None
+            pair = _block_plan_pair(Lc, Lc.transpose(), False, False,
+                                    np.float32)
             if pair is not None:
                 state = pair
                 prec = self._wrap(lambda v: _block_pair_apply(state, v))
                 prec.traced = (_block_pair_apply, state)
                 return prec
-            mode = "jacobi_bws"     # factor not banded enough
+            mode = _degrade_from_block(self.trisolve_mode, "IC")
         if mode == "jacobi_bws":
-            sl = _bws_sweep_solver(Lc, True, False, self.sweeps, np.float32)
-            su = _bws_sweep_solver(Lc.transpose(), False, False,
+            sl = _bws_sweep_solver(Lc, False, self.sweeps, np.float32)
+            su = _bws_sweep_solver(Lc.transpose(), False,
                                    self.sweeps, np.float32)
             if sl is not None and su is not None:
                 return self._wrap(lambda v: su(sl(v)))

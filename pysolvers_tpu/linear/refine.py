@@ -60,8 +60,6 @@ def ir_solve(matvec_hi: Callable, matvec_lo: Callable, b: jax.Array,
                                    check_true_residual=False)
         return d, st
 
-    history0 = jnp.full((max_outer + 1,), jnp.nan, dtype=jnp.float64)
-
     def cond(c: _IRCarry):
         return c.reason == StopReason.RUNNING
 
@@ -480,15 +478,22 @@ def ir_solve_host(matvec_hi, matvec_lo, b, *, tau: float = 1e-10,
             return r, float(np.linalg.norm(r))
     else:
         b = b.astype(jnp.float64)
-        norm = lambda v: jnp.sqrt(jnp.sum(v * v))
-
-        @jax.jit
-        def residual_dev(x):
-            r = b - matvec_hi(x)
-            return r, norm(r)
+        # cache the jitted residual graph on the operator's identity —
+        # a per-call closure would retrace (seconds for Pallas-heavy
+        # graphs) on every solve; b rides as a traced argument
+        rkey = ("resid", id(matvec_hi))
+        ent = _INNER_CACHE.get(rkey)
+        if ent is not None and ent[0] is matvec_hi:
+            residual_dev = ent[1]
+        else:
+            @jax.jit
+            def residual_dev(b_, x):
+                r = b_ - matvec_hi(x)
+                return r, jnp.sqrt(jnp.sum(r * r))
+            _INNER_CACHE[rkey] = (matvec_hi, residual_dev)
 
         def residual(x):
-            r, rn = residual_dev(x)
+            r, rn = residual_dev(b, x)
             return r, float(rn)
 
         x_h = jnp.zeros_like(b)
@@ -546,7 +551,6 @@ def ir_solve_host(matvec_hi, matvec_lo, b, *, tau: float = 1e-10,
             rn_first = rn
         if rn <= tol:
             reason = StopReason.CONVERGED
-            k -= 1
             break
         if rn >= rn_prev * 0.5:
             # stalled: the f32 inner floor was reached.  If refinement
@@ -570,12 +574,14 @@ def ir_solve_host(matvec_hi, matvec_lo, b, *, tau: float = 1e-10,
             inner_total += int(packed[-1])
             x = x + scale * packed[:-1].astype(jnp.float64)
     else:
+        # loop exhausted: x changed since the last residual — measure once
         _, rn = residual(x)
         if rn <= tol:
             reason = StopReason.CONVERGED
 
-    _, rn_final = residual(x)
+    # break paths leave `rn` as the residual of the returned x; no
+    # recompute (on the device-residual path that's a full f64 matvec)
     x_out = jnp.asarray(x) if host_residual else x
     return x_out, KrylovState(jnp.int32(inner_total),
-                              jnp.float64(float(rn_final)),
+                              jnp.float64(float(rn)),
                               jnp.int32(int(reason))), None

@@ -34,7 +34,9 @@ def inv_from_coo_build(arrs, st):
     rows, cols, vals = arrs
     n, dtype_name = st
     dtype = jnp.dtype(dtype_name)
-    M = jnp.zeros((n, n), dtype=dtype).at[rows, cols].set(
+    # .add, not .set: COO semantics sum duplicate coordinates (as
+    # HostCSR.from_coo does) — .set would silently keep an arbitrary one
+    M = jnp.zeros((n, n), dtype=dtype).at[rows, cols].add(
         vals.astype(dtype))
     return dense_inverse(M)
 

@@ -207,12 +207,14 @@ def matvec(A, x: jax.Array) -> jax.Array:
         # Unstructured fast path is the BWS kernel (ops/bws_spmv.py); ELL is
         # the XLA-gather fallback and the distributed all-gather format.
         return ell_spmv_xla(A, x)
-    if isinstance(A, jax.Array) or hasattr(A, "ndim") and A.ndim == 2:
+    if isinstance(A, (jax.Array, np.ndarray)):
         # dense operators here are AMG coarse levels / inverses — small,
         # and their products feed preconditioner consistency, so force
         # exact accumulation (TPU default matmul precision is bf16,
         # measured ~4e-3 relative noise — enough to break PCG)
         return jnp.matmul(A, x, precision=jax.lax.Precision.HIGHEST)
+    if hasattr(A, "ndim") and A.ndim == 2:
+        return A @ x         # duck-typed operator (linear/operator.py)
     raise TypeError(f"unknown matrix type {type(A)}")
 
 
@@ -246,4 +248,6 @@ def matmat(A, X: jax.Array) -> jax.Array:
         return dia_spmm(A, X)
     if isinstance(A, EllMatrix):
         return ell_spmm_xla(A, X)
-    return jnp.matmul(A, X, precision=jax.lax.Precision.HIGHEST)
+    if isinstance(A, (jax.Array, np.ndarray)):
+        return jnp.matmul(A, X, precision=jax.lax.Precision.HIGHEST)
+    return A @ X             # duck-typed operator

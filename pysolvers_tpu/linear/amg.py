@@ -54,11 +54,12 @@ def strength_neighbors(A: HostCSR, tol: float):
     return rows, cols, strong
 
 
-def build_aggregates(A: HostCSR, tol: float) -> np.ndarray:
+def build_aggregates(A: HostCSR, tol: float, strength=None) -> np.ndarray:
     """Greedy 3-phase aggregation (Vaněk-style).  Returns agg id per node
-    (ids 0..n_agg-1)."""
+    (ids 0..n_agg-1).  ``strength``: optional precomputed
+    ``strength_neighbors`` result (shared with ``filtered_matrix``)."""
     n = A.shape[0]
-    rows, cols, strong = strength_neighbors(A, tol)
+    rows, cols, strong = strength or strength_neighbors(A, tol)
     keep = strong & (rows != cols)
     srows, scols = rows[keep], cols[keep]
     # adjacency lists of the strength graph
@@ -103,10 +104,11 @@ def tentative_prolongator(agg: np.ndarray, dtype=np.float64) -> HostCSR:
                             (n, n_agg), sum_duplicates=False)
 
 
-def filtered_matrix(A: HostCSR, tol: float) -> HostCSR:
+def filtered_matrix(A: HostCSR, tol: float, strength=None) -> HostCSR:
     """Drop weak off-diagonal couplings, lumping them onto the diagonal
-    (keeps row sums — the standard SA filtering)."""
-    rows, cols, strong = strength_neighbors(A, tol)
+    (keeps row sums — the standard SA filtering).  ``strength``: optional
+    precomputed ``strength_neighbors`` result."""
+    rows, cols, strong = strength or strength_neighbors(A, tol)
     vals = A.data.copy()
     # weak off-diagonals get lumped into the diagonal
     weak = (~strong) & (rows != cols)
@@ -145,9 +147,10 @@ def make_restriction(P: HostCSR, normalize: bool = True) -> HostCSR:
 
 def sa_coarsen(A: HostCSR, lvl_tol: float, omega: float = 2.0 / 3.0):
     """One SA coarsening step: returns (P, R, A_coarse)."""
-    agg = build_aggregates(A, lvl_tol)
+    strength = strength_neighbors(A, lvl_tol)   # one O(nnz) pass, shared
+    agg = build_aggregates(A, lvl_tol, strength=strength)
     P_hat = tentative_prolongator(agg, dtype=A.data.dtype)
-    A_f = filtered_matrix(A, lvl_tol)
+    A_f = filtered_matrix(A, lvl_tol, strength=strength)
     P = smooth_prolongator(A_f, P_hat, omega)
     R = make_restriction(P)
     A_c = R.matmat(A.matmat(P))
@@ -427,6 +430,8 @@ def build_device_hierarchy(mlh: MLHierarchy, smoother: str = "gs",
 def _smooth(level: DeviceLevel, smoother: str, x, f, sweeps: int):
     """sweeps applications of the level smoother to A x = f."""
     if smoother == "chebyshev":
+        if sweeps <= 0:
+            return x             # match jacobi/gs: zero sweeps = no-op
         # degree-`sweeps` Chebyshev iteration on D^{-1}A over [lmin, lmax]
         theta, delta = level.cheb
         dv = level.dinv.astype(x.dtype)
@@ -589,7 +594,16 @@ class AMGVCycleSolver(IterativeLinearSolver):
         self._solve_jit = jax.jit(full_solve)
 
     def solve(self, A, b) -> SolveStatus:
-        A_host, A_dev = self._split_matrix(A)
+        # hierarchy setup needs only the HOST matrix — don't pack/upload
+        # a device matrix this solver never applies (the V-cycle runs on
+        # the hierarchy's own level operators; a cold shaped upload costs
+        # ~0.5 s through the tunnel)
+        if isinstance(A, tuple):
+            A_host = A[0]
+        elif isinstance(A, HostCSR):
+            A_host = A
+        else:
+            A_host, _ = self._split_matrix(A)
         b = jnp.asarray(b)
         n = b.shape[0]
         self._ensure_hierarchy(A_host, b.dtype)

@@ -19,7 +19,6 @@ vectors all-reduce automatically under jit (GSPMD inserts the psum).
 from __future__ import annotations
 
 import dataclasses
-import functools
 
 import jax
 import jax.numpy as jnp
@@ -32,7 +31,7 @@ except ImportError:  # older jax
 
 from ..sparse.device import DiaMatrix, EllMatrix
 from ..sparse.host import HostCSR
-from .mesh import ROW_AXIS, make_mesh, row_sharding, row2d_sharding, replicated
+from .mesh import ROW_AXIS, row_sharding, row2d_sharding
 
 
 def _ceil_to(x: int, m: int) -> int:
@@ -80,6 +79,8 @@ def shard_dia(A_host: HostCSR, mesh: Mesh, dtype=None) -> ShardedDia:
 def dist_dia_spmv(A: ShardedDia, x: jax.Array) -> jax.Array:
     """y = A @ x with x row-sharded (length n_pad).  Jittable."""
     offsets = A.offsets
+    if len(offsets) == 0:
+        return jnp.zeros_like(x)     # zero-nnz matrix (shard_dia allows it)
     b_lo = max(0, -min(offsets))
     b_hi = max(0, max(offsets))
     mesh = A.mesh

@@ -293,9 +293,9 @@ class BwsMatrix:
                       _perm=None) -> "BwsMatrix":
         """Pack; ``group_rows`` in {8,16,32,64} (None = auto: try all, keep
         the geometry with the fewest padded slots).  ``gt`` = groups per
-        kernel tile ("auto" = pick the measured-cost minimizer — slots
-        plus per-step/per-call overheads; None = the 128-group
-        default)."""
+        kernel tile; None or "auto" = the measured-cost minimizer (slots
+        plus per-step/per-call overheads) when ``group_rows`` is auto,
+        else the 128-group default.  Pin both to force a geometry."""
         if not _device:
             return BwsMatrix._pack(H, dtype, use_rcm, group_rows,
                                    fast_select, gt, _perm, defer=False)
@@ -350,6 +350,16 @@ class BwsMatrix:
     @staticmethod
     def _pack(H: HostCSR, dtype, use_rcm, group_rows, fast_select, gt,
               _perm, defer: bool):
+        # validate BEFORE the RCM/geometry pre-pass: a wide rectangular
+        # matrix would crash _auto_geometry with a raw IndexError
+        # (iperm[cols] out of bounds) instead of this message, and an
+        # empty matrix would crash _pack's key reductions
+        if H.shape[0] != H.shape[1] and use_rcm:
+            raise ValueError("rectangular BWS packs take the given "
+                             "orderings; pass use_rcm=False")
+        if H.nnz == 0:
+            raise ValueError("cannot pack an empty (zero-nnz) matrix "
+                             "into BWS")
         if group_rows is None:
             # stats-only geometry pre-pass: pick (group_rows, gt) from
             # per-(row, block) counts without building candidate packs
@@ -365,9 +375,6 @@ class BwsMatrix:
         SLOTS = 128 // group_rows
         n = H.shape[0]
         n_cols = H.shape[1]
-        if n != n_cols and use_rcm:
-            raise ValueError("rectangular BWS packs take the given "
-                             "orderings; pass use_rcm=False")
         # ---- permutation (bandwidth reduction; square only) ----
         perm = _perm
         if perm is None and use_rcm:

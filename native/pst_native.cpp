@@ -18,6 +18,7 @@
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
+#include <cctype>
 #include <queue>
 #include <vector>
 
@@ -293,12 +294,18 @@ static void rcm_core(int64_t n, const int64_t* indptr, const int32_t* indices,
   std::vector<int64_t> order;
   order.reserve(n);
   std::vector<int64_t> frontier;
-  for (int64_t start = 0; static_cast<int64_t>(order.size()) < n; ++start) {
-    // next unvisited vertex of minimum degree
-    int64_t s = -1;
-    for (int64_t i = 0; i < n; ++i)
-      if (!seen[i] && (s == -1 || deg[i] < deg[s])) s = i;
-    if (s == -1) break;
+  // component starts in min-degree order via one upfront sort + rolling
+  // cursor — a per-component O(n) rescan makes RCM O(n * #components),
+  // quadratic on graphs that disconnect into many islands
+  std::vector<int64_t> by_deg(n);
+  for (int64_t i = 0; i < n; ++i) by_deg[i] = i;
+  std::sort(by_deg.begin(), by_deg.end(),
+            [&deg](int64_t a, int64_t b) { return deg[a] < deg[b]; });
+  size_t cursor = 0;
+  while (static_cast<int64_t>(order.size()) < n) {
+    while (cursor < by_deg.size() && seen[by_deg[cursor]]) ++cursor;
+    if (cursor >= by_deg.size()) break;
+    const int64_t s = by_deg[cursor];
     seen[s] = 1;
     order.push_back(s);
     size_t head = order.size() - 1;
@@ -329,9 +336,12 @@ void rcm(int64_t n, const int64_t* indptr, const int32_t* indices,
 // RCM of the symmetrized adjacency A + A^T, built here in O(nnz) by
 // counting-sort instead of a host CSR add (which costs two numpy
 // lexsorts — ~70 ms on DH-15, over half the whole pack-geometry pass).
-// Edges are NOT dedup'd: each symmetric edge appears twice, which scales
-// every degree uniformly (no ordering change) and only re-tests the BFS
-// `seen` flag.
+// Edges are NOT dedup'd: mutual edges (and diagonals) count twice toward
+// a node's degree while one-directional edges count once, so degree
+// tie-breaking can differ from RCM on a dedup'd A+A^T — both are valid
+// bandwidth-reducing orderings (the pack treats the permutation as an
+// input, not a canonical form); BFS correctness is unaffected (the
+// `seen` flag absorbs repeats).
 void sym_rcm(int64_t n, const int64_t* indptr, const int32_t* indices,
              int64_t* perm_out) {
   const int64_t nnz = indptr[n];
@@ -352,33 +362,56 @@ void sym_rcm(int64_t n, const int64_t* indptr, const int32_t* indices,
 
 // ---------------------------------------------------------------------------
 // MatrixMarket coordinate parser (fast path for the DH suite)
-// returns nnz read, fills caller buffers sized via mtx_count
+// returns nnz read (or a negative error -> Python fallback); caller
+// allocates rows/cols/vals with capacity ``cap`` >= header nnz
 // ---------------------------------------------------------------------------
+
+static bool read_full_line(FILE* f, char* buf, size_t cap) {
+  // fgets + drain: a line longer than the buffer (legal in comments)
+  // must not leak its tail into the next parse as a phantom line
+  if (!std::fgets(buf, cap, f)) return false;
+  if (!std::strchr(buf, '\n') && !std::feof(f)) {
+    int ch;
+    while ((ch = std::fgetc(f)) != EOF && ch != '\n') {
+    }
+  }
+  return true;
+}
 
 int64_t mtx_read(const char* path, int64_t* rows, int64_t* cols, double* vals,
                  int64_t cap, int64_t* shape_out, int32_t* symmetric_out) {
   FILE* f = std::fopen(path, "r");
   if (!f) return -1;
-  char line[512];
-  if (!std::fgets(line, sizeof line, f)) {
+  char line[4096];
+  if (!read_full_line(f, line, sizeof line)) {
     std::fclose(f);
     return -1;
   }
-  // skew-symmetric and non-real fields are handled by the Python fallback
-  if (std::strstr(line, "skew-symmetric") || std::strstr(line, "hermitian") ||
+  // banner keywords are case-insensitive per the MTX spec (the Python
+  // fallback lowercases) — normalize before matching
+  for (char* q = line; *q; ++q)
+    *q = static_cast<char>(std::tolower(static_cast<unsigned char>(*q)));
+  // only 'coordinate real/integer general|symmetric' handled here; the
+  // Python fallback raises clear errors for everything else
+  if (!std::strstr(line, "%%matrixmarket") ||
+      !std::strstr(line, "coordinate") ||
+      std::strstr(line, "skew-symmetric") || std::strstr(line, "hermitian") ||
       std::strstr(line, "complex") || std::strstr(line, "pattern")) {
     std::fclose(f);
     return -3;
   }
   *symmetric_out = std::strstr(line, "symmetric") != nullptr;
   do {
-    if (!std::fgets(line, sizeof line, f)) {
+    if (!read_full_line(f, line, sizeof line)) {
       std::fclose(f);
       return -1;
     }
   } while (line[0] == '%');
   long long n = 0, m = 0, nnz = 0;
-  std::sscanf(line, "%lld %lld %lld", &n, &m, &nnz);
+  if (std::sscanf(line, "%lld %lld %lld", &n, &m, &nnz) != 3) {
+    std::fclose(f);
+    return -3;
+  }
   shape_out[0] = n;
   shape_out[1] = m;
   if (nnz > cap) {
@@ -386,7 +419,7 @@ int64_t mtx_read(const char* path, int64_t* rows, int64_t* cols, double* vals,
     return -2;
   }
   int64_t got = 0;
-  while (got < nnz && std::fgets(line, sizeof line, f)) {
+  while (got < nnz && read_full_line(f, line, sizeof line)) {
     long long r, c;
     double v = 1.0;
     const int k = std::sscanf(line, "%lld %lld %lf", &r, &c, &v);
@@ -397,6 +430,9 @@ int64_t mtx_read(const char* path, int64_t* rows, int64_t* cols, double* vals,
     ++got;
   }
   std::fclose(f);
+  // a truncated/corrupt file must fail loudly (Python fallback path),
+  // not hand the solver a partial operator
+  if (got != nnz) return -4;
   return got;
 }
 

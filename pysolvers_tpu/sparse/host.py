@@ -171,7 +171,8 @@ class HostCSR:
         if res is not None:
             indptr, indices, data = res
             return HostCSR(indptr, indices,
-                           data.astype(np.result_type(self.data, other.data)),
+                           data.astype(np.result_type(self.data, other.data),
+                                       copy=False),
                            (self.n_rows, other.n_cols))
         n = self.n_rows
         out_indptr = np.zeros(n + 1, dtype=np.int64)

@@ -15,6 +15,20 @@ import numpy as np
 from .host import HostCSR
 
 
+def _header_nnz(path: str):
+    """nnz from the MTX size line (first non-comment line), or None."""
+    with open(path, "r", errors="replace") as f:
+        first = f.readline()
+        if not first.lower().startswith("%%matrixmarket"):
+            return None
+        for line in f:
+            if line.startswith("%"):
+                continue
+            parts = line.split()
+            return int(parts[2]) if len(parts) >= 3 else None
+    return None
+
+
 def read_mtx(path: str) -> HostCSR:
     """Read a MatrixMarket coordinate file into a HostCSR.
 
@@ -23,8 +37,10 @@ def read_mtx(path: str) -> HostCSR:
     skew symmetry)."""
     from ..utils import native
     try:
-        cap = max(os.path.getsize(path) // 8, 16)
-        res = native.mtx_read(path, cap)
+        # size buffers from the header's nnz, not the file size (a
+        # filesize//8 cap allocated ~3x the file size in RAM up front)
+        nnz = _header_nnz(path)
+        res = native.mtx_read(path, nnz + 1) if nnz is not None else None
     except Exception:
         res = None
     if res is not None:
@@ -34,8 +50,11 @@ def read_mtx(path: str) -> HostCSR:
             rows, cols, vals = (np.concatenate([rows, cols[off]]),
                                 np.concatenate([cols, rows[off]]),
                                 np.concatenate([vals, vals[off]]))
+        # sum duplicates like scipy.mmread: nonconforming files that list
+        # an entry twice must not leave repeated columns in a row (the
+        # factorizations assign, not accumulate, per column)
         return HostCSR.from_coo(rows, cols, vals, shape,
-                                sum_duplicates=False)
+                                sum_duplicates=True)
     with open(path, "r") as f:
         header = f.readline().strip().lower().split()
         if len(header) < 5 or header[0] != "%%matrixmarket":
@@ -51,6 +70,10 @@ def read_mtx(path: str) -> HostCSR:
             line = f.readline()
         n, m, nnz = (int(t) for t in line.split())
         body = np.loadtxt(f, dtype=np.float64, ndmin=2, max_rows=nnz)
+    n_read = len(body) if body.size else 0
+    if n_read != nnz:
+        raise ValueError(f"{path}: truncated file — header promises "
+                         f"{nnz} entries, found {n_read}")
     if body.size == 0:
         rows = np.empty(0, np.int64)
         cols = np.empty(0, np.int64)

@@ -29,8 +29,14 @@ def _build() -> Optional[str]:
     if not os.path.exists(src):
         return None
     try:
+        # compile to a temp name + atomic rename: concurrent builders
+        # (pytest-xdist, shared storage) must never interleave writes
+        # into the final .so — a corrupt file with a fresh mtime would
+        # suppress every future rebuild
+        tmp = f"{so}.build.{os.getpid()}"
         subprocess.run(["g++", "-O3", "-std=c++17", "-shared", "-fPIC",
-                        "-o", so, src], check=True, capture_output=True)
+                        "-o", tmp, src], check=True, capture_output=True)
+        os.replace(tmp, so)
         return so
     except Exception:
         return os.path.exists(so) and so or None

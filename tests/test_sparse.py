@@ -131,6 +131,51 @@ class TestMtxIO:
         np.testing.assert_allclose(read_mtx(p).to_dense(), S.toarray(),
                                    atol=1e-14)
 
+    def test_array_format_rejected_not_silent(self, tmp_path):
+        """A dense 'array' MTX must raise (fallback path), not be parsed
+        by the native fast path as an empty coordinate matrix."""
+        import pytest
+        p = str(tmp_path / "a.mtx")
+        with open(p, "w") as f:
+            f.write("%%MatrixMarket matrix array real general\n"
+                    "2 2\n1.0\n2.0\n3.0\n4.0\n")
+        with pytest.raises(NotImplementedError):
+            read_mtx(p)
+
+    def test_capitalized_symmetric_banner(self, tmp_path):
+        """Banner keywords are case-insensitive per the MTX spec: a
+        'Symmetric' banner must still expand the stored triangle."""
+        p = str(tmp_path / "s.mtx")
+        with open(p, "w") as f:
+            f.write("%%MatrixMarket Matrix Coordinate Real Symmetric\n"
+                    "2 2 3\n1 1 2.0\n2 1 -1.0\n2 2 2.0\n")
+        H = read_mtx(p)
+        np.testing.assert_allclose(H.to_dense(),
+                                   [[2.0, -1.0], [-1.0, 2.0]])
+
+    def test_truncated_file_fails_loudly(self, tmp_path):
+        """A file whose data section is shorter than the header's nnz must
+        raise, not hand the solver a partial operator."""
+        import pytest
+        p = str(tmp_path / "t.mtx")
+        with open(p, "w") as f:
+            f.write("%%MatrixMarket matrix coordinate real general\n"
+                    "3 3 5\n1 1 1.0\n2 2 1.0\n")
+        with pytest.raises(Exception):
+            read_mtx(p)
+
+    def test_duplicate_entries_summed(self, tmp_path):
+        """scipy.mmread sums duplicate coordinates; so do we (repeated
+        columns in a row would corrupt the factorizations, which assign
+        per column rather than accumulate)."""
+        p = str(tmp_path / "d.mtx")
+        with open(p, "w") as f:
+            f.write("%%MatrixMarket matrix coordinate real general\n"
+                    "2 2 3\n1 1 1.5\n1 1 2.5\n2 2 1.0\n")
+        H = read_mtx(p)
+        np.testing.assert_allclose(H.to_dense(), [[4.0, 0.0], [0.0, 1.0]])
+        assert H.nnz == 2
+
 
 class TestSpMM:
     def test_ell_spmm_matches_loop(self):

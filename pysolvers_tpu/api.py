@@ -224,7 +224,8 @@ class IterativeLinearSolver(LinearSolver):
         return ms
 
     def _mesh_inner_jit(self, ms, tag: str, method: str, restart, orthog,
-                        check_true_residual: bool = True):
+                        check_true_residual: bool = True,
+                        flexible: bool = False):
         """One jitted sharded solve (cached on ``_<tag>_jit``): the SAME
         solver core as single-device, with GSPMD inserting the psums for
         the sharded dots/norms.  Forms the preconditioner from the state's
@@ -236,10 +237,10 @@ class IterativeLinearSolver(LinearSolver):
         if getattr(self, f"_{tag}_prec_src", None) is not prec:
             setattr(self, f"_{tag}_prec_src", prec)
             setattr(self, f"_{tag}_papply",
-                    None if prec.is_identity else prec.apply_right)
+                    None if prec.is_identity else prec.apply_any)
         papply = getattr(self, f"_{tag}_papply")
         control = self.control
-        key = (method, restart, orthog, id(prec))
+        key = (method, restart, orthog, flexible, id(prec))
         if getattr(self, f"_{tag}_jit", None) is None or \
                 getattr(self, f"_{tag}_jit_key", None) != key:
             dist_mv = ms["mv"]
@@ -251,7 +252,7 @@ class IterativeLinearSolver(LinearSolver):
                                precond=papply, norm_fn=control.norm_fn())
                 return _gm(mv, bv, maxiter=control.maxiter, tau=tau,
                            precond=papply, restart=restart,
-                           orthog=orthog,
+                           orthog=orthog, flexible=flexible,
                            check_true_residual=check_true_residual,
                            norm_fn=control.norm_fn())
 
@@ -260,13 +261,15 @@ class IterativeLinearSolver(LinearSolver):
         return getattr(self, f"_{tag}_jit")
 
     def _solve_mesh(self, A, b, method: str, restart=None,
-                    orthog: str = "mgs") -> SolveStatus:
+                    orthog: str = "mgs",
+                    flexible: bool = False) -> SolveStatus:
         A_host = A[0] if isinstance(A, tuple) else A
         if not isinstance(A_host, HostCSR):
             raise TypeError("mesh= solves take a HostCSR matrix "
                             "(row partitioning happens at setup)")
         ms = self._mesh_setup(A_host, "mesh")
-        run = self._mesh_inner_jit(ms, "mesh", method, restart, orthog)
+        run = self._mesh_inner_jit(ms, "mesh", method, restart, orthog,
+                                   flexible=flexible)
         n = A_host.shape[0]
         b_pad = ms["pad"](ms["A"], np.asarray(b))
         x, st, hist = run(ms["A"], b_pad, self._effective_tau())
@@ -284,6 +287,12 @@ class IterativeLinearSolver(LinearSolver):
     def _solve_mesh_mixed(self, A, b, method: str, restart=None,
                           orthog: str = "mgs") -> SolveStatus:
         from .linear.krylov import KrylovState
+
+        if self.control.norm != "2":
+            raise ValueError(
+                "precision='mixed' tests convergence in the 2-norm (the "
+                "refinement machinery's scaling analysis relies on it); "
+                f"norm={self.control.norm!r} is not supported there")
 
         A_host = A[0] if isinstance(A, tuple) else A
         if not isinstance(A_host, HostCSR):
@@ -344,6 +353,19 @@ class IterativeLinearSolver(LinearSolver):
         from .linear.refine import ir_solve_host
         from .sparse.bws import BwsMatrix
 
+        if self.control.norm != "2":
+            raise ValueError(
+                "precision='mixed' tests convergence in the 2-norm (the "
+                "refinement machinery's scaling analysis relies on it); "
+                f"norm={self.control.norm!r} is not supported there")
+        if method == "gmres" and (getattr(self, "flexible", False)
+                                  or getattr(self, "orthog", "mgs")
+                                  != "mgs"):
+            import warnings
+            warnings.warn("flexible/orthog GMRES options do not apply to "
+                          "the mixed-precision refinement's inner solves "
+                          "(MGS GMRES corrections)", stacklevel=2)
+
         A_host, A_dev = self._split_matrix(A)
         if self.matrix_frozen() and getattr(self, "_mx", None) is not None:
             mx = self._mx
@@ -402,13 +424,12 @@ class IterativeLinearSolver(LinearSolver):
             Hp64 = None
             A64 = None
             if A_host is not None:
-                if perm is None:
-                    Hp = A_host
-                else:
-                    ip = np.asarray(A32.iperm)
-                    rows, cols, vals = A_host.to_coo()
-                    Hp = HostCSR.from_coo(ip[rows], ip[cols], vals,
-                                          A_host.shape)
+                # every branch reaching here leaves perm=None (the BWS
+                # branch, the only one that permutes, returned above) —
+                # and a device fetch of A32.iperm here would reintroduce
+                # the documented 20-660 s tunnel stall
+                assert perm is None
+                Hp = A_host
                 mv_hi = Hp.matvec
                 Hp32 = HostCSR(Hp.indptr, Hp.indices,
                                Hp.data.astype(np.float32), Hp.shape)
@@ -454,7 +475,7 @@ class IterativeLinearSolver(LinearSolver):
             # prec.apply_right makes a FRESH bound method each access —
             # pin one so the inner-jit cache key stays stable
             self._mx_prec_src = prec
-            self._mx_papply = None if prec.is_identity else prec.apply_right
+            self._mx_papply = None if prec.is_identity else prec.apply_any
 
         perm = mx["perm"]
         b_h = np.asarray(b, dtype=np.float64)
@@ -558,7 +579,7 @@ class PCGSolver(IterativeLinearSolver):
                 or self._jit_passable != passable
                 or (not passable and self._jit_op is not A_dev)):
             control = self.control
-            papply = None if prec.is_identity else prec.apply_right
+            papply = None if prec.is_identity else prec.apply_any
 
             if passable:
                 def _solve(A_dev, b, tau):
@@ -630,7 +651,8 @@ class GMRESSolver(IterativeLinearSolver):
                                               restart=self.restart or 60,
                                               orthog=self.orthog)
             return self._solve_mesh(A, b, "gmres", restart=self.restart,
-                                    orthog=self.orthog)
+                                    orthog=self.orthog,
+                                    flexible=self.flexible)
         if getattr(self, "precision", "native") == "mixed":
             return self._solve_mixed(A, b, "gmres",
                                      restart=self.restart or 60)
@@ -646,7 +668,11 @@ class GMRESSolver(IterativeLinearSolver):
             restart = self.restart
             orthog = self.orthog
             flexible = self.flexible
-            left = prec.left
+            # generic (side="both") = ONE apply usable either side — the
+            # reference's GenericPreconditioner; GMRES uses it as a RIGHT
+            # preconditioner (GMRESSolver.py:107).  Applying it on both
+            # sides would double the cost and solve M⁻¹AM⁻¹ instead.
+            left = None if prec.generic else prec.left
             right = prec.right
 
             op_capture = None if passable else A_dev

@@ -36,12 +36,25 @@ class Preconditioner:
     # re-formed same-structure preconditioner (Newton steps) reuses the
     # compiled solve graph instead of retracing (refine._cached_inner_pair)
     traced: Optional[tuple] = None
+    # generic = ONE apply usable on either side (the reference's
+    # GenericPreconditioner, Preconditioner.py:20-36) — left and right
+    # hold the SAME function and a solver must apply it exactly ONCE per
+    # iteration, not on both sides
+    generic: bool = False
 
     def apply_left(self, v):
         return v if self.left is None else self.left(v)
 
     def apply_right(self, v):
         return v if self.right is None else self.right(v)
+
+    def apply_any(self, v):
+        """The single effective application, for solvers that apply M⁻¹
+        once per iteration regardless of the configured side (CG's
+        u = M⁻¹r; the distributed/mixed routes).  A left-only
+        preconditioner must not silently become an identity there."""
+        f = self.right if self.right is not None else self.left
+        return v if f is None else f(v)
 
     @property
     def is_identity(self):
@@ -67,7 +80,7 @@ class PreconditionerType:
             return Preconditioner(left=apply)
         if self.side == "right":
             return Preconditioner(right=apply)
-        return Preconditioner(left=apply, right=apply)
+        return Preconditioner(left=apply, right=apply, generic=True)
 
 
 class IdentityPreconditionerType(PreconditionerType):

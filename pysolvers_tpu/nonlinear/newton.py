@@ -110,8 +110,9 @@ class NewtonSolver:
                 p = status.soln
                 if use_np:
                     # keep the update in numpy at x's dtype (mixing a jax
-                    # array in would silently downcast longdouble to f64)
-                    p = np.asarray(p, dtype=np.float64)
+                    # array in would silently downcast longdouble to f64;
+                    # a hard-coded f64 would silently PROMOTE f32)
+                    p = np.asarray(p, dtype=x.dtype)
                 x, F, norm_f, ok = self.linesearch.search(
                     x, norm_f, p, func, norm_fn)
                 history.append(norm_f)

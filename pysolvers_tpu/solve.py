@@ -8,6 +8,13 @@ the full-control surface).  Heuristics:
 * small systems (n <= 500) → direct dense solve;
 * preconditioner "auto": AMG for large SPD systems, IC(t) for medium SPD,
   ILUT for nonsymmetric, none for tiny systems.
+
+``precision="mixed"`` routes through the SAME factory machinery as
+``PCG/GMRES(..., precision="mixed")`` (api._solve_mixed — dd-chain
+refinement, fused one-dispatch setup); a small cache keyed on the matrix
+identity AND a fingerprint of its values keeps the packed operator and
+formed preconditioner across repeat solves without ever serving a stale
+operator after in-place value updates.
 """
 from __future__ import annotations
 
@@ -31,6 +38,32 @@ def _is_symmetric(A: HostCSR, rtol: float = 1e-10) -> bool:
         return False
     denom = np.abs(A.data).max() if A.nnz else 1.0
     return float(np.abs(A.data - At.data).max()) <= rtol * max(denom, 1e-300)
+
+
+_PRECONDS = ("auto", "none", "ic", "ilut", "amg", "jacobi")
+
+
+def _precond_type(precond: str, method: str, n: int):
+    """Resolve a precond name to a PreconditionerType (or None).  Unknown
+    names raise — a typo must not silently run unpreconditioned."""
+    if precond not in _PRECONDS:
+        raise ValueError(f"unknown precond {precond!r}; "
+                         f"expected one of {_PRECONDS}")
+    if precond == "auto":
+        if method == "cg":
+            precond = "amg" if n >= 20_000 else "ic"
+        else:
+            precond = "ilut"
+    if precond == "none":
+        return None
+    if precond == "ic":
+        return ICPreconditionerType()
+    if precond == "ilut":
+        return ILUTPreconditionerType()
+    if precond == "amg":
+        return AMGPreconditionerType(num_iters=2, num_levels=2)
+    from .linear.preconditioner import JacobiPreconditionerType
+    return JacobiPreconditionerType()
 
 
 def solve(A, b, *, tau: float = 1e-8, maxiter: int = 1000,
@@ -57,149 +90,64 @@ def solve(A, b, *, tau: float = 1e-8, maxiter: int = 1000,
     if precision not in ("native", "mixed"):
         raise ValueError(f"precision must be 'native' or 'mixed', "
                          f"got {precision!r}")
-    sym = _is_symmetric(A)
     if method == "auto":
         if n <= 500:
             method = "direct"
         else:
-            method = "cg" if sym else "gmres"
+            method = "cg" if _is_symmetric(A) else "gmres"
 
     if method == "direct":
         return DefaultDirect().make_solver().solve(A, b)
+    if method not in ("cg", "gmres"):
+        raise ValueError(f"unknown method {method!r}")
+
+    prec_type = _precond_type(precond, method, n)
+    gm_kwargs = {k: v for k, v in solver_kwargs.items()
+                 if k in ("restart", "flexible", "orthog")}
 
     if precision == "mixed":
-        return _solve_mixed(A, b, tau=tau, maxiter=maxiter, method=method,
-                            precond=precond,
-                            restart=solver_kwargs.get("restart"))
-
-    if precond == "auto":
-        if method == "cg":
-            precond = "amg" if n >= 20_000 else "ic"
-        else:
-            precond = "ilut"
-    prec_type = {
-        "none": None,
-        "ic": ICPreconditionerType(),
-        "ilut": ILUTPreconditionerType(),
-        "amg": AMGPreconditionerType(num_iters=2, num_levels=2),
-        "jacobi": None,
-    }.get(precond, None)
-    if precond == "jacobi":
-        from .linear.preconditioner import JacobiPreconditionerType
-        prec_type = JacobiPreconditionerType()
+        return _cached_mixed_solver(
+            A, method, precond, tau, maxiter,
+            gm_kwargs.get("restart"), prec_type).solve(A, b)
 
     control = CommonSolverArgs(maxiter=maxiter, tau=tau)
     if method == "cg":
         factory = PCG(control, precond=prec_type)
-    elif method == "gmres":
-        factory = GMRES(control, precond=prec_type, **{
-            k: v for k, v in solver_kwargs.items()
-            if k in ("restart", "flexible", "orthog")})
     else:
-        raise ValueError(f"unknown method {method!r}")
+        factory = GMRES(control, precond=prec_type, **gm_kwargs)
     return factory.make_solver().solve(A, b)
 
 
-# --- mixed-precision route -------------------------------------------------
-# per-matrix packed state: BWS/DIA f32 operator + formed preconditioner +
-# STABLE callables (refine._cached_inner keys its jit on their identity —
-# fresh lambdas per call would re-trace the Pallas-heavy graph each solve)
+# --- mixed-precision solver cache ------------------------------------------
+# The factory's mixed route caches packed operators / formed
+# preconditioners / compiled inner graphs on the SOLVER object while the
+# matrix is frozen; this front end keeps solvers across calls so repeat
+# solves of the same system don't re-pack.  The key carries a fingerprint
+# of the value array: mutating A.data in place and re-solving must rebuild
+# (identity alone would serve the OLD operator and report convergence
+# against a system the caller no longer has).
 _MIXED_CACHE: dict = {}
 
 
-def _mixed_state(A: HostCSR, method: str, precond: str, restart):
-    key = (id(A), method, precond, restart)
+def _cached_mixed_solver(A: HostCSR, method: str, precond: str,
+                         tau: float, maxiter: int, restart,
+                         prec_type):
+    fp = hash(A.data.tobytes())
+    key = (id(A), fp, method, precond, tau, maxiter, restart)
     ent = _MIXED_CACHE.get(key)
-    if ent is not None and ent["A"] is A:
-        return ent
-
-    from .ops import matvec as _matvec
-    from .sparse.device import DiaMatrix
-
-    if DiaMatrix.is_profitable(A):
-        dev = DiaMatrix.from_host_csr(A, dtype=np.float32)
-        perm = None
-        Hp = A
-        mv_lo = lambda v: _matvec(dev, v)
+    if ent is not None and ent[0] is A:
+        return ent[1]
+    control = CommonSolverArgs(maxiter=maxiter, tau=tau)
+    if method == "cg":
+        factory = PCG(control, precond=prec_type, precision="mixed")
     else:
-        from .sparse.bws import BwsMatrix
-        from .ops.bws_spmv import bws_spmv
-        from .ops.fuse import fused_build
-        # host_pack keeps the permutation host-side (a device fetch of
-        # dev.perm/iperm intermittently stalls on remote tunnels)
-        item, assemble, perm = BwsMatrix.host_pack(A, dtype=np.float32)
-        (out,) = fused_build([item])
-        dev = assemble(out)
-        perm = np.asarray(perm)
-        Hp = A.permute_symmetric(perm)
-        mv_lo = lambda v: bws_spmv(dev, v)
-
-    if precond == "auto":
-        precond = "ic" if method == "cg" else "ilut"
-    Hp32 = HostCSR(Hp.indptr, Hp.indices, Hp.data.astype(np.float32),
-                   Hp.shape)
-    M = None
-    prec_fn = None
-    if precond == "ic":
-        M = ICPreconditionerType().form(Hp32)
-    elif precond == "ilut":
-        M = ILUTPreconditionerType().form(Hp32)
-    elif precond == "jacobi":
-        from .linear.preconditioner import JacobiPreconditionerType
-        M = JacobiPreconditionerType().form(Hp32)
-    elif precond == "amg":
-        # hierarchy built on the (permuted) system so the inner matvec
-        # and the preconditioner agree on the ordering
-        from .linear.amg import build_sa_hierarchy, build_device_hierarchy
-        from .linear.amg import v_cycle
-        import jax.numpy as jnp
-        mlh = build_sa_hierarchy(Hp, num_levels=2)
-        # BWS-format levels/transfers on TPU backends (Pallas matvecs);
-        # gather formats elsewhere
-        import jax
-        fmt = ("bws" if jax.default_backend() in ("tpu", "axon")
-               else "auto")
-        hier = build_device_hierarchy(mlh, smoother="jacobi", nu_pre=2,
-                                      nu_post=2, dtype=np.float32,
-                                      matrix_format=fmt)
-
-        def prec_fn(r):
-            x = jnp.zeros_like(r)
-            for _ in range(2):
-                x = v_cycle(hier, r, x)
-            return x
-    if M is not None:
-        prec_fn = lambda v: M.apply_right(v)
-    mv_hi = lambda v: Hp.matvec(v)
-
-    iperm_h = None
-    if perm is not None:
-        iperm_h = np.empty(len(perm), dtype=np.int64)
-        iperm_h[perm] = np.arange(len(perm))
-    ent = dict(A=A, dev=dev, perm=perm, iperm_h=iperm_h, mv_lo=mv_lo,
-               mv_hi=mv_hi, prec=prec_fn, M=M)
+        factory = GMRES(control, precond=prec_type, precision="mixed",
+                        restart=restart)
+    s = factory.make_solver()
+    # matrix state may be cached across solves — the value fingerprint in
+    # the key is what makes this safe
+    s.freeze_matrix()
     if len(_MIXED_CACHE) > 8:
         _MIXED_CACHE.pop(next(iter(_MIXED_CACHE)))
-    _MIXED_CACHE[key] = ent
-    return ent
-
-
-def _solve_mixed(A: HostCSR, b, *, tau, maxiter, method, precond,
-                 restart=None) -> SolveStatus:
-    from .core import make_status, SolverConfig
-    from .linear.refine import ir_solve_host
-
-    st8 = _mixed_state(A, method, precond, restart)
-    perm = st8["perm"]
-    bp = (b if perm is None else b[perm]).astype(np.float64)
-    if method == "gmres" and restart is None:
-        restart = 60
-    x, st, _ = ir_solve_host(st8["mv_hi"], st8["mv_lo"], bp, tau=tau,
-                             inner_tau=1e-6, inner_maxiter=maxiter,
-                             method=method, restart=restart,
-                             precond_lo=st8["prec"], host_residual=True)
-    xh = np.asarray(x)
-    if perm is not None:
-        xh = xh[st8["iperm_h"]]
-    control = SolverConfig(maxiter=maxiter, tau=tau)
-    return make_status(xh, st, control)
+    _MIXED_CACHE[key] = (A, s)
+    return s

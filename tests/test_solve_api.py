@@ -85,3 +85,77 @@ class TestMixedPrecision:
         H, _, b = dh_test_problem(10)
         with pytest.raises(ValueError, match="precision"):
             pst.solve(H, b, precision="mxied")
+
+
+class TestFrontEndGuards:
+    def test_unknown_precond_raises(self):
+        import pytest
+        from pysolvers_tpu.problems import dh_test_problem
+        from pysolvers_tpu.solve import solve
+        H, _, b = dh_test_problem(6)
+        with pytest.raises(ValueError, match="unknown precond"):
+            solve(H, b, method="cg", precond="ichol")
+
+    def test_mixed_cache_not_stale_after_value_update(self):
+        """Mutating A.data in place and re-solving must NOT serve the old
+        packed operator: the answer has to solve the CURRENT system."""
+        import numpy as np
+        from pysolvers_tpu.problems import dh_test_problem
+        from pysolvers_tpu.solve import solve
+        H, x_exact, b = dh_test_problem(8)
+        st1 = solve(H, b, tau=1e-10, method="cg", precond="none",
+                    precision="mixed", maxiter=4000)
+        assert st1.success
+        H.data *= 2.0            # same structure/object, new values
+        st2 = solve(H, H.matvec(x_exact), tau=1e-10, method="cg",
+                    precond="none", precision="mixed", maxiter=4000)
+        assert st2.success
+        err = np.linalg.norm(np.asarray(st2.soln) - x_exact)
+        assert err <= 1e-6
+        H.data *= 0.5            # restore for other tests
+
+    def test_mixed_rejects_non_2norm(self):
+        import pytest
+        from pysolvers_tpu.api import CommonSolverArgs, PCG
+        from pysolvers_tpu.problems import dh_test_problem
+        H, _, b = dh_test_problem(6)
+        s = PCG(CommonSolverArgs(norm="inf"),
+                precision="mixed").make_solver()
+        with pytest.raises(ValueError, match="2-norm"):
+            s.solve(H, b)
+
+
+class TestLeftPreconditioner:
+    def test_pcg_left_ilut_is_applied(self):
+        """A left-side preconditioner must accelerate PCG (it used to be
+        silently dropped, running unpreconditioned)."""
+        from pysolvers_tpu.api import CommonSolverArgs, PCG
+        from pysolvers_tpu.linear.ilu import ICPreconditionerType
+        from pysolvers_tpu.problems import dh_test_problem
+        H, x_exact, b = dh_test_problem(10)
+        ctl = CommonSolverArgs(maxiter=800, tau=1e-10)
+        st_plain = PCG(ctl).make_solver().solve(H, b)
+        st_left = PCG(ctl, precond=ICPreconditionerType(side="left")) \
+            .make_solver().solve(H, b)
+        assert st_left.success
+        assert st_left.iters < st_plain.iters * 0.5
+        import numpy as np
+        assert np.linalg.norm(np.asarray(st_left.soln) - x_exact) <= 1e-6
+
+    def test_gmres_generic_equals_right_side(self):
+        """A generic (side='both') preconditioner is ONE apply usable on
+        either side; GMRES must right-precondition with it once per
+        iteration — identical to the explicit right-side variant (it used
+        to apply it on BOTH sides: double cost, different system)."""
+        from pysolvers_tpu.api import CommonSolverArgs, GMRES
+        from pysolvers_tpu.linear.preconditioner import \
+            JacobiPreconditionerType
+        from pysolvers_tpu.problems import dh_test_problem
+        H, _, b = dh_test_problem(9)
+        ctl = CommonSolverArgs(maxiter=400, tau=1e-10)
+        st_b = GMRES(ctl, precond=JacobiPreconditionerType(side="both")) \
+            .make_solver().solve(H, b)
+        st_r = GMRES(ctl, precond=JacobiPreconditionerType(side="right")) \
+            .make_solver().solve(H, b)
+        assert st_b.success and st_r.success
+        assert st_b.iters == st_r.iters

@@ -163,6 +163,11 @@ class GMGVCycleSolver(AMGVCycleSolver):
         strided-slice transfers, the TPU-native path for uniform grids."""
         if self.typ.matrix_format != "grid":
             return super()._build_device(mlh, dtype)
+        if getattr(self.typ, "mesh", None) is not None:
+            raise ValueError(
+                "matrix_format='grid' has no distributed executor yet — "
+                "a mesh= request would silently run single-device; use "
+                "the sparse formats (matrix_format='auto') with mesh=")
         from .gmg_grid import build_grid_hierarchy
         import numpy as _np
         return build_grid_hierarchy(

@@ -26,6 +26,10 @@ import jax.numpy as jnp
 
 from ..core import SolverConfig, StopReason
 
+# exact matmul accumulation — the TPU default is bf16, which is ~4e-3
+# relative noise on basis projections / solution formation
+_HI = jax.lax.Precision.HIGHEST
+
 
 class KrylovState(NamedTuple):
     k: jax.Array          # iteration count (int32)
@@ -369,8 +373,9 @@ def _apply_givens_seq(Hcol, cs, k):
 
 def _givens_coeffs(a, b):
     """Coefficients (c, s) zeroing b in [a; b] — reference Givens.py:7-12,
-    computed with the hypot-stable formulation."""
-    r = jnp.sqrt(a * a + b * b)
+    computed with the hypot-stable formulation (a*a would already
+    overflow f32 at |a| ~ 1.8e19; hypot scales internally)."""
+    r = jnp.hypot(a, b)
     safe = r > 0
     c = jnp.where(safe, a / jnp.where(safe, r, 1.0), 1.0)
     s = jnp.where(safe, b / jnp.where(safe, r, 1.0), 0.0)
@@ -445,11 +450,14 @@ def gmres_solve(matvec: Callable, b: jax.Array, x0: Optional[jax.Array] = None,
             yj = jnp.where(active, s / jnp.where(c.H[j, j] != 0, c.H[j, j], 1.0), 0.0)
             return y.at[j].set(yj)
         y = jax.lax.fori_loop(0, m, bs_body, jnp.zeros((m,), dtype=dtype))
+        # HIGHEST precision: forming x from the basis at TPU's default
+        # bf16 matmul precision caps the attainable true residual and
+        # trips TRUE_RESID_MISMATCH at tolerances mgs reaches fine
         if flexible:
             # FGMRES: x = x0 + Z y (Z already preconditioned)
-            return c.x + jnp.einsum("kn,k->n", c.Z, y)
+            return c.x + jnp.einsum("kn,k->n", c.Z, y, precision=_HI)
         # right-preconditioned GMRES: x = x0 + M⁻¹(Q y)
-        z = jnp.einsum("kn,k->n", c.Q[:m], y)
+        z = jnp.einsum("kn,k->n", c.Q[:m], y, precision=_HI)
         return c.x + M(z)
 
     def cond(c: _GMRESCarry):
@@ -463,11 +471,13 @@ def gmres_solve(matvec: Callable, b: jax.Array, x0: Optional[jax.Array] = None,
         u = matvec(zk)
         if orthog == "cgs2":
             # classical GS with one reorthogonalization pass; rows > k of Q
-            # are zero so no masking is needed in the products
-            h1 = c.Q @ u
-            u = u - h1 @ c.Q
-            h2 = c.Q @ u
-            u = u - h2 @ c.Q
+            # are zero so no masking is needed in the products.  HIGHEST
+            # precision: bf16 projections lose ~8 mantissa bits per
+            # product and the claimed MGS-grade orthogonality with them
+            h1 = jnp.matmul(c.Q, u, precision=_HI)
+            u = u - jnp.matmul(h1, c.Q, precision=_HI)
+            h2 = jnp.matmul(c.Q, u, precision=_HI)
+            u = u - jnp.matmul(h2, c.Q, precision=_HI)
             hcol = h1 + h2
         else:
             # modified Gram-Schmidt against rows 0..k.  The trip count is

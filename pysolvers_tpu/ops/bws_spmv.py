@@ -23,7 +23,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..sparse.bws import BwsMatrix, GT, CALL_COST_SLOTS
+from ..sparse.bws import (BwsMatrix, GT, CALL_COST_SLOTS,
+                          SELECT_DIV_EXACT, SELECT_DIV_FAST)
 
 
 def _ceil_to(x, m):
@@ -181,7 +182,13 @@ def bws_spmv(A: BwsMatrix, x: jax.Array, interpret: bool = None
         slots_classed = sum(s_c * len(ids)
                             for s_c, ids in A.s_classes) * A.gt * 128
         saved = A.nnz_slots - slots_classed
-        use_classes = saved > CALL_COST_SLOTS * (len(A.s_classes) - 1)
+        # include the one-hot select work per processed slot (~W/div
+        # slot-equivalents) so the runtime path choice agrees with the
+        # cost model the pack geometry was tuned against
+        # (sparse/bws.py::kernel_cost)
+        sel_div = SELECT_DIV_FAST if A.fast_select else SELECT_DIV_EXACT
+        use_classes = (saved * (1.0 + W / sel_div)
+                       > CALL_COST_SLOTS * (len(A.s_classes) - 1))
     # the whole pallas_call (grid/block index machinery included) must
     # trace in 32-bit mode — Mosaic cannot lower int64 indices
     with jax.enable_x64(False):

@@ -25,6 +25,7 @@ except ImportError:  # older jax
     from jax.experimental.shard_map import shard_map
 
 from ..linear.ilu import ilut_factor
+from ..linear.preconditioner import PreconditionerType
 from ..sparse.host import HostCSR
 from .mesh import ROW_AXIS
 
@@ -78,7 +79,8 @@ def build_block_jacobi_ilu(A_host: HostCSR, mesh: Mesh, n_pad: int,
                               (size, size), sum_duplicates=False)
         # padded rows get unit diagonal so the block factors cleanly
         present = np.zeros(size, dtype=bool)
-        present[Ab.to_coo()[0][Ab.to_coo()[0] == Ab.to_coo()[1]]] = True
+        br, bc, _ = Ab.to_coo()
+        present[br[br == bc]] = True
         missing = np.flatnonzero(~present)
         if len(missing):
             Ab = Ab.add(HostCSR.from_coo(missing, missing,
@@ -86,12 +88,13 @@ def build_block_jacobi_ilu(A_host: HostCSR, mesh: Mesh, n_pad: int,
                                          (size, size)))
         blocks.append(ilut_factor(Ab, drop_tol, fill_factor))
 
-    def pack(parts, strict, upper):
+    def pack(parts):
+        # strictly-off-diagonal entries only (the sweeps split T = D + N)
         k = 1
         packed = []
         for T in parts:
             r, c, v = T.to_coo()
-            off = r != c if strict else np.zeros(len(r), bool)
+            off = r != c
             r, c, v = r[off], c[off], v[off]
             counts = np.bincount(r, minlength=T.shape[0])
             k = max(k, int(counts.max()) if len(counts) else 1)
@@ -107,8 +110,8 @@ def build_block_jacobi_ilu(A_host: HostCSR, mesh: Mesh, n_pad: int,
             colsb[i, r, slot] = c
         return data, colsb
 
-    l_data, l_cols = pack([L for L, _ in blocks], strict=True, upper=False)
-    u_data, u_cols = pack([U for _, U in blocks], strict=True, upper=True)
+    l_data, l_cols = pack([L for L, _ in blocks])
+    u_data, u_cols = pack([U for _, U in blocks])
     u_dinv = np.ones((d, n_loc), dtype=dtype)
     for i, (_, U) in enumerate(blocks):
         du = U.diagonal()
@@ -125,7 +128,7 @@ def build_block_jacobi_ilu(A_host: HostCSR, mesh: Mesh, n_pad: int,
         mesh, sweeps)
 
 
-class BlockJacobiILUPreconditionerType:
+class BlockJacobiILUPreconditionerType(PreconditionerType):
     """Factory-style (PreconditionerType) wrapper so the distributed
     block-Jacobi ILU plugs into the solver factories exactly like the
     single-chip preconditioners (reference PreconditionerType.form(A),
@@ -164,11 +167,10 @@ class BlockJacobiILUPreconditionerType:
                                    fill_factor=self.fill_factor,
                                    sweeps=self.sweeps)
         apply = lambda v: block_jacobi_apply(M, v)
-        if self.side == "left":
-            return Preconditioner(left=apply)
-        if self.side == "right":
-            return Preconditioner(right=apply)
-        return Preconditioner(left=apply, right=apply)
+        # _wrap marks side="both" as generic (ONE apply usable either
+        # side) — hand-building the pair here left generic=False and the
+        # GMRES shell applied the full ILU on BOTH sides
+        return self._wrap(apply)
 
 
 def block_jacobi_apply(M: BlockJacobiILU, r: jax.Array) -> jax.Array:

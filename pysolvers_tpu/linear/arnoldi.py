@@ -16,8 +16,10 @@ import jax.numpy as jnp
 
 
 def givens_coefficients(a, b):
-    """(c, s) with [c s; -s c]ᵀ... zeroing b (reference Givens.py:7-12)."""
-    r = jnp.sqrt(a * a + b * b)
+    """(c, s) with [c s; -s c]ᵀ... zeroing b (reference Givens.py:7-12).
+    hypot, not sqrt(a*a+b*b): the squared form overflows f32 at
+    |a| ~ 1.8e19 and silently zeroes the rotation."""
+    r = jnp.hypot(a, b)
     safe = r > 0
     c = jnp.where(safe, a / jnp.where(safe, r, 1.0), 1.0)
     s = jnp.where(safe, b / jnp.where(safe, r, 1.0), 0.0)

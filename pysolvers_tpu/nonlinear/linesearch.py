@@ -13,7 +13,6 @@ trips, the same setup/execute split the Newton driver uses.
 from __future__ import annotations
 
 import numpy as np
-import jax.numpy as jnp
 
 
 class LineSearchBase:
@@ -43,6 +42,7 @@ class SimpleBacktrack(LineSearchBase):
     def search(self, x, norm_f0, p, func, norm_fn):
         t = 1.0
         norm_f0 = float(norm_f0)
+        F_new = None
         for _ in range(self.maxsteps):
             x_new = x + t * p
             F_new = func.evalF(x_new)
@@ -53,4 +53,8 @@ class SimpleBacktrack(LineSearchBase):
             ratio = norm_new / norm_f0 if norm_f0 > 0 else 2.0
             shrink = 0.5 / ratio if np.isfinite(ratio) and ratio > 0 else 0.5
             t *= float(np.clip(shrink, self.low, 0.5))
-        return x, func.evalF(x), norm_f0, False
+        # all trials rejected: last F_new is from a rejected point — the
+        # caller aborts on ok=False and only uses the norm, so return it
+        # without re-evaluating F at the unchanged x (an extra device
+        # residual evaluation, ~25 ms dispatch through a remote tunnel)
+        return x, F_new, norm_f0, False

@@ -49,6 +49,12 @@ def _to_words(a: np.ndarray):
     if a.dtype == np.int32:
         return a.ravel(), "i32", a.shape
     if a.dtype == np.float64:
+        if not jax.config.jax_enable_x64:
+            # bitcast_convert_type silently truncates to f32 with x64
+            # off, producing a cryptic shape error far from the cause
+            raise ValueError(
+                "fused_build received a float64 array but jax_enable_x64 "
+                "is off — enable x64 or cast the array to float32")
         return a.view(np.int32).ravel(), "f64", a.shape
     if a.dtype == np.uint8:
         # widen host-side: lane-index streams are small and int32 keeps

@@ -140,13 +140,16 @@ def trisolve_jacobi(plan: TriSolvePlan, b: jax.Array, sweeps: int = 10
     x_{k+1} = D^{-1}(b - N x_k) with T = D + N.  Converges in ≤ n_levels
     sweeps (nilpotent N); ``sweeps`` trades accuracy for time."""
     n = plan.n
-    bp = jnp.concatenate([b, jnp.zeros((1,), dtype=b.dtype)])
-    x = jnp.zeros((n + 1,), dtype=b.dtype)
+    # promote like trisolve(): a mixed-dtype (f64 plan, f32 rhs) pairing
+    # otherwise changes the carry dtype mid-scan and fails to trace
+    dt = jnp.promote_types(b.dtype, plan.ell_data.dtype)
+    bp = jnp.concatenate([b.astype(dt), jnp.zeros((1,), dtype=dt)])
+    x = jnp.zeros((n + 1,), dtype=dt)
 
     def body(_, x):
         acc = jnp.sum(plan.ell_data * x[plan.ell_cols], axis=1)
-        xn = (bp - acc) / plan.diag
+        xn = ((bp - acc) / plan.diag).astype(dt)
         return xn.at[n].set(0.0)
 
     x = jax.lax.fori_loop(0, sweeps, body, x)
-    return x[:n]
+    return x[:n].astype(b.dtype)

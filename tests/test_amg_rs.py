@@ -46,3 +46,30 @@ class TestRSCoarsening:
                 break
         assert r <= 1e-10 * r0
         np.testing.assert_allclose(np.asarray(x), x_exact, atol=1e-6)
+
+
+class TestRsEdgeCases:
+    def test_isolated_points_become_f(self):
+        """Dirichlet/identity rows (no strong connections) must be
+        F-points — making them C kept them on every coarse level."""
+        import numpy as np
+        from pysolvers_tpu.sparse.host import HostCSR
+        from pysolvers_tpu.linear.amg_rs import rs_cf_split
+        n = 8
+        H = HostCSR.from_coo(np.arange(n), np.arange(n),
+                             2.0 + np.arange(n) % 3, (n, n),
+                             sum_duplicates=False)
+        assert rs_cf_split(H).sum() == 0
+
+    def test_sign_flipped_matrix_coarsens(self):
+        """Rows with no negative couplings use the magnitude fallback the
+        docstring promises — a sign-flipped Laplacian must still split."""
+        import numpy as np
+        from pysolvers_tpu.sparse.host import HostCSR
+        from pysolvers_tpu.linear.amg_rs import rs_cf_split
+        from pysolvers_tpu.problems import fd_laplacian_1d
+        L = fd_laplacian_1d(16)
+        r, c, v = L.to_coo()
+        Hf = HostCSR.from_coo(r, c, -v, L.shape, sum_duplicates=False)
+        f = rs_cf_split(Hf)
+        assert 0 < f.sum() < 16

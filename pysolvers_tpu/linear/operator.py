@@ -64,6 +64,9 @@ class LinearOperator:
             self.shape, lambda v: self._apply(v) - other._apply(v))
 
     def __mul__(self, c) -> "LinearOperator":
+        if isinstance(c, LinearOperator):
+            raise TypeError("use A @ B for operator composition; * is "
+                            "scalar scaling only")
         return LinearOperator(self.shape, lambda v: c * self._apply(v))
 
     __rmul__ = __mul__
@@ -100,9 +103,18 @@ class LinearOperator:
         from .krylov import gmres_solve
 
         if solver_type is None:
+            from ..core import StopReason
+
             def apply_inv(v):
                 x, st, _ = gmres_solve(self._apply, v, maxiter=200,
                                        tau=1e-12)
+                # match the solver_type branch: never hand back an
+                # unconverged inverse-apply silently
+                if int(st.reason) != StopReason.CONVERGED:
+                    raise RuntimeError(
+                        f"inverse apply failed: GMRES stopped with "
+                        f"{StopReason(int(st.reason)).name} at residual "
+                        f"{float(st.resid):.3e}")
                 return x
             return LinearOperator(self.shape, apply_inv)
 

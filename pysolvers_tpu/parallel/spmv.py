@@ -121,11 +121,17 @@ def dist_dia_spmv(A: ShardedDia, x: jax.Array) -> jax.Array:
     return f(A.diags, x)
 
 
-def pad_vector_dia(A: ShardedDia, v: np.ndarray) -> jax.Array:
-    """Pad a length-n host vector to n_pad and shard it over the mesh."""
+def pad_vector(A, v: np.ndarray) -> jax.Array:
+    """Pad a length-n host vector to A.n_pad and shard it over A.mesh —
+    one implementation for every sharded format (they all carry
+    n_pad/mesh)."""
     vp = np.zeros(A.n_pad, dtype=v.dtype)
     vp[: len(v)] = v
     return jax.device_put(jnp.asarray(vp), row_sharding(A.mesh))
+
+
+# format-named aliases (kept for call-site readability/back-compat)
+pad_vector_dia = pad_vector
 
 
 # ---------------------------------------------------------------------------
@@ -159,11 +165,16 @@ def dist_ell_spmv(A: ShardedEll, x: jax.Array) -> jax.Array:
     n = A.shape[0]
     n_pad = A.n_pad
 
+    # ELL padding sentinel is the COLUMN count (shape[1]), not the row
+    # count — on a rectangular operator, col ids in [n_rows, n_cols)
+    # are real entries and masking on shape[0] would drop them
+    n_cols = A.shape[1]
+
     def local(data_s, cols_s, x_s):
         xg = jax.lax.all_gather(x_s.reshape(-1), ROW_AXIS, tiled=True)
         xg = jnp.concatenate([xg, jnp.zeros((1,), xg.dtype)])
-        # mask padding columns (col id >= n reads the zero slot)
-        safe_cols = jnp.where(cols_s >= n, n_pad, cols_s)
+        # mask padding columns (col id >= n_cols reads the zero slot)
+        safe_cols = jnp.where(cols_s >= n_cols, n_pad, cols_s)
         safe_cols = jnp.minimum(safe_cols, xg.shape[0] - 1)
         g = jnp.take(xg, safe_cols, axis=0)
         return jnp.sum(data_s * g, axis=1)
@@ -174,10 +185,7 @@ def dist_ell_spmv(A: ShardedEll, x: jax.Array) -> jax.Array:
     return f(A.data, A.cols, x)
 
 
-def pad_vector_ell(A: ShardedEll, v: np.ndarray) -> jax.Array:
-    vp = np.zeros(A.n_pad, dtype=v.dtype)
-    vp[: len(v)] = v
-    return jax.device_put(jnp.asarray(vp), row_sharding(A.mesh))
+pad_vector_ell = pad_vector
 
 
 # ---------------------------------------------------------------------------
@@ -274,7 +282,4 @@ def dist_ell_halo_spmv(A: ShardedEllHalo, x: jax.Array) -> jax.Array:
     return f(A.data, A.lcols, x)
 
 
-def pad_vector_ell_halo(A: ShardedEllHalo, v: np.ndarray) -> jax.Array:
-    vp = np.zeros(A.n_pad, dtype=v.dtype)
-    vp[: len(v)] = v
-    return jax.device_put(jnp.asarray(vp), row_sharding(A.mesh))
+pad_vector_ell_halo = pad_vector

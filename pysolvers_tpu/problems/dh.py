@@ -23,8 +23,12 @@ def dh_test_problem(lev: int, matrix_dir: str = None, seed: int = 0):
     The reference accepts lev 0..16 (DHTestProblem.py:21) but level 16 is
     absent from the repository (.MISSING_LARGE_BLOBS); we accept 0..15.
     """
-    if not (0 <= lev <= 16):
-        raise ValueError(f"DH mesh level must be in [0, 16], got {lev}")
+    if not (0 <= lev <= 15):
+        # the reference accepts 16 but the file was stripped from its
+        # repo — fail here with the reason, not a FileNotFoundError later
+        raise ValueError(f"DH mesh level must be in [0, 15], got {lev} "
+                         "(level 16 is absent from the reference's "
+                         "TestMatrices)")
     d = matrix_dir or _DEFAULT_DIR
     path = os.path.join(d, f"DH-Matrix-{lev}.mtx")
     if not os.path.exists(path):

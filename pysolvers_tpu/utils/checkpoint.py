@@ -46,7 +46,14 @@ def load_pytree(path: str, example: Any) -> Any:
             raise ValueError(
                 f"leaf {i}: checkpoint shape {arr.shape} != expected "
                 f"{ex_arr.shape}")
-        leaves.append(jax.numpy.asarray(arr.astype(ex_arr.dtype)))
+        if arr.dtype != ex_arr.dtype:
+            # the docstring promises dtype checking — a silent
+            # f64->f32 cast would truncate resumed solver state by
+            # ~8 digits with no indication
+            raise ValueError(
+                f"leaf {i}: checkpoint dtype {arr.dtype} != expected "
+                f"{ex_arr.dtype}")
+        leaves.append(jax.numpy.asarray(arr))
     return jax.tree_util.tree_unflatten(treedef, leaves)
 
 

@@ -61,32 +61,38 @@ def get_lib() -> Optional[ctypes.CDLL]:
     i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
     f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
 
-    lib.csr_result_new.restype = ctypes.c_void_p
-    lib.csr_result_free.argtypes = [ctypes.c_void_p]
-    lib.csr_result_nnz.argtypes = [ctypes.c_void_p]
-    lib.csr_result_nnz.restype = ctypes.c_int64
-    lib.csr_result_nrows.argtypes = [ctypes.c_void_p]
-    lib.csr_result_nrows.restype = ctypes.c_int64
-    lib.csr_result_copy.argtypes = [ctypes.c_void_p, i64p, i32p, f64p]
+    try:
+        lib.csr_result_new.restype = ctypes.c_void_p
+        lib.csr_result_free.argtypes = [ctypes.c_void_p]
+        lib.csr_result_nnz.argtypes = [ctypes.c_void_p]
+        lib.csr_result_nnz.restype = ctypes.c_int64
+        lib.csr_result_nrows.argtypes = [ctypes.c_void_p]
+        lib.csr_result_nrows.restype = ctypes.c_int64
+        lib.csr_result_copy.argtypes = [ctypes.c_void_p, i64p, i32p, f64p]
 
-    lib.spgemm.argtypes = [ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        lib.spgemm.argtypes = [ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
                            i64p, i32p, f64p, i64p, i32p, f64p,
                            ctypes.c_void_p]
-    lib.ilut.argtypes = [ctypes.c_int64, i64p, i32p, f64p, ctypes.c_double,
+        lib.ilut.argtypes = [ctypes.c_int64, i64p, i32p, f64p, ctypes.c_double,
                          ctypes.c_double, ctypes.c_void_p, ctypes.c_void_p]
-    lib.levelize.argtypes = [ctypes.c_int64, i64p, i32p, ctypes.c_int32,
+        lib.levelize.argtypes = [ctypes.c_int64, i64p, i32p, ctypes.c_int32,
                              i64p]
-    lib.aggregate.argtypes = [ctypes.c_int64, i64p, i32p, i64p]
-    lib.aggregate.restype = ctypes.c_int64
-    lib.rcm.argtypes = [ctypes.c_int64, i64p, i32p, i64p]
-    try:                      # tolerate a stale .so predating sym_rcm
-        lib.sym_rcm.argtypes = [ctypes.c_int64, i64p, i32p, i64p]
+        lib.aggregate.argtypes = [ctypes.c_int64, i64p, i32p, i64p]
+        lib.aggregate.restype = ctypes.c_int64
+        lib.rcm.argtypes = [ctypes.c_int64, i64p, i32p, i64p]
+        try:                      # tolerate a stale .so predating sym_rcm
+            lib.sym_rcm.argtypes = [ctypes.c_int64, i64p, i32p, i64p]
+        except AttributeError:
+            pass
+        lib.mtx_read.argtypes = [ctypes.c_char_p, i64p, i64p, f64p,
+                                 ctypes.c_int64, i64p,
+                                 ctypes.POINTER(ctypes.c_int32)]
+        lib.mtx_read.restype = ctypes.c_int64
     except AttributeError:
-        pass
-    lib.mtx_read.argtypes = [ctypes.c_char_p, i64p, i64p, f64p,
-                             ctypes.c_int64, i64p,
-                             ctypes.POINTER(ctypes.c_int32)]
-    lib.mtx_read.restype = ctypes.c_int64
+        # stale .so missing a required symbol (e.g. a failed rebuild
+        # left the old library): degrade to the numpy fallbacks the
+        # callers expect on None, don't crash setup
+        return None
     _LIB = lib
     return _LIB
 

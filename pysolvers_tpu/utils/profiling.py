@@ -46,8 +46,6 @@ def current_chip() -> ChipSpec:
     for key, spec in CHIPS.items():
         if key in kind.replace(" ", "").replace("tpu", ""):
             return spec
-    if "lite" in kind or "v5" in kind:
-        return CHIPS["v5e"]
     return CHIPS["v5e"]
 
 
@@ -78,8 +76,7 @@ def measure(fn: Callable, *args, warmup: int = 2, repeats: int = 20,
             inner: int = 5) -> float:
     """Best-of wall-clock seconds per call of a jitted fn."""
     for _ in range(warmup):
-        out = fn(*args)
-    jax.block_until_ready(out)
+        jax.block_until_ready(fn(*args))
     best = float("inf")
     for _ in range(repeats):
         t0 = time.perf_counter()

@@ -65,18 +65,20 @@ def bench_tpu_spmv(m=1448, reps=4):
 
 def bench_scipy_spmv(m=1448, iters=20):
     import scipy.sparse as sp
+    import pysolvers_tpu as pst
 
-    n = m * m
-    A = (sp.kronsum(sp.diags([2 * np.ones(m), -np.ones(m - 1), -np.ones(m - 1)],
-                             [0, 1, -1]),
-                    sp.diags([2 * np.ones(m), -np.ones(m - 1), -np.ones(m - 1)],
-                             [0, 1, -1])) * (m + 1.0) ** 2).tocsr()
-    A = A.astype(np.float32)
-    x = np.random.default_rng(0).random(n).astype(np.float32)
-    y = A @ x
+    # the SAME operator the TPU side measures (one definition), and the
+    # SAME scaled chain: without the rescale the f32 iterates overflow
+    # to inf within ~6 iterations and the baseline times non-finite
+    # arithmetic instead of SpMV
+    H = pst.problems.fd_laplacian_2d(m, dtype=np.float32)
+    A = sp.csr_matrix((H.data, H.indices, H.indptr), shape=H.shape)
+    scale = np.float32(1.0 / (8.0 * (m + 1.0) ** 2))
+    x = np.random.default_rng(0).random(m * m).astype(np.float32)
+    y = (A @ x) * scale
     t0 = time.perf_counter()
     for _ in range(iters):
-        y = A @ y
+        y = (A @ y) * scale
     dt = (time.perf_counter() - t0) / iters
     return A.nnz / dt
 

@@ -55,15 +55,18 @@ def main():
         t0 = time.perf_counter()
         st = solver.solve(A, bb)        # compiled + setup reused
         solve_s = time.perf_counter() - t0
-        # re-measure setup alone (fresh solver, stop before solving)
+        # re-measure setup alone (fresh solver, stop before solving).
+        # _ensure_hierarchy FIRST: AMGVCycleSolver also inherits
+        # _get_precond (identity, ~0s), and its real setup cost is the
+        # hierarchy build — checking _get_precond first timed the wrong
+        # thing entirely (and a device pack the solver never uses)
         solver2, A2, _, _ = make_solver_and_problem()
         t0 = time.perf_counter()
-        if hasattr(solver2, "_get_precond"):
+        if hasattr(solver2, "_ensure_hierarchy"):
+            solver2._ensure_hierarchy(A2, np.float64)
+        else:
             Ah, Ad = solver2._split_matrix(A2)
             solver2._get_precond(Ah, Ad)
-        elif hasattr(solver2, "_ensure_hierarchy"):
-            Ah, Ad = solver2._split_matrix(A2)
-            solver2._ensure_hierarchy(Ah, np.float64)
         setup_s = time.perf_counter() - t0
         err = check(st)
         rec = dict(config=config, time_s=round(setup_s + solve_s, 6),

@@ -63,7 +63,15 @@ def main():
                          "ic_level")
     ap.add_argument("--bratu-m", type=int, default=100)
     args = ap.parse_args()
-    want = set(args.configs.split(","))
+    want = {t.strip() for t in args.configs.split(",") if t.strip()}
+    known = {"ic", "amg", "ilut", "vcycle", "bratu", "ic_sweep",
+             "ic_level"}
+    bad = want - known
+    if bad:
+        # a typo must not silently skip a benchmark — the record set
+        # would read as "covered" downstream
+        raise SystemExit(f"unknown config(s) {sorted(bad)}; "
+                         f"known: {sorted(known)}")
 
     import jax
     if args.platform:

@@ -53,6 +53,8 @@ def main():
     sys.path.insert(0, "/root/reference")
     sys.path.insert(0, "/root/reference/examples")
     # the reference loads '../TestMatrices/...' relative to examples/
+    if args.out:
+        args.out = os.path.abspath(args.out)
     os.chdir("/root/reference/examples")
 
     import numpy as np
@@ -76,7 +78,8 @@ def main():
         iters, err, success = fn()
         dt = time.perf_counter() - t0
         rec = dict(config=config, time_s=round(dt, 6), iters=iters,
-                   err=float(err), success=bool(success))
+                   err=(float(err) if np.isfinite(err) else None),
+                   success=bool(success))
         results.append(rec)
         print(json.dumps(rec), flush=True)
 

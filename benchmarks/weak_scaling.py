@@ -88,17 +88,20 @@ def main():
             np.random.default_rng(0).random(m * m).astype(np.float32))
 
         @jax.jit
-        def chain1(v):
+        def chain1(A1, v):
+            # A1 as a traced argument, not a closure constant — baking
+            # the operator into the HLO bloats the executable (slow
+            # compiles/uploads on remote backends)
             def body(_, v):
                 return dia_spmv_xla(A1, v) * scale
             return jax.lax.fori_loop(0, args.iters, body, v)
 
-        y1 = chain1(x1)
+        y1 = chain1(A1, x1)
         y1.block_until_ready()
         best1 = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()
-            y1 = chain1(y1)
+            y1 = chain1(A1, y1)
             y1.block_until_ready()
             best1 = min(best1, (time.perf_counter() - t0) / args.iters)
 

@@ -188,7 +188,14 @@ class IterativeLinearSolver(LinearSolver):
     def _split_matrix(self, A):
         if isinstance(A, tuple):
             return A
+        # freeze_matrix is the user's promise that A won't change: cache
+        # the device pack so repeat solves (and benchmarks' steady-state
+        # timing) don't re-pack/re-upload the operator every call
+        cached = getattr(self, "_split_cache", None)
+        if cached is not None and cached[0] is A and self.matrix_frozen():
+            return cached[1]
         host, dev = as_device_matrix(A)
+        self._split_cache = (A, (host, dev))
         return host, dev
 
     # --- distributed route (mesh=...) ----------------------------------

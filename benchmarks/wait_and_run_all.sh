@@ -13,7 +13,7 @@ print('health ok', float(y[0,0]))
 "; then
     echo "tunnel healthy after attempt $i ($(date -u))"
     echo "=== lev 15 ==="
-    timeout 3000 python -u benchmarks/run_ours_tpu.py --lev 15 --out benchmarks/our_results/tpu_lev15.jsonl
+    timeout 7200 python -u benchmarks/run_ours_tpu.py --lev 15 --out benchmarks/our_results/tpu_lev15.jsonl
     echo "=== lev 13 ==="
     timeout 2000 python -u benchmarks/run_ours_tpu.py --lev 13 \
       --out benchmarks/our_results/tpu_lev13.jsonl

@@ -365,13 +365,6 @@ class IterativeLinearSolver(LinearSolver):
                 "precision='mixed' tests convergence in the 2-norm (the "
                 "refinement machinery's scaling analysis relies on it); "
                 f"norm={self.control.norm!r} is not supported there")
-        if method == "gmres" and (getattr(self, "flexible", False)
-                                  or getattr(self, "orthog", "mgs")
-                                  != "mgs"):
-            import warnings
-            warnings.warn("flexible/orthog GMRES options do not apply to "
-                          "the mixed-precision refinement's inner solves "
-                          "(MGS GMRES corrections)", stacklevel=2)
 
         A_host, A_dev = self._split_matrix(A)
         if self.matrix_frozen() and getattr(self, "_mx", None) is not None:
@@ -661,8 +654,10 @@ class GMRESSolver(IterativeLinearSolver):
                                     orthog=self.orthog,
                                     flexible=self.flexible)
         if getattr(self, "precision", "native") == "mixed":
-            return self._solve_mixed(A, b, "gmres",
-                                     restart=self.restart or 60)
+            # GMRES options ride in the method string (refine._one_solve)
+            m = "gmres" + (":cgs2" if self.orthog == "cgs2" else "") \
+                + (":flex" if self.flexible else "")
+            return self._solve_mixed(A, b, m, restart=self.restart or 60)
         A_host, A_dev = self._split_matrix(A)
         b = jnp.asarray(b, dtype=getattr(A_dev, "dtype", None))
         prec = self._get_precond(A_host, A_dev)

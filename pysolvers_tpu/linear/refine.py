@@ -126,6 +126,9 @@ def _cached_inner_op(precond_lo, method, inner_maxiter, restart, chain=1):
 
 
 def _one_solve(method, mv, papply, r32, inner_tau, inner_maxiter, restart):
+    """``method``: "cg" | "richardson" | "gmres[:cgs2][:flex]" — GMRES
+    options ride in the method string so every jit-cache key in this
+    module inherits them without widening each signature."""
     if method == "cg":
         d, st, _ = cg_solve(mv, r32, maxiter=inner_maxiter,
                             tau=inner_tau, precond=papply)
@@ -133,9 +136,12 @@ def _one_solve(method, mv, papply, r32, inner_tau, inner_maxiter, restart):
         d, st, _ = richardson_solve(mv, r32, maxiter=inner_maxiter,
                                     tau=inner_tau, precond=papply)
     else:
+        opts = method.split(":")[1:]
         d, st, _ = gmres_solve(mv, r32, maxiter=inner_maxiter,
                                tau=inner_tau, precond=papply,
                                restart=restart,
+                               orthog="cgs2" if "cgs2" in opts else "mgs",
+                               flexible="flex" in opts,
                                check_true_residual=False)
     return d, st.k
 

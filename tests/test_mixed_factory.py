@@ -95,3 +95,19 @@ class TestMixedFactory:
         new_keys = [k for k in refine._INNER_CACHE
                     if k[0] in ("pair", "ddchain")]
         assert len(new_keys) >= 1
+
+
+class TestMixedGmresOptions:
+    def test_cgs2_and_flexible_thread_through(self):
+        """GMRES(orthog='cgs2') / flexible must reach the refinement's
+        inner solves (they used to be silently dropped)."""
+        import numpy as np
+        from pysolvers_tpu.api import CommonSolverArgs, GMRES
+        from pysolvers_tpu.problems import dh_test_problem
+        H, x_exact, b = dh_test_problem(10)
+        for kw in (dict(orthog="cgs2"), dict(flexible=True)):
+            st = GMRES(CommonSolverArgs(maxiter=600, tau=1e-10),
+                       precision="mixed", restart=60, **kw) \
+                .make_solver().solve(H, b)
+            assert st.success, kw
+            assert np.linalg.norm(np.asarray(st.soln) - x_exact) <= 1e-6

@@ -323,6 +323,41 @@ class IterativeLinearSolver(LinearSolver):
         rn_prev = float("inf")
         reason = StopReason.MAXITER
         rn = b_norm
+
+        # residual-replacement fast path (krylov.cg_solve_rr over the
+        # mesh): the f32 sharded recurrence is periodically replaced by
+        # the true f64 residual from an f64-sharded operator copy, so
+        # the WHOLE distributed solve converges like f64 CG at f32 speed
+        # in one dispatch (same shard geometry for both dtypes — slab /
+        # row_tile depend only on structure).  Not-converged falls
+        # through to the restart-chain loop below, starting from x.
+        from .linear.refine import _rr_enabled
+        if method == "cg" and _rr_enabled() and b_norm > 0 \
+                and jax.config.jax_enable_x64:
+            from .linear.krylov import cg_solve_rr
+            ms64 = self._mesh_setup(A_host, "mm64", dtype=np.float64)
+            prec = getattr(self, "_mm_prec_src", None)
+            papply = getattr(self, "_mm_papply", None)
+            key = ("rr", id(prec))
+            if getattr(self, "_mm_rr_jit", None) is None or \
+                    getattr(self, "_mm_rr_key", None) != key:
+                mv32, mv64 = ms["mv"], ms64["mv"]
+                control = self.control
+
+                def _rr(A32_sh, A64_sh, b64, tau):
+                    x64, st, _ = cg_solve_rr(
+                        lambda v: mv32(A32_sh, v), b64,
+                        mv_hi=lambda v: mv64(A64_sh, v),
+                        maxiter=control.maxiter, tau=tau, precond=papply)
+                    return x64, st.k
+
+                self._mm_rr_jit = jax.jit(_rr)
+                self._mm_rr_key = key
+            b_pad = ms64["pad"](ms64["A"], b_h / b_norm)
+            x64, k = self._mm_rr_jit(ms["A"], ms64["A"], b_pad,
+                                     self._effective_tau())
+            inner_total += int(k)
+            x_h = b_norm * np.asarray(x64[:n], dtype=np.float64)
         for disp in range(21):
             r = b_h - A_host.matvec(x_h)
             rn = float(np.linalg.norm(r))

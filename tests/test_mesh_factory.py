@@ -94,6 +94,21 @@ class TestMeshFactory:
         assert st.success
         assert np.linalg.norm(np.asarray(st.soln) - x_exact) <= 1e-6
 
+    def test_mesh_mixed_rr_no_worse_than_restart_chains(self, mesh,
+                                                        monkeypatch):
+        """The distributed rr fast path (one dispatch, residual
+        replacement over the mesh) must not cost more iterations than
+        the restart-chain fallback it replaces."""
+        H, _, b = dh_test_problem(10)
+        ctl = CommonSolverArgs(maxiter=2000, tau=1e-10)
+        st_rr = PCG(ctl, precision="mixed", mesh=mesh).make_solver() \
+            .solve(H, b)
+        monkeypatch.setenv("PST_RR", "0")
+        st_rc = PCG(ctl, precision="mixed", mesh=mesh).make_solver() \
+            .solve(H, b)
+        assert st_rr.success and st_rc.success
+        assert st_rr.iters <= st_rc.iters
+
     def test_gmres_mesh_mixed(self, mesh):
         H, x_exact, b = dh_test_problem(8)
         st = GMRES(CommonSolverArgs(maxiter=1200, tau=1e-10), restart=60,

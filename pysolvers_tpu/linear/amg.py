@@ -11,7 +11,8 @@ Capability parity with the reference AMG stack:
 * V-cycle — pre/post smoothing, coarse direct solve (reference
   VCycleManager.py:9-62); smoothers: weighted Jacobi, Gauss-Seidel
   (level-scheduled backward solve like the reference's triu-based GS,
-  ClassicSmoothers.py:20-36) and Chebyshev (TPU-idiomatic default).
+  ClassicSmoothers.py:20-36), symmetric Gauss-Seidel ("sgs" — keeps the
+  V-cycle SPD for PCG) and Chebyshev (TPU-idiomatic default).
 * AMG V-cycle solver + AMG preconditioner with fixed inner iterations and
   failOnMaxiter=False semantics (reference VCycleSolver.py:15-95,
   AMGPreconditioner.py:8-51); hierarchy freeze/reuse via the API shell's
@@ -213,7 +214,7 @@ def build_sa_hierarchy(A: HostCSR, num_levels: int = 2,
 class DeviceLevel:
     A_dev: object                    # device matrix
     dinv: jax.Array                  # 1/diag for Jacobi/Chebyshev smoothing
-    gs_plan: Optional[TriSolvePlan]  # backward-GS plan (triu(A)), if used
+    gs_plan: Optional[object]        # "gs": triu plan; "sgs": (tril, triu)
     P_dev: Optional[object]          # prolongator (to this level), None at 0
     R_dev: Optional[object]          # restriction (from this level)
     cheb: Optional[tuple]            # (theta, delta) for Chebyshev
@@ -356,6 +357,16 @@ def build_device_hierarchy(mlh: MLHierarchy, smoother: str = "gs",
             # reference GS: dx = triu(A)^{-1} r (ClassicSmoothers.py:28-36)
             gs_plan = build_trisolve_plan(A.extract_upper(), lower=False,
                                           dtype=dtype or A.data.dtype)
+        if smoother == "sgs" and k > 0:
+            # symmetric GS: M = (D+L) D^{-1} (D+U).  M is symmetric for
+            # SPD A, so with nu_pre == nu_post the whole V-cycle is an
+            # SPD operator — safe as a PCG preconditioner (the
+            # one-directional "gs" V-cycle is nonsymmetric and can make
+            # residual-replacement CG diverge at the f32 noise floor).
+            gs_plan = (build_trisolve_plan(A.extract_lower(), lower=True,
+                                           dtype=dtype or A.data.dtype),
+                       build_trisolve_plan(A.extract_upper(), lower=False,
+                                           dtype=dtype or A.data.dtype))
         if smoother == "chebyshev" and k > 0:
             from .preconditioner import ChebyshevPreconditionerType
             lmax = ChebyshevPreconditionerType().estimate_lmax(A)
@@ -452,6 +463,11 @@ def _smooth(level: DeviceLevel, smoother: str, x, f, sweeps: int):
             x = x + (2.0 / 3.0) * level.dinv.astype(x.dtype) * r
         elif smoother == "gs":
             x = x + trisolve(level.gs_plan, r)
+        elif smoother == "sgs":
+            lo, up = level.gs_plan
+            z = trisolve(lo, r)              # (D+L)^{-1} r
+            z = z / level.dinv.astype(x.dtype)   # × D
+            x = x + trisolve(up, z)          # (D+U)^{-1} ·
         else:
             raise ValueError(smoother)
     return x

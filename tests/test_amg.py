@@ -70,6 +70,37 @@ class TestVCycle:
     def test_vcycle_chebyshev(self):
         self._converge("chebyshev")
 
+    def test_vcycle_sgs(self):
+        self._converge("sgs")
+
+    def test_sgs_vcycle_is_symmetric(self):
+        """With the symmetric-GS smoother and nu_pre == nu_post, the
+        V-cycle preconditioner operator is symmetric (SPD A) — the
+        property that makes it safe inside (rr-)PCG, unlike the
+        one-directional "gs" cycle."""
+        H = fd_laplacian_2d(7)          # n = 49: build V explicitly
+        n = H.shape[0]
+        mlh = build_sa_hierarchy(H, num_levels=2)
+
+        def cycle_matrix(smoother):
+            h = build_device_hierarchy(mlh, smoother, 2, 2,
+                                       dtype=np.float64)
+            cols = []
+            for i in range(n):
+                e = jnp.zeros((n,), jnp.float64).at[i].set(1.0)
+                cols.append(np.asarray(v_cycle(h, e, jnp.zeros_like(e))))
+            return np.stack(cols, axis=1)
+
+        V = cycle_matrix("sgs")
+        asym = np.abs(V - V.T).max() / np.abs(V).max()
+        assert asym < 1e-12, f"sgs V-cycle asymmetry {asym:.2e}"
+        # eigenvalues of the SPD preconditioner stay positive
+        w = np.linalg.eigvalsh(0.5 * (V + V.T))
+        assert (w > 0).all()
+        # contrast: the one-directional GS cycle is measurably nonsymmetric
+        Vgs = cycle_matrix("gs")
+        assert np.abs(Vgs - Vgs.T).max() / np.abs(Vgs).max() > 1e-8
+
 
 class TestAMGSolverShell:
     def test_amg_vcycle_solver(self):

@@ -230,6 +230,17 @@ class IterativeLinearSolver(LinearSolver):
         setattr(self, attr, ms)
         return ms
 
+    def _cached_jit(self, attr: str, key, make):
+        """Per-solver jitted-callable cache: re-jit only when ``key``
+        changes.  Every key must include whatever the closure captures —
+        the stale-closure class of bug (a cached solve built over a DIA
+        shard invoked on an ELL shard) comes from under-keyed caches."""
+        if getattr(self, attr, None) is None or \
+                getattr(self, attr + "_key", None) != key:
+            setattr(self, attr, jax.jit(make()))
+            setattr(self, attr + "_key", key)
+        return getattr(self, attr)
+
     def _mesh_inner_jit(self, ms, tag: str, method: str, restart, orthog,
                         check_true_residual: bool = True,
                         flexible: bool = False):
@@ -237,7 +248,7 @@ class IterativeLinearSolver(LinearSolver):
         solver core as single-device, with GSPMD inserting the psums for
         the sharded dots/norms.  Forms the preconditioner from the state's
         host matrix; re-jits only when the formed preconditioner, method,
-        restart or orthogonalization change."""
+        restart, orthogonalization or operator format change."""
         from .linear.krylov import cg_solve as _cg, gmres_solve as _gm
 
         prec = self._get_precond(ms["H"], ms["A"])
@@ -247,9 +258,14 @@ class IterativeLinearSolver(LinearSolver):
                     None if prec.is_identity else prec.apply_any)
         papply = getattr(self, f"_{tag}_papply")
         control = self.control
-        key = (method, restart, orthog, flexible, id(prec))
-        if getattr(self, f"_{tag}_jit", None) is None or \
-                getattr(self, f"_{tag}_jit_key", None) != key:
+        # ms["mv"] is the format-specific distributed SpMV (dist_dia_spmv
+        # vs dist_ell_spmv, module-level functions) — keying on it keeps a
+        # cached closure from running the wrong kernel when an unfrozen
+        # solver is reused on a matrix of a different storage format
+        key = (method, restart, orthog, flexible, id(prec), ms["mv"],
+               control.maxiter)
+
+        def make():
             dist_mv = ms["mv"]
 
             def _solve(A_sh, bv, tau):
@@ -263,9 +279,9 @@ class IterativeLinearSolver(LinearSolver):
                            check_true_residual=check_true_residual,
                            norm_fn=control.norm_fn())
 
-            setattr(self, f"_{tag}_jit", jax.jit(_solve))
-            setattr(self, f"_{tag}_jit_key", key)
-        return getattr(self, f"_{tag}_jit")
+            return _solve
+
+        return self._cached_jit(f"_{tag}_jit", key, make)
 
     def _solve_mesh(self, A, b, method: str, restart=None,
                     orthog: str = "mgs",
@@ -292,7 +308,8 @@ class IterativeLinearSolver(LinearSolver):
     # one-line distributed path to 1e-10-grade tolerances.
 
     def _solve_mesh_mixed(self, A, b, method: str, restart=None,
-                          orthog: str = "mgs") -> SolveStatus:
+                          orthog: str = "mgs",
+                          flexible: bool = False) -> SolveStatus:
         from .linear.krylov import KrylovState
 
         if self.control.norm != "2":
@@ -310,7 +327,8 @@ class IterativeLinearSolver(LinearSolver):
         # GMRES's in-graph true-residual recheck (an extra distributed
         # matvec per pass whose verdict would be discarded)
         run = self._mesh_inner_jit(ms, "mm", method, restart, orthog,
-                                   check_true_residual=False)
+                                   check_true_residual=False,
+                                   flexible=flexible)
         n = A_host.shape[0]
 
         # host-driven refinement: exact f64 residuals on the host CSR,
@@ -338,9 +356,10 @@ class IterativeLinearSolver(LinearSolver):
             ms64 = self._mesh_setup(A_host, "mm64", dtype=np.float64)
             prec = getattr(self, "_mm_prec_src", None)
             papply = getattr(self, "_mm_papply", None)
-            key = ("rr", id(prec))
-            if getattr(self, "_mm_rr_jit", None) is None or \
-                    getattr(self, "_mm_rr_key", None) != key:
+            key = ("rr", id(prec), ms["mv"], ms64["mv"],
+                   self.control.maxiter)
+
+            def make():
                 mv32, mv64 = ms["mv"], ms64["mv"]
                 control = self.control
 
@@ -351,11 +370,12 @@ class IterativeLinearSolver(LinearSolver):
                         maxiter=control.maxiter, tau=tau, precond=papply)
                     return x64, st.k
 
-                self._mm_rr_jit = jax.jit(_rr)
-                self._mm_rr_key = key
+                return _rr
+
+            rr_run = self._cached_jit("_mm_rr_jit", key, make)
             b_pad = ms64["pad"](ms64["A"], b_h / b_norm)
-            x64, k = self._mm_rr_jit(ms["A"], ms64["A"], b_pad,
-                                     self._effective_tau())
+            x64, k = rr_run(ms["A"], ms64["A"], b_pad,
+                            self._effective_tau())
             inner_total += int(k)
             x_h = b_norm * np.asarray(x64[:n], dtype=np.float64)
         for disp in range(21):
@@ -684,7 +704,8 @@ class GMRESSolver(IterativeLinearSolver):
             if getattr(self, "precision", "native") == "mixed":
                 return self._solve_mesh_mixed(A, b, "gmres",
                                               restart=self.restart or 60,
-                                              orthog=self.orthog)
+                                              orthog=self.orthog,
+                                              flexible=self.flexible)
             return self._solve_mesh(A, b, "gmres", restart=self.restart,
                                     orthog=self.orthog,
                                     flexible=self.flexible)

@@ -83,6 +83,25 @@ class TestMeshFactory:
         assert st.success
         assert np.linalg.norm(np.asarray(st.soln) - x_exact) <= 1e-6
 
+    def test_solver_reuse_across_matrix_formats(self, mesh):
+        """An UNFROZEN mesh solver reused on a matrix of a different
+        storage format must re-setup, not invoke a cached jit whose
+        closure captured the other format's SpMV (regression: the rr
+        fast path crashed with AttributeError running dist_dia_spmv on a
+        ShardedEll after a DIA-profitable solve)."""
+        H_band = fd_laplacian_2d(24)                 # DIA-profitable
+        H_unst, x_exact, b_unst = dh_test_problem(8)  # ELL route
+        rng = np.random.default_rng(3)
+        xb = rng.random(H_band.shape[0])
+        for precision in ("native", "mixed"):
+            s = PCG(CommonSolverArgs(maxiter=4000, tau=1e-10),
+                    precision=precision, mesh=mesh).make_solver()
+            st1 = s.solve(H_band, H_band.matvec(xb))
+            assert st1.success
+            st2 = s.solve(H_unst, b_unst)            # same solver, new A
+            assert st2.success
+            assert np.linalg.norm(np.asarray(st2.soln) - x_exact) <= 1e-6
+
     def test_gmres_mesh_cgs2(self, mesh):
         """orthog="cgs2" (one all-reduce per Arnoldi step — the
         distributed-friendly orthogonalization) threads through the mesh

@@ -19,7 +19,7 @@ from . import ops, problems, sparse, linear
 from .core import SolverConfig, SolveStatus, StopReason
 from .sparse import HostCSR, EllMatrix, DiaMatrix, read_mtx, write_mtx
 from .ops import matvec
-from .linear import cg_solve, gmres_solve
+from .linear import cg_solve, cg_solve_multi, gmres_solve
 from . import api
 from .api import (CommonSolverArgs, PCG, GMRES, DefaultDirect,
                   LinearSolverType, IterativeLinearSolverType)
@@ -45,7 +45,7 @@ RightIC = ICPreconditionerType
 __all__ = [
     "SolverConfig", "SolveStatus", "StopReason", "CommonSolverArgs",
     "HostCSR", "EllMatrix", "DiaMatrix", "read_mtx", "write_mtx",
-    "matvec", "cg_solve", "gmres_solve",
+    "matvec", "cg_solve", "cg_solve_multi", "gmres_solve",
     "PCG", "GMRES", "DefaultDirect", "LinearSolverType",
     "IterativeLinearSolverType",
     "ILUTPreconditionerType", "ICPreconditionerType", "RightILUT",

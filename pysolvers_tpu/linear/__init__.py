@@ -1,4 +1,4 @@
-from .krylov import cg_solve, gmres_solve, KrylovState
+from .krylov import cg_solve, cg_solve_multi, gmres_solve, KrylovState
 from .preconditioner import (Preconditioner, PreconditionerType,
                              IdentityPreconditionerType,
                              JacobiPreconditionerType,
@@ -7,7 +7,7 @@ from .ilu import (ilut_factor, ict_factor, ILUTPreconditionerType,
                   ICPreconditionerType)
 
 __all__ = [
-    "cg_solve", "gmres_solve", "KrylovState",
+    "cg_solve", "cg_solve_multi", "gmres_solve", "KrylovState",
     "Preconditioner", "PreconditionerType", "IdentityPreconditionerType",
     "JacobiPreconditionerType", "ChebyshevPreconditionerType",
     "ilut_factor", "ict_factor", "ILUTPreconditionerType",

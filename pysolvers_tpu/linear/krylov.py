@@ -168,6 +168,95 @@ def cg_solve(matvec: Callable, b: jax.Array, x0: Optional[jax.Array] = None,
     return final.x, KrylovState(final.k, final.resid, final.reason), final.history
 
 
+class _CGMultiCarry(NamedTuple):
+    k: jax.Array          # per-column iteration counts (k_rhs,)
+    X: jax.Array          # (n, k_rhs)
+    R: jax.Array
+    P: jax.Array
+    u_dot_r: jax.Array    # per-column (k_rhs,)
+    resid: jax.Array      # per-column norms (k_rhs,)
+    reason: jax.Array     # per-column StopReason (k_rhs,)
+
+
+def cg_solve_multi(matvec: Callable, B: jax.Array,
+                   X0: Optional[jax.Array] = None, *,
+                   maxiter: int = 100, tau: float = 1e-8,
+                   precond: Optional[Callable] = None):
+    """Blocked multi-RHS preconditioned CG: ``k_rhs`` independent CG
+    recurrences advanced in lockstep, fully jitted.  Returns
+    (X, KrylovState-of-vectors, None) with per-column iteration counts,
+    residual norms and stop reasons.
+
+    TPU rationale: each iteration makes ONE pass over the operator for
+    all columns (``matvec`` is an SpMM taking (n, k_rhs) -> (n, k_rhs),
+    e.g. ``lambda V: ops.matmat(A, V)``) — k× the arithmetic intensity
+    of k sequential solves on the bandwidth-bound SpMV, and the dense
+    column blocks feed the MXU.  Finished columns are frozen (masked
+    alpha/beta), so mixed convergence speeds cost no extra updates; the
+    loop runs until every column has stopped.  No reference counterpart
+    (the reference solves one RHS per call, PCGSolver.py:64-145);
+    semantics per column match ``cg_solve`` (breakdowns on u·r / p·Ap,
+    convergence on ||r_j|| <= tau·||b_j||, trivial-b shortcut).
+
+    ``precond`` (optional) applies M⁻¹ columnwise to an (n, k_rhs) block
+    — pass a naturally-blocked apply (Jacobi/Chebyshev/AMG V-cycles and
+    the trisolve plans all accept matrices) or wrap a vector-only apply
+    with ``jax.vmap(apply, in_axes=1, out_axes=1)``.
+    """
+    M = precond or (lambda V: V)
+    dot = lambda a, c: jnp.sum(a * c, axis=0)        # per-column
+    norm = lambda V: jnp.sqrt(dot(V, V))
+    if X0 is None:
+        X0 = jnp.zeros_like(B)
+
+    tols = tau * norm(B)
+    R0 = B - matvec(X0)
+    U0 = M(R0)
+    udr0 = dot(U0, R0)
+    resid0 = norm(R0)
+    zero = jnp.zeros((), dtype=B.dtype)
+
+    def cond(c: _CGMultiCarry):
+        return jnp.any(c.reason == StopReason.RUNNING)
+
+    def body(c: _CGMultiCarry):
+        running = c.reason == StopReason.RUNNING
+        AP = matvec(c.P)
+        pAp = dot(c.P, AP)
+        breakdown_pap = pAp == zero
+        alpha = jnp.where(running & ~breakdown_pap, c.u_dot_r / pAp, 0.0)
+        X = c.X + alpha[None, :] * c.P
+        R = c.R - alpha[None, :] * AP
+        resid = jnp.where(running, norm(R), c.resid)
+        U = M(R)
+        udr_new = dot(U, R)
+        breakdown_udr = udr_new == zero
+        beta = jnp.where(running & (c.u_dot_r != 0),
+                         udr_new / c.u_dot_r, 0.0)
+        # frozen columns keep their direction; running ones recur
+        P = jnp.where(running[None, :], U + beta[None, :] * c.P, c.P)
+        k = c.k + running.astype(jnp.int32)
+
+        reason = jnp.where(
+            ~running, c.reason,
+            jnp.where(resid <= tols, StopReason.CONVERGED,
+                      jnp.where(breakdown_pap | breakdown_udr,
+                                StopReason.BREAKDOWN,
+                                jnp.where(k >= maxiter, StopReason.MAXITER,
+                                          StopReason.RUNNING)))
+        ).astype(jnp.int32)
+        return _CGMultiCarry(k, X, R, P, udr_new, resid, reason)
+
+    init_reason = jnp.where(
+        resid0 <= tols, StopReason.CONVERGED,
+        jnp.where(udr0 == 0, StopReason.BREAKDOWN,
+                  StopReason.RUNNING)).astype(jnp.int32)
+    init = _CGMultiCarry(jnp.zeros(B.shape[1], jnp.int32), X0, R0, U0,
+                         udr0, resid0, init_reason)
+    final = jax.lax.while_loop(cond, body, init)
+    return final.X, KrylovState(final.k, final.resid, final.reason), None
+
+
 class _CGRRCarry(NamedTuple):
     k: jax.Array
     x64: jax.Array        # f64 accumulated correction

@@ -96,6 +96,11 @@ def solve(A, b, *, tau: float = 1e-8, maxiter: int = 1000,
         else:
             method = "cg" if _is_symmetric(A) else "gmres"
 
+    if b.ndim == 2:
+        return _solve_multi(A, b, tau=tau, maxiter=maxiter, method=method,
+                            precond=precond, precision=precision,
+                            **solver_kwargs)
+
     if method == "direct":
         return DefaultDirect().make_solver().solve(A, b)
     if method not in ("cg", "gmres"):
@@ -116,6 +121,75 @@ def solve(A, b, *, tau: float = 1e-8, maxiter: int = 1000,
     else:
         factory = GMRES(control, precond=prec_type, **gm_kwargs)
     return factory.make_solver().solve(A, b)
+
+
+def _solve_multi(A: HostCSR, B: np.ndarray, *, tau, maxiter, method,
+                 precond, precision, **solver_kwargs) -> SolveStatus:
+    """Multi-RHS dispatch for ``solve(A, B)`` with B of shape (n, k).
+
+    Native-precision CG runs the blocked lockstep solver
+    (``linear.krylov.cg_solve_multi`` — one SpMM operator pass per
+    iteration for all columns); everything else (direct, GMRES, mixed
+    precision) solves column-by-column through ONE solver with the
+    matrix frozen, so setup (factorization, packs, compiled graphs) is
+    paid once.  Returns a single SolveStatus: ``soln`` is (n, k),
+    ``iters`` the max per-column count, ``resid`` the max per-column
+    residual norm, ``success`` only if every column succeeded.
+    """
+    import jax.numpy as jnp
+
+    from .core import StopReason, make_status
+
+    if method == "cg" and precision == "native":
+        import jax
+
+        from .api import as_device_matrix
+        from .linear.krylov import KrylovState, cg_solve_multi
+        from .ops import matmat
+
+        A_host, A_dev = as_device_matrix(A)
+        prec_type = _precond_type(precond, method, A.shape[0])
+        papply = None
+        if prec_type is not None:
+            prec = prec_type.form(A_host, A_dev)
+            if not prec.is_identity:
+                col_apply = prec.apply_any
+                papply = jax.vmap(col_apply, in_axes=1, out_axes=1)
+        X, st, _ = cg_solve_multi(
+            lambda V: matmat(A_dev, V), jnp.asarray(B), maxiter=maxiter,
+            tau=tau, precond=papply)
+        worst = int(np.asarray(st.reason).max())  # RUNNING<CONV<others
+        agg = KrylovState(jnp.int32(int(np.asarray(st.k).max())),
+                          jnp.asarray(float(np.asarray(st.resid).max())),
+                          jnp.int32(worst))
+        control = CommonSolverArgs(maxiter=maxiter, tau=tau)
+        return make_status(X, agg, control)
+
+    # column loop sharing one solver's setup (frozen matrix)
+    sts = []
+    first = solve(A, B[:, 0], tau=tau, maxiter=maxiter, method=method,
+                  precond=precond, precision=precision, **solver_kwargs)
+    sts.append(first)
+    if precision == "mixed" and method != "direct":
+        s = _cached_mixed_solver(
+            A, method, precond, tau, maxiter,
+            solver_kwargs.get("restart"),
+            _precond_type(precond, method, A.shape[0]))
+        for j in range(1, B.shape[1]):
+            sts.append(s.solve(A, B[:, j]))
+    else:
+        for j in range(1, B.shape[1]):
+            sts.append(solve(A, B[:, j], tau=tau, maxiter=maxiter,
+                             method=method, precond=precond,
+                             precision=precision, **solver_kwargs))
+    X = jnp.stack([jnp.asarray(st.soln) for st in sts], axis=1)
+    failed = [st for st in sts if not st.success]
+    return SolveStatus(
+        success=not failed, soln=X,
+        resid=max(float(st.resid) for st in sts),
+        iters=max(int(st.iters) for st in sts),
+        reason=failed[0].reason if failed else StopReason.CONVERGED,
+        msg="; ".join(sorted({st.msg for st in sts if st.msg})))
 
 
 # --- mixed-precision solver cache ------------------------------------------

@@ -171,6 +171,74 @@ class TestFGMRES:
         np.testing.assert_allclose(np.asarray(x1), np.asarray(x2), atol=1e-8)
 
 
+class TestCGMulti:
+    """Blocked multi-RHS CG: per-column semantics match cg_solve while one
+    SpMM pass per iteration serves every column."""
+
+    def _problem(self, k_rhs=4, lev=9):
+        from pysolvers_tpu.problems import dh_test_problem
+        H, _, _ = dh_test_problem(lev)
+        n = H.shape[0]
+        rng = np.random.default_rng(7)
+        X_exact = rng.random((n, k_rhs))
+        B = np.stack([H.matvec(X_exact[:, j]) for j in range(k_rhs)],
+                     axis=1)
+        A = EllMatrix.from_host_csr(H)
+        return H, A, X_exact, B
+
+    def test_matches_per_column_cg(self):
+        from pysolvers_tpu.linear.krylov import cg_solve_multi
+        from pysolvers_tpu.ops import matmat
+        H, A, X_exact, B = self._problem()
+        X, st, _ = cg_solve_multi(lambda V: matmat(A, V), jnp.asarray(B),
+                                  maxiter=600, tau=1e-10)
+        assert (np.asarray(st.reason) == StopReason.CONVERGED).all()
+        for j in range(B.shape[1]):
+            xj, stj, _ = cg_solve(lambda v: matvec(A, v),
+                                  jnp.asarray(B[:, j]), maxiter=600,
+                                  tau=1e-10)
+            # identical recurrence per column (same dots, same alphas)
+            assert int(st.k[j]) == int(stj.k)
+            np.testing.assert_allclose(np.asarray(X[:, j]), np.asarray(xj),
+                                       rtol=0, atol=1e-12)
+        np.testing.assert_allclose(np.asarray(X), X_exact, atol=1e-6)
+
+    def test_mixed_convergence_and_trivial_column(self):
+        """Columns converge at different iterations; a zero column is
+        CONVERGED immediately with x = 0; finished columns stay frozen."""
+        from pysolvers_tpu.linear.krylov import cg_solve_multi
+        from pysolvers_tpu.ops import matmat
+        H, A, X_exact, B = self._problem(k_rhs=3)
+        B = B.copy()
+        B[:, 1] = 0.0                        # trivial column
+        B[:, 2] *= 1e-8                      # same conditioning, scaled
+        X, st, _ = cg_solve_multi(lambda V: matmat(A, V), jnp.asarray(B),
+                                  maxiter=600, tau=1e-10)
+        assert (np.asarray(st.reason) == StopReason.CONVERGED).all()
+        assert int(st.k[1]) == 0
+        np.testing.assert_allclose(np.asarray(X[:, 1]), 0.0, atol=0)
+        for j in (0, 2):
+            rn = np.linalg.norm(B[:, j] - H.matvec(np.asarray(X[:, j])))
+            assert rn <= 1e-10 * np.linalg.norm(B[:, j]) * 1.01
+
+    def test_preconditioned_block(self):
+        """Jacobi preconditioning applied blockwise cuts iterations for
+        every column."""
+        from pysolvers_tpu.linear.krylov import cg_solve_multi
+        from pysolvers_tpu.ops import matmat
+        H, A, X_exact, B = self._problem()
+        d = jnp.asarray(1.0 / H.diagonal())
+        Bj = jnp.asarray(B)
+        X0s, st0, _ = cg_solve_multi(lambda V: matmat(A, V), Bj,
+                                     maxiter=600, tau=1e-10)
+        X1s, st1, _ = cg_solve_multi(lambda V: matmat(A, V), Bj,
+                                     maxiter=600, tau=1e-10,
+                                     precond=lambda V: d[:, None] * V)
+        assert (np.asarray(st1.reason) == StopReason.CONVERGED).all()
+        assert (np.asarray(st1.k) <= np.asarray(st0.k)).all()
+        np.testing.assert_allclose(np.asarray(X1s), X_exact, atol=1e-6)
+
+
 class TestCGResidualReplacement:
     """cg_solve_rr: f32 CG + periodic f64 residual replacement converges to
     f64-grade TRUE residuals in near-f64 iteration counts (no restarts)."""

@@ -50,6 +50,55 @@ class TestSolveAuto:
         np.testing.assert_allclose(np.asarray(st.soln), x, atol=1e-8)
 
 
+class TestSolveMultiRHS:
+    """solve(A, B) with B of shape (n, k): blocked CG for SPD native
+    precision, shared-setup column loop otherwise."""
+
+    def _spd(self, k=3, m=26):
+        H = fd_laplacian_2d(m)
+        n = H.shape[0]
+        X = np.random.default_rng(5).random((n, k))
+        B = np.stack([H.matvec(X[:, j]) for j in range(k)], axis=1)
+        return H, X, B
+
+    def test_spd_blocked_cg(self):
+        H, X, B = self._spd()
+        st = pst.solve(H, B, tau=1e-10, precond="jacobi")
+        assert st.success
+        assert np.asarray(st.soln).shape == B.shape
+        np.testing.assert_allclose(np.asarray(st.soln), X, atol=1e-6)
+        for j in range(B.shape[1]):
+            rn = np.linalg.norm(B[:, j]
+                                - H.matvec(np.asarray(st.soln[:, j])))
+            assert rn <= 1e-10 * np.linalg.norm(B[:, j]) * 1.01
+
+    def test_multi_rhs_direct(self):
+        H, x_exact, b = dh_test_problem(8)       # n=145 -> direct route
+        B = np.stack([b, 2.0 * b], axis=1)
+        st = pst.solve(H, B)
+        assert st.success
+        np.testing.assert_allclose(np.asarray(st.soln[:, 1]),
+                                   2.0 * x_exact, atol=1e-6)
+
+    def test_multi_rhs_gmres(self):
+        H = fd_laplacian_2d(26)
+        rows, cols, vals = H.to_coo()
+        vals = vals + np.where(cols == rows + 1, 100.0, 0.0)
+        Hn = HostCSR.from_coo(rows, cols, vals, H.shape,
+                              sum_duplicates=False)
+        X = np.random.default_rng(6).random((676, 2))
+        B = np.stack([Hn.matvec(X[:, j]) for j in range(2)], axis=1)
+        st = pst.solve(Hn, B, tau=1e-10, maxiter=700)
+        assert st.success
+        np.testing.assert_allclose(np.asarray(st.soln), X, atol=1e-5)
+
+    def test_multi_rhs_mixed(self):
+        H, X, B = self._spd(k=2, m=40)
+        st = pst.solve(H, B, tau=1e-10, precision="mixed")
+        assert st.success
+        np.testing.assert_allclose(np.asarray(st.soln), X, atol=1e-6)
+
+
 class TestMixedPrecision:
     def test_mixed_cg_unstructured(self):
         from pysolvers_tpu.problems import dh_test_problem

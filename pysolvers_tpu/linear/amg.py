@@ -266,11 +266,15 @@ def _pad_fine_level(mlh: MLHierarchy, n_pad: int) -> MLHierarchy:
     return MLHierarchy(mats, Ps, Rs)
 
 
-def build_device_hierarchy(mlh: MLHierarchy, smoother: str = "gs",
+def build_device_hierarchy(mlh: MLHierarchy, smoother: str = "auto",
                            nu_pre: int = 2, nu_post: int = 2,
                            dtype=None, mesh=None,
                            matrix_format: str = "auto") -> DeviceHierarchy:
     """Lower the host hierarchy onto the device(s).
+
+    ``smoother``: "auto" (default — "gs" on CPU for reference parity,
+    "jacobi" on TPU backends where the level-scheduled trisolve lowers
+    to XLA's scalar path), "jacobi", "gs", "sgs", or "chebyshev".
 
     ``mesh`` (optional): a 1-D jax Mesh — the FINEST level's operator,
     diagonal and vectors are row-sharded over it (gather-coarse policy:
@@ -284,6 +288,15 @@ def build_device_hierarchy(mlh: MLHierarchy, smoother: str = "gs",
     kernel — the TPU-fast path (ELL gathers lower to XLA's scalar loop
     there).  f32 only; levels/transfers below ~2000 rows keep the auto
     format (packing overhead dominates).  Not combined with ``mesh``."""
+    if smoother == "auto":
+        # reference parity ("gs", ClassicSmoothers.py:20-36) where the
+        # level-scheduled trisolve is fast (CPU); on TPU backends its
+        # per-level gathers lower to XLA's scalar path (~100x slower than
+        # the cycle's matvecs), so auto picks the matvec-only weighted
+        # Jacobi — the smoother every committed TPU benchmark uses
+        import jax as _jx
+        smoother = ("jacobi" if _jx.default_backend() in ("tpu", "axon")
+                    else "gs")
     use_bws = matrix_format == "bws"
     if use_bws and mesh is not None:
         raise ValueError("matrix_format='bws' with mesh= not supported yet")
@@ -547,7 +560,7 @@ class AMGVCycle(IterativeLinearSolverType):
 
     def __init__(self, control: Optional[SolverConfig] = None,
                  num_levels: int = 2, nu_pre: int = 2, nu_post: int = 2,
-                 smoother: str = "gs", base_tol: float = 0.08, mesh=None,
+                 smoother: str = "auto", base_tol: float = 0.08, mesh=None,
                  matrix_format: str = "auto"):
         super().__init__(control, None)
         self.num_levels = num_levels
@@ -651,7 +664,7 @@ class AMGPreconditionerType(PreconditionerType):
     maxiter=numIters, failOnMaxiter=False, matrix frozen)."""
 
     def __init__(self, num_iters: int = 5, num_levels: int = 2,
-                 nu_pre: int = 2, nu_post: int = 2, smoother: str = "gs",
+                 nu_pre: int = 2, nu_post: int = 2, smoother: str = "auto",
                  base_tol: float = 0.08, side: str = "both"):
         self.num_iters = num_iters
         self.num_levels = num_levels

@@ -137,7 +137,7 @@ class GMGVCycle(AMGVCycle):
 
     def __init__(self, control: Optional[SolverConfig] = None,
                  dims: Tuple[int, ...] = None, num_levels: int = 2,
-                 nu_pre: int = 3, nu_post: int = 3, smoother: str = "gs",
+                 nu_pre: int = 3, nu_post: int = 3, smoother: str = "auto",
                  matrix_format: str = "auto", mesh=None):
         if dims is None:
             raise ValueError("GMGVCycle needs dims=(m,) or (m, m)")

@@ -97,9 +97,14 @@ def solve(A, b, *, tau: float = 1e-8, maxiter: int = 1000,
             method = "cg" if _is_symmetric(A) else "gmres"
 
     if b.ndim == 2:
+        if b.shape[1] == 0:
+            raise ValueError("solve(A, B): B has zero columns")
         return _solve_multi(A, b, tau=tau, maxiter=maxiter, method=method,
                             precond=precond, precision=precision,
                             **solver_kwargs)
+    if b.ndim != 1:
+        raise ValueError(f"solve() takes b of shape (n,) or (n, k); "
+                         f"got {b.shape}")
 
     if method == "direct":
         return DefaultDirect().make_solver().solve(A, b)

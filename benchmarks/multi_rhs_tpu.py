@@ -1,0 +1,90 @@
+#!/usr/bin/env python
+"""Blocked multi-RHS CG amortization on the device kernels.
+
+Measures the per-iteration cost of ``cg_solve_multi`` at k = 1 and
+k = K rhs on a 2-D FD Laplacian (DIA kernel).  On a bandwidth-bound
+SpMV the operator pass dominates, so a blocked iteration serving K
+columns should cost far less than K single-column iterations — the
+amortization ratio is the headline.  (On CPU the XLA SpMV is
+compute-bound and the ratio is ~1; see PARITY.md.)
+
+Honest-timing method (see bench.py): identical solves at two different
+maxiter values, per-iteration cost = (t_long - t_short) / (k_long -
+k_short); fixed dispatch overhead cancels, tau=0 pins the iteration
+counts, and a scalar fetch forces completion.
+
+Usage: PYTHONPATH=/root/repo:/root/.axon_site python benchmarks/multi_rhs_tpu.py
+"""
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--m", type=int, default=1448)
+    ap.add_argument("--k", type=int, default=8)
+    ap.add_argument("--platform", default=None)
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+
+    import jax
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    jax.config.update("jax_compilation_cache_dir", "/tmp/pst_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    import jax.numpy as jnp
+
+    import pysolvers_tpu as pst
+    from pysolvers_tpu.linear.krylov import cg_solve_multi
+    from pysolvers_tpu.ops import matmat
+    from pysolvers_tpu.sparse import DiaMatrix
+    from pysolvers_tpu.utils.platform import warmup_device
+
+    warmup_device()
+    m = args.m
+    H = pst.problems.fd_laplacian_2d(m, dtype=np.float32)
+    A = DiaMatrix.from_host_csr(H)
+    n = H.shape[0]
+    rng = np.random.default_rng(0)
+
+    def per_iter_cost(k_rhs, short=40, long=200, reps=3):
+        B = jnp.asarray(rng.random((n, k_rhs)).astype(np.float32))
+        # tau=0 => exactly maxiter iterations per column, no convergence
+        # exits to blur the count
+        fns = {it: jax.jit(lambda Bv, it=it: cg_solve_multi(
+            lambda V: matmat(A, V), Bv, maxiter=it, tau=0.0)[0])
+            for it in (short, long)}
+        for f in fns.values():                     # compile
+            float(f(B)[0, 0])
+        best = {}
+        for it, f in fns.items():
+            b = float("inf")
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                float(f(B)[0, 0])                  # forces the fetch
+                b = min(b, time.perf_counter() - t0)
+            best[it] = b
+        return max((best[long] - best[short]) / (long - short), 1e-9)
+
+    c1 = per_iter_cost(1)
+    ck = per_iter_cost(args.k)
+    rec = {
+        "metric": "multi_rhs_cg_amortization",
+        "m": m, "n": n, "k": args.k,
+        "per_iter_k1_s": round(c1, 8),
+        "per_iter_k%d_s" % args.k: round(ck, 8),
+        # cost of one blocked iteration vs k single iterations
+        "amortization_x": round(args.k * c1 / ck, 3),
+        "backend": jax.default_backend(),
+    }
+    print(json.dumps(rec), flush=True)
+    if args.out:
+        with open(args.out, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+
+
+if __name__ == "__main__":
+    main()

@@ -71,6 +71,10 @@ def solve(A, b, *, tau: float = 1e-8, maxiter: int = 1000,
           precision: str = "native", **solver_kwargs) -> SolveStatus:
     """Solve A x = b.  Returns a SolveStatus.
 
+    ``b`` may be (n,) or (n, k) — a 2-D right-hand side solves all k
+    columns (blocked lockstep CG for native-precision SPD systems, a
+    shared-setup column loop otherwise); ``soln`` is then (n, k).
+
     ``method``: "auto" | "cg" | "gmres" | "direct".
     ``precond``: "auto" | "none" | "ic" | "ilut" | "amg" | "jacobi".
     ``precision``: "native" solves in the matrix dtype; "mixed" runs the

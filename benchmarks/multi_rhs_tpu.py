@@ -74,8 +74,8 @@ def main():
     rec = {
         "metric": "multi_rhs_cg_amortization",
         "m": m, "n": n, "k": args.k,
-        "per_iter_k1_s": round(c1, 8),
-        "per_iter_k%d_s" % args.k: round(ck, 8),
+        "per_iter_single_s": round(c1, 8),
+        "per_iter_blocked_s": round(ck, 8),
         # cost of one blocked iteration vs k single iterations
         "amortization_x": round(args.k * c1 / ck, 3),
         "backend": jax.default_backend(),

@@ -262,8 +262,8 @@ class IterativeLinearSolver(LinearSolver):
         # vs dist_ell_spmv, module-level functions) — keying on it keeps a
         # cached closure from running the wrong kernel when an unfrozen
         # solver is reused on a matrix of a different storage format
-        key = (method, restart, orthog, flexible, id(prec), ms["mv"],
-               control.maxiter)
+        key = (method, restart, orthog, flexible, check_true_residual,
+               id(prec), ms["mv"], control.maxiter)
 
         def make():
             dist_mv = ms["mv"]

@@ -129,6 +129,8 @@ def build_grid_hierarchy(A: Optional[HostCSR], num_levels: int,
 
     Pass ``mlh`` to lower an already-built Galerkin sequence (the OO
     shell's hierarchy hook); otherwise it is built from ``A``."""
+    if smoother == "auto":
+        smoother = "jacobi"      # the gather-free executor's native choice
     if smoother not in ("jacobi", "chebyshev"):
         raise ValueError("grid executor supports smoother='jacobi' or "
                          "'chebyshev' (got %r)" % (smoother,))

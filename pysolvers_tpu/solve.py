@@ -164,8 +164,12 @@ def _solve_multi(A: HostCSR, B: np.ndarray, *, tau, maxiter, method,
             if not prec.is_identity:
                 col_apply = prec.apply_any
                 papply = jax.vmap(col_apply, in_axes=1, out_axes=1)
+        # solve in the MATRIX dtype (the single-RHS route's contract,
+        # api.py PCGSolver.solve) — a numpy-f64 B must not silently
+        # promote the whole lockstep solve to emulated f64 on TPU
+        Bd = jnp.asarray(B, dtype=getattr(A_dev, "dtype", None))
         X, st, _ = cg_solve_multi(
-            lambda V: matmat(A_dev, V), jnp.asarray(B), maxiter=maxiter,
+            lambda V: matmat(A_dev, V), Bd, maxiter=maxiter,
             tau=tau, precond=papply)
         worst = int(np.asarray(st.reason).max())  # RUNNING<CONV<others
         agg = KrylovState(jnp.int32(int(np.asarray(st.k).max())),
@@ -174,23 +178,26 @@ def _solve_multi(A: HostCSR, B: np.ndarray, *, tau, maxiter, method,
         control = CommonSolverArgs(maxiter=maxiter, tau=tau)
         return make_status(X, agg, control)
 
-    # column loop sharing one solver's setup (frozen matrix)
-    sts = []
-    first = solve(A, B[:, 0], tau=tau, maxiter=maxiter, method=method,
-                  precond=precond, precision=precision, **solver_kwargs)
-    sts.append(first)
-    if precision == "mixed" and method != "direct":
+    # column loop sharing ONE solver: matrix + preconditioner frozen, so
+    # setup (factorization, packs, compiled graphs) is paid once, not k×
+    if method == "direct":
+        s = DefaultDirect().make_solver()
+    elif precision == "mixed":
         s = _cached_mixed_solver(
             A, method, precond, tau, maxiter,
             solver_kwargs.get("restart"),
             _precond_type(precond, method, A.shape[0]))
-        for j in range(1, B.shape[1]):
-            sts.append(s.solve(A, B[:, j]))
     else:
-        for j in range(1, B.shape[1]):
-            sts.append(solve(A, B[:, j], tau=tau, maxiter=maxiter,
-                             method=method, precond=precond,
-                             precision=precision, **solver_kwargs))
+        control = CommonSolverArgs(maxiter=maxiter, tau=tau)
+        prec_type = _precond_type(precond, method, A.shape[0])
+        gm_kwargs = {k: v for k, v in solver_kwargs.items()
+                     if k in ("restart", "flexible", "orthog")}
+        factory = (PCG(control, precond=prec_type) if method == "cg"
+                   else GMRES(control, precond=prec_type, **gm_kwargs))
+        s = factory.make_solver()
+        s.freeze_matrix()
+        s.freeze_prec()
+    sts = [s.solve(A, B[:, j]) for j in range(B.shape[1])]
     X = jnp.stack([jnp.asarray(st.soln) for st in sts], axis=1)
     failed = [st for st in sts if not st.success]
     return SolveStatus(

@@ -132,6 +132,22 @@ def test_gmg_factory_grid_executor():
     assert np.linalg.norm(np.asarray(st.soln) - x_exact) < 1e-7
 
 
+def test_gmg_factory_grid_executor_default_smoother():
+    """The default smoother='auto' must work on the grid executor too
+    (regression: it was resolved only in the sparse hierarchy builder,
+    so the grid path raised ValueError on the default)."""
+    from pysolvers_tpu import GMGVCycle, SolverConfig
+    m = 31
+    A = pst.problems.fd_laplacian_2d(m)
+    rng = np.random.default_rng(6)
+    x_exact = rng.random(m * m)
+    s = GMGVCycle(SolverConfig(maxiter=60, tau=1e-10), dims=(m, m),
+                  num_levels=3, matrix_format="grid").make_solver()
+    st = s.solve(A, A.matvec(x_exact))
+    assert st.success
+    assert np.linalg.norm(np.asarray(st.soln) - x_exact) < 1e-7
+
+
 def test_gmg_preconditioner_type_in_pcg_factory():
     """GMGPreconditionerType drives PCG through the factory API (the GMG
     counterpart of reference PCGExample_AMG.py:20-22)."""

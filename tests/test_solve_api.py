@@ -61,9 +61,10 @@ class TestSolveMultiRHS:
         B = np.stack([H.matvec(X[:, j]) for j in range(k)], axis=1)
         return H, X, B
 
-    def test_spd_blocked_cg(self):
+    @pytest.mark.parametrize("precond", ["jacobi", "ic", "amg"])
+    def test_spd_blocked_cg(self, precond):
         H, X, B = self._spd()
-        st = pst.solve(H, B, tau=1e-10, precond="jacobi")
+        st = pst.solve(H, B, tau=1e-10, precond=precond)
         assert st.success
         assert np.asarray(st.soln).shape == B.shape
         np.testing.assert_allclose(np.asarray(st.soln), X, atol=1e-6)

@@ -616,6 +616,11 @@ class PCGSolver(IterativeLinearSolver):
         self._jit_op = None
 
     def solve(self, A, b) -> SolveStatus:
+        if np.ndim(b) == 2:
+            raise ValueError(
+                "factory solvers take a 1-D right-hand side; for k RHS "
+                "use pysolvers_tpu.solve(A, B) (blocked multi-RHS) or "
+                "linear.cg_solve_multi")
         if getattr(self, "mesh", None) is not None:
             if getattr(self, "precision", "native") == "mixed":
                 return self._solve_mesh_mixed(A, b, "cg")
@@ -700,6 +705,11 @@ class GMRESSolver(IterativeLinearSolver):
         self.orthog = orthog
 
     def solve(self, A, b) -> SolveStatus:
+        if np.ndim(b) == 2:
+            raise ValueError(
+                "factory solvers take a 1-D right-hand side; for k RHS "
+                "use pysolvers_tpu.solve(A, B) (blocked multi-RHS) or "
+                "linear.cg_solve_multi")
         if getattr(self, "mesh", None) is not None:
             if getattr(self, "precision", "native") == "mixed":
                 return self._solve_mesh_mixed(A, b, "gmres",

@@ -236,10 +236,28 @@ def ell_spmm_xla(A: EllMatrix, X: jax.Array) -> jax.Array:
 
 
 def dia_spmm(A: DiaMatrix, X: jax.Array) -> jax.Array:
-    """Y = A @ X for banded A (vmapped shift-and-fma over RHS columns;
-    uses the XLA path — batching a Pallas grid is not portable)."""
-    return jax.vmap(lambda col: dia_spmv_xla(A, col), in_axes=1,
-                    out_axes=1)(X)
+    """Y = A @ X for banded A: shift-and-fma over the whole (n, k) RHS
+    block.  One pass streams the matrix ONCE for all k columns (the
+    vmapped-SpMV form it replaces re-read the diagonals per column —
+    measured amortization 1.0x on TPU; this form is where the blocked
+    multi-RHS win actually comes from).  XLA fuses the D shifted
+    row-slices of X into one stencil loop."""
+    n = A.n_rows
+    n_cols = A.shape[1]
+    n_pad = A.diags.shape[1]
+    pad_lo = max(0, -min(A.offsets))
+    # pad against X's row count (= n_cols), NOT n_rows — same rectangular
+    # -operator clamping hazard as dia_spmv_xla
+    pad_hi = max(0, max(0, max(A.offsets)) + n_pad - n_cols)
+    k = X.shape[1]
+    Xp = jnp.concatenate([
+        jnp.zeros((pad_lo, k), X.dtype), X.astype(A.dtype),
+        jnp.zeros((pad_hi, k), A.dtype)], axis=0)
+    acc = jnp.zeros((n_pad, k), dtype=jnp.result_type(A.dtype, X.dtype))
+    for d, off in enumerate(A.offsets):
+        acc = acc + A.diags[d][:, None] * jax.lax.dynamic_slice(
+            Xp, (off + pad_lo, 0), (n_pad, k))
+    return acc[:n]
 
 
 def matmat(A, X: jax.Array) -> jax.Array:

@@ -105,8 +105,18 @@ def run_ours(args, emit):
 
     def setup_mg():
         A32, A64 = setup_operator()
-        hier = build_grid_hierarchy(H, num_levels=levels, dims=(m, m),
-                                    smoother="jacobi", dtype=np.float32)
+        if jax.default_backend() in ("tpu", "axon"):
+            # device-probed Galerkin: coarse levels built ON DEVICE from
+            # the already-resident fine DIA — no host SpGEMM, no coarse
+            # uploads through the tunnel (gmg_grid.py)
+            from pysolvers_tpu.linear.gmg_grid import (
+                build_grid_hierarchy_device)
+            hier = build_grid_hierarchy_device(A32, levels, (m, m),
+                                               smoother="jacobi")
+        else:
+            hier = build_grid_hierarchy(H, num_levels=levels, dims=(m, m),
+                                        smoother="jacobi",
+                                        dtype=np.float32)
         jax.block_until_ready(jax.tree_util.tree_leaves(hier))
         return A32, A64, hier
 

@@ -31,7 +31,7 @@ from .linear import amg as _amg
 from .linear.amg import AMG, AMGPreconditionerType, AMGVCycle
 from .linear.gmg import GMGVCycle, GMGPreconditionerType
 from .linear.gmg_grid import (GridHierarchy, build_grid_hierarchy,
-                              v_cycle_grid)
+                              build_grid_hierarchy_device, v_cycle_grid)
 from . import nonlinear
 from .nonlinear import (NewtonSolver, FuncAdapter1D, SimpleBacktrack,
                         TrivialLinesearch)
@@ -54,7 +54,8 @@ __all__ = [
     "ChebyshevPreconditionerType",
     "AMG", "AMGPreconditionerType", "AMGVCycle", "GMGVCycle",
     "GMGPreconditionerType",
-    "GridHierarchy", "build_grid_hierarchy", "v_cycle_grid",
+    "GridHierarchy", "build_grid_hierarchy", "build_grid_hierarchy_device",
+    "v_cycle_grid",
     "NewtonSolver", "FuncAdapter1D", "SimpleBacktrack", "TrivialLinesearch",
     "solve",
 ]

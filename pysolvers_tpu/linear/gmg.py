@@ -194,7 +194,7 @@ class GMGPreconditionerType(PreconditionerType):
     def __init__(self, dims: Tuple[int, ...], num_iters: int = 5,
                  num_levels: int = 2, nu_pre: int = 2, nu_post: int = 2,
                  smoother: str = "jacobi", executor: str = "grid",
-                 side: str = "both"):
+                 side: str = "both", galerkin: str = "auto"):
         self.dims = tuple(int(d) for d in dims)
         self.num_iters = num_iters
         self.num_levels = num_levels
@@ -203,15 +203,32 @@ class GMGPreconditionerType(PreconditionerType):
         self.smoother = smoother
         self.executor = executor
         self.side = side
+        self.galerkin = galerkin
 
-    def _hierarchy(self, A_host: HostCSR, dtype):
+    def _hierarchy(self, A_host: HostCSR, dtype, A_dev=None):
         import numpy as np
         if self.executor == "grid":
-            from .gmg_grid import build_grid_hierarchy
+            import jax
+            from ..sparse.device import DiaMatrix
+            from .gmg_grid import (build_grid_hierarchy,
+                                   build_grid_hierarchy_device)
+            gal = self.galerkin
+            if gal == "auto":
+                gal = ("device"
+                       if jax.default_backend() in ("tpu", "axon")
+                       else "host")
+            if gal == "device" and isinstance(A_dev, DiaMatrix):
+                # operator already device-resident: probe straight from
+                # it — the hierarchy build uploads NOTHING
+                return build_grid_hierarchy_device(
+                    A_dev, self.num_levels, self.dims,
+                    smoother=self.smoother, nu_pre=self.nu_pre,
+                    nu_post=self.nu_post)
             return build_grid_hierarchy(
                 A_host, self.num_levels, self.dims,
                 smoother=self.smoother, nu_pre=self.nu_pre,
-                nu_post=self.nu_post, dtype=np.dtype(dtype))
+                nu_post=self.nu_post, dtype=np.dtype(dtype),
+                galerkin=gal)
         from .amg import build_device_hierarchy
         mlh = build_gmg_hierarchy(A_host, self.num_levels, self.dims)
         return build_device_hierarchy(mlh, self.smoother, self.nu_pre,
@@ -219,7 +236,7 @@ class GMGPreconditionerType(PreconditionerType):
 
     def form(self, A_host: HostCSR, A_dev=None):
         from .amg import _amg_apply_fn
-        h = self._hierarchy(A_host, A_host.data.dtype)
+        h = self._hierarchy(A_host, A_host.data.dtype, A_dev=A_dev)
         apply_fn = _amg_apply_fn(self.num_iters)
         prec = self._wrap(lambda v: apply_fn(h, v))
         prec.traced = (apply_fn, h)

@@ -19,6 +19,7 @@ transpose (`amg.make_restriction`), so the Galerkin hierarchy from
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import List, Optional, Tuple
 
 import jax
@@ -26,6 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops import matvec
+from ..ops.spmv import dia_spmm
 from ..sparse.device import DiaMatrix
 from ..sparse.host import HostCSR
 from .amg import MLHierarchy, _smooth
@@ -121,14 +123,35 @@ def build_grid_hierarchy(A: Optional[HostCSR], num_levels: int,
                          dims: Tuple[int, ...], smoother: str = "jacobi",
                          nu_pre: int = 2, nu_post: int = 2,
                          dtype=np.float32,
-                         mlh: Optional[MLHierarchy] = None) -> GridHierarchy:
+                         mlh: Optional[MLHierarchy] = None,
+                         galerkin: str = "host") -> GridHierarchy:
     """Galerkin hierarchy (gmg.build_gmg_hierarchy) lowered as DIA
     stencils; the coarsest dense inverse and every upload ride ONE fused
     dispatch (ops/fuse.py).  Smoothers: "jacobi" (ω=2/3) or "chebyshev"
     (GS needs triangular solves — use the sparse executor for that).
 
     Pass ``mlh`` to lower an already-built Galerkin sequence (the OO
-    shell's hierarchy hook); otherwise it is built from ``A``."""
+    shell's hierarchy hook); otherwise it is built from ``A``.
+
+    ``galerkin``: "host" computes coarse operators by host SpGEMM and
+    uploads every level; "device" probes them on device from the fine
+    DIA operator (`build_grid_hierarchy_device` — no host SpGEMM, no
+    coarse uploads); "auto" picks "device" on TPU backends when
+    building from ``A``."""
+    if galerkin == "auto":
+        galerkin = ("device" if mlh is None and A is not None
+                    and jax.default_backend() in ("tpu", "axon")
+                    else "host")
+    if galerkin == "device":
+        if mlh is not None:
+            raise ValueError("galerkin='device' builds from the fine "
+                             "operator; it cannot lower a pre-built mlh")
+        A_dev = DiaMatrix.from_host_csr(A, dtype=dtype)
+        return build_grid_hierarchy_device(A_dev, num_levels, dims,
+                                           smoother, nu_pre, nu_post)
+    if galerkin != "host":
+        raise ValueError("galerkin must be 'host', 'device' or 'auto' "
+                         "(got %r)" % (galerkin,))
     if smoother == "auto":
         smoother = "jacobi"      # the gather-free executor's native choice
     if smoother not in ("jacobi", "chebyshev"):
@@ -204,6 +227,202 @@ def build_grid_hierarchy(A: Optional[HostCSR], num_levels: int,
         levels.append(GridLevel(A_dev, outs[i_dinv], None, cheb))
     return GridHierarchy(levels, outs[i_inv], tuple(ms), ndim,
                          smoother, nu_pre, nu_post)
+
+
+# ---------------------------------------------------------------------------
+# Device-probed Galerkin: build coarse stencils ON DEVICE, no host SpGEMM
+# ---------------------------------------------------------------------------
+
+def _stencil_reach(offsets, m: int, ndim: int) -> int:
+    """Per-dimension reach of a DIA stencil on an m-wide interior grid.
+
+    2-D flat offsets decode as off = da·m + db with |db| ≪ m (stencil
+    widths are tiny against the grid)."""
+    r = 0
+    for off in offsets:
+        if ndim == 1:
+            da, db = 0, off
+        else:
+            db = ((off + m // 2) % m) - m // 2
+            da = (off - db) // m
+        r = max(r, abs(da), abs(db))
+    return r
+
+
+def _probe_coarse_dia(A_f: DiaMatrix, ndim: int, m_f: int,
+                      m_c: int) -> DiaMatrix:
+    """Coarse Galerkin operator A_c = R·A_f·P extracted by comb probing —
+    all on device, no host SpGEMM, no coarse-level upload.
+
+    P/R are the structured transfers (grid_prolong/grid_restrict), so
+    columns of A_c are exactly (R A_f P)·e_c.  Probe with comb vectors
+    (one 1 every ``s`` points per dimension, s = 2·reach+1): combs are
+    far enough apart that responses of distinct columns never overlap,
+    so s^ndim applications of the gather-free pipeline recover EVERY
+    column.  Diagonal extraction is a tiny one-hot einsum per offset —
+    reshape/mask ops only, nothing gathers.  (This is the structured-
+    grid answer to the reference's scipy SpGEMM triple product,
+    MLHierarchy.py:54.)
+    """
+    r_f = _stencil_reach(A_f.offsets, m_f, ndim)
+    rc = (r_f + 2) // 2                    # |k-c| <= (r_f+2)/2 coarse pts
+    s = 2 * rc + 1
+    dtype = A_f.dtype
+    n_c = m_c ** ndim
+    ar = jnp.arange(m_c)
+
+    def pipeline(v):
+        return grid_restrict(matvec(A_f, grid_prolong(v, ndim, m_c, m_f)),
+                             ndim, m_f, m_c)
+
+    deltas = range(-rc, rc + 1)
+    if ndim == 1:
+        combs = jnp.stack([(ar % s == p).astype(dtype) for p in range(s)],
+                          axis=1)                          # (m_c, s)
+        Y = jax.vmap(pipeline, in_axes=1, out_axes=0)(combs)   # (s, m_c)
+        offsets, diags = [], []
+        for da in deltas:
+            # row a holds A_c[a, a-da]; its column's comb phase is (a-da)%s
+            oh = jax.nn.one_hot((ar - da) % s, s, dtype=dtype)  # (m_c, s)
+            D = jnp.einsum("ap,pa->a", oh, Y)
+            D = D * ((ar - da >= 0) & (ar - da < m_c)).astype(dtype)
+            offsets.append(-da)
+            diags.append(D)
+    else:
+        phases = [(px, py) for px in range(s) for py in range(s)]
+        combs = jnp.stack(
+            [((ar % s == px)[:, None] * (ar % s == py)[None, :])
+             .astype(dtype).reshape(-1) for px, py in phases], axis=1)
+        Y = jax.vmap(pipeline, in_axes=1, out_axes=0)(combs)
+        Yps = Y.reshape(s, s, m_c, m_c)                    # (px, py, a, b)
+        offsets, diags = [], []
+        for da in deltas:
+            oh_a = jax.nn.one_hot((ar - da) % s, s, dtype=dtype)
+            va = ((ar - da >= 0) & (ar - da < m_c)).astype(dtype)
+            for db in deltas:
+                oh_b = jax.nn.one_hot((ar - db) % s, s, dtype=dtype)
+                vb = ((ar - db >= 0) & (ar - db < m_c)).astype(dtype)
+                D = jnp.einsum("ap,bq,pqab->ab", oh_a, oh_b, Yps)
+                D = D * va[:, None] * vb[None, :]
+                offsets.append(-(da * m_c + db))
+                diags.append(D.reshape(-1))
+    order = np.argsort(offsets)
+    n_pad = _ceil_to(n_c, 8)
+    table = jnp.zeros((len(offsets), n_pad), dtype=dtype)
+    table = table.at[:, :n_c].set(jnp.stack([diags[i] for i in order]))
+    return DiaMatrix(table, tuple(int(offsets[i]) for i in order),
+                     (n_c, n_c))
+
+
+def _ceil_to(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _build_device_levels(fine_diags: jax.Array, fine_offsets, ms,
+                         ndim: int, need_cheb: bool):
+    """Jittable: probe every coarse level from the fine DIA table, with
+    1/diag per level and the coarsest dense inverse — ONE dispatch."""
+    from ..ops.dense_inverse import dense_inverse
+
+    n_f = ms[-1] ** ndim
+    A = DiaMatrix(fine_diags, fine_offsets, (n_f, n_f))
+    ops = [A]                              # finest-first while probing
+    for k in range(len(ms) - 1, 0, -1):    # ms is coarsest-first
+        ops.append(_probe_coarse_dia(ops[-1], ndim, ms[k], ms[k - 1]))
+    ops = ops[::-1]                        # coarsest-first, like ms
+
+    out_levels = []
+    for k in range(1, len(ms)):
+        Ak = ops[k]
+        n_k = Ak.shape[0]
+        d = Ak.diags[Ak.offsets.index(0), :n_k]
+        d = jnp.where(d == 0, 1.0, d)
+        cheb = None
+        if need_cheb:
+            # Gershgorin bound for lambda_max of D^{-1}A straight off the
+            # DIA table: max_i dinv_i * sum_d |A[i, i+off_d]|.  Always an
+            # UPPER bound (power iteration under-estimates on the
+            # clustered-top Laplacian spectrum — measured 1.94 vs true
+            # 1.98, enough to make Chebyshev diverge on the top modes).
+            rowsum = jnp.sum(jnp.abs(Ak.diags[:, :n_k]), axis=0)
+            lmax = jnp.max(rowsum / jnp.abs(d))
+            lmin = lmax / 30.0
+            cheb = (0.5 * (lmax + lmin), 0.5 * (lmax - lmin))
+        out_levels.append((Ak.diags, 1.0 / d, cheb))
+
+    A0 = ops[0]
+    n0 = A0.shape[0]
+    dense0 = dia_spmm(A0, jnp.eye(n0, dtype=A0.dtype))
+    A0_inv = dense_inverse(dense0)
+    return out_levels, A0_inv
+
+
+_DEVICE_BUILD_CACHE: dict = {}
+
+
+def build_grid_hierarchy_device(A_dev: DiaMatrix, num_levels: int,
+                                dims: Tuple[int, ...],
+                                smoother: str = "jacobi",
+                                nu_pre: int = 2,
+                                nu_post: int = 2) -> GridHierarchy:
+    """GridHierarchy built entirely ON DEVICE from the (already-resident)
+    fine DIA operator: coarse Galerkin levels by comb probing
+    (`_probe_coarse_dia`), per-level 1/diag, Chebyshev bounds by device
+    power iteration, and the coarsest dense inverse by blocked
+    Gauss-Jordan — one jitted dispatch, nothing but the fine operator
+    ever crosses the host↔device link.  The host path
+    (`build_grid_hierarchy`) re-uploads every level it assembles; at
+    n=10^6 that is seconds of tunnel time this path does not pay.
+    """
+    if smoother == "auto":
+        smoother = "jacobi"
+    if smoother not in ("jacobi", "chebyshev"):
+        raise ValueError("grid executor supports smoother='jacobi' or "
+                         "'chebyshev' (got %r)" % (smoother,))
+    from .gmg import refinement_ms
+    ndim = len(dims)
+    ms = tuple(refinement_ms(dims[0], num_levels))[::-1]   # coarsest-first
+    need_cheb = smoother == "chebyshev"
+
+    key = (A_dev.offsets, ms, ndim, need_cheb, str(A_dev.dtype))
+    fn = _DEVICE_BUILD_CACHE.get(key)
+    if fn is None:
+        fn = jax.jit(functools.partial(
+            _build_device_levels, fine_offsets=A_dev.offsets, ms=ms,
+            ndim=ndim, need_cheb=need_cheb))
+        if len(_DEVICE_BUILD_CACHE) > 16:
+            _DEVICE_BUILD_CACHE.clear()
+        _DEVICE_BUILD_CACHE[key] = fn
+    out_levels, A0_inv = fn(A_dev.diags)
+
+    levels: List[GridLevel] = [GridLevel(None, None, None, None)]
+    for k in range(1, len(ms)):
+        tbl, dinv, cheb = out_levels[k - 1]
+        n_k = ms[k] ** ndim
+        offs = _probed_offsets(A_dev.offsets, ms, ndim, k)
+        levels.append(GridLevel(DiaMatrix(tbl, offs, (n_k, n_k)),
+                                dinv, None,
+                                tuple(cheb) if cheb is not None else None))
+    return GridHierarchy(levels, A0_inv, ms, ndim, smoother,
+                         nu_pre, nu_post)
+
+
+def _probed_offsets(fine_offsets, ms, ndim: int, k: int):
+    """Static offset tuple of level k (coarsest-first) as produced by the
+    probing chain: the finest level keeps ``fine_offsets``; every probed
+    level has the full reach-rc box pattern, sorted ascending."""
+    if k == len(ms) - 1:
+        return fine_offsets
+    # reach chain: r_{next} = (r + 2) // 2, starting from the fine reach
+    r = _stencil_reach(fine_offsets, ms[-1], ndim)
+    for lev in range(len(ms) - 2, k - 1, -1):
+        r = (r + 2) // 2
+    m_k = ms[k]
+    if ndim == 1:
+        return tuple(sorted(-da for da in range(-r, r + 1)))
+    return tuple(sorted(-(da * m_k + db)
+                        for da in range(-r, r + 1)
+                        for db in range(-r, r + 1)))
 
 
 def v_cycle_grid(h: GridHierarchy, f: jax.Array, x: jax.Array) -> jax.Array:

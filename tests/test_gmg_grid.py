@@ -170,3 +170,104 @@ def test_grid_executor_rejects_gs():
     A = pst.problems.fd_laplacian_2d(m)
     with pytest.raises(ValueError):
         build_grid_hierarchy(A, 2, dims=(m, m), smoother="gs")
+
+
+# ---------------------------------------------------------------------------
+# Device-probed Galerkin (build_grid_hierarchy_device)
+# ---------------------------------------------------------------------------
+
+from pysolvers_tpu.linear.gmg_grid import build_grid_hierarchy_device
+
+
+@pytest.mark.parametrize("ndim,m,levels", [(1, 31, 3), (2, 15, 3),
+                                           (2, 31, 4)])
+def test_device_probed_hierarchy_matches_host(ndim, m, levels):
+    """Comb probing on device recovers EXACTLY the host SpGEMM Galerkin
+    levels (same transfers, same operator — only fp reassociation)."""
+    if ndim == 1:
+        A = pst.problems.fd_laplacian_1d(m)
+        dims = (m,)
+    else:
+        A = pst.problems.fd_laplacian_2d(m)
+        dims = (m, m)
+    hh = build_grid_hierarchy(A, num_levels=levels, dims=dims,
+                              smoother="jacobi", dtype=np.float64)
+    A_dev = DiaMatrix.from_host_csr(A, dtype=np.float64)
+    hd = build_grid_hierarchy_device(A_dev, levels, dims,
+                                     smoother="jacobi")
+    assert hd.ms == hh.ms and hd.n_levels == hh.n_levels
+    for k in range(1, levels):
+        Lh, Ld = hh.levels[k], hd.levels[k]
+        # host tables only carry the nonzero offsets; probed tables carry
+        # the full reach box — compare entry-by-entry through a dict
+        n_k = Ld.A_dev.shape[0]
+        host = {o: np.asarray(Lh.A_dev.diags[i][:n_k])
+                for i, o in enumerate(Lh.A_dev.offsets)}
+        for i, o in enumerate(Ld.A_dev.offsets):
+            want = host.get(o, np.zeros(n_k))
+            np.testing.assert_allclose(
+                np.asarray(Ld.A_dev.diags[i][:n_k]), want,
+                rtol=0, atol=1e-12, err_msg=f"level {k} offset {o}")
+        np.testing.assert_allclose(np.asarray(Ld.dinv),
+                                   np.asarray(Lh.dinv), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(hd.A0_inv),
+                               np.asarray(hh.A0_inv), rtol=0, atol=1e-10)
+
+
+def test_device_probed_vcycle_solves():
+    """PCG with the device-probed hierarchy converges like the host one."""
+    m = 31
+    A = pst.problems.fd_laplacian_2d(m)
+    A_dev = DiaMatrix.from_host_csr(A, dtype=np.float64)
+    hd = build_grid_hierarchy_device(A_dev, 3, (m, m), smoother="jacobi")
+    rng = np.random.default_rng(3)
+    x_exact = rng.random(m * m)
+    b = jnp.asarray(A.matvec(x_exact))
+
+    def papply(v):
+        x = jnp.zeros_like(v)
+        for _ in range(2):
+            x = v_cycle_grid(hd, v, x)
+        return x
+
+    x, st, _ = pst.cg_solve(lambda v: pst.matvec(A_dev, v),
+                            jnp.asarray(b), tau=1e-10, maxiter=50,
+                            precond=papply)
+    assert int(st.reason) == 1
+    assert np.linalg.norm(np.asarray(x) - x_exact) < 1e-7
+
+
+def test_device_probed_chebyshev_bounds():
+    """Device power iteration gives usable Chebyshev bounds and the
+    smoother converges."""
+    m = 15
+    A = pst.problems.fd_laplacian_2d(m)
+    A_dev = DiaMatrix.from_host_csr(A, dtype=np.float64)
+    hd = build_grid_hierarchy_device(A_dev, 2, (m, m),
+                                     smoother="chebyshev")
+    lev = hd.levels[-1]
+    theta, delta = (float(np.asarray(t)) for t in lev.cheb)
+    # D^{-1}A of the 2-D Laplacian has eigenvalues in (0, 2)
+    lmax = theta + delta
+    assert 1.5 < lmax < 2.5 and delta > 0
+    rng = np.random.default_rng(4)
+    x_exact = rng.random(m * m)
+    b = jnp.asarray(A.matvec(x_exact))
+    x = jnp.zeros(m * m)
+    for _ in range(40):
+        x = v_cycle_grid(hd, b, x)
+    assert np.linalg.norm(np.asarray(x) - x_exact) < 1e-6
+
+
+def test_gmg_precond_type_device_galerkin():
+    """GMGPreconditionerType(galerkin='device') forms from the resident
+    DIA operator and drives PCG to tolerance through the factory API."""
+    m = 31
+    A = pst.problems.fd_laplacian_2d(m)
+    prec = pst.GMGPreconditionerType((m, m), num_iters=2, num_levels=3,
+                                     smoother="jacobi", galerkin="device")
+    control = pst.CommonSolverArgs(maxiter=50, tau=1e-10)
+    st = pst.PCG(control, precond=prec).make_solver().solve(A, A.matvec(
+        np.ones(m * m)))
+    assert st.success
+    assert np.linalg.norm(np.asarray(st.soln) - 1.0) < 1e-7

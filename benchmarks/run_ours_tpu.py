@@ -239,13 +239,19 @@ def main():
             if A64 is not None:
                 # one-dispatch dd-chain: chain f64-residual corrections
                 # in-graph (refine.ir_solve_dd) — the whole 1e-10 solve
-                # usually costs ONE upload/dispatch/fetch round trip
+                # usually costs ONE upload/dispatch/fetch round trip.
+                # overshoot=0.005: drive the internal residual ~2 extra
+                # decades past tau so the SOLUTION error is bounded
+                # (err = ‖A⁻¹r‖ swings ~50× with the final residual's
+                # direction) — costs 2-5 inner its at these rates;
+                # hi_matvec auto-enables the f64 recurrence matvec for
+                # these preconditioned solves (f64-grade counts).
                 x, st, _ = ir_solve_dd(
                     mv_hi, bp, A_lo=A32, A64=A64,
                     tau=1e-10, inner_tau=1e-6,
                     inner_maxiter=inner_maxiter, method=method,
                     restart=restart, precond_pair=precond_pair,
-                    precond_lo=prec_fn, chain=4)
+                    precond_lo=prec_fn, chain=4, overshoot=0.005)
             else:
                 # chain=2: two f32-residual-chained corrections per
                 # dispatch — halves the outer passes the tunnel pays for

@@ -146,6 +146,9 @@ def build_grid_hierarchy(A: Optional[HostCSR], num_levels: int,
         if mlh is not None:
             raise ValueError("galerkin='device' builds from the fine "
                              "operator; it cannot lower a pre-built mlh")
+        if A is None:
+            raise ValueError("galerkin='device' requires the fine "
+                             "operator A")
         A_dev = DiaMatrix.from_host_csr(A, dtype=dtype)
         return build_grid_hierarchy_device(A_dev, num_levels, dims,
                                            smoother, nu_pre, nu_post)
@@ -246,6 +249,12 @@ def _stencil_reach(offsets, m: int, ndim: int) -> int:
             db = ((off + m // 2) % m) - m // 2
             da = (off - db) // m
         r = max(r, abs(da), abs(db))
+    if r > m // 2:
+        # the modular decode above is only unambiguous for reach <= m/2;
+        # a wider stencil probed onto this grid would alias comb teeth
+        # and silently corrupt the probed coarse operator
+        raise ValueError("stencil reach %d exceeds m//2 = %d on an "
+                         "m=%d grid — too wide to probe" % (r, m // 2, m))
     return r
 
 
@@ -367,12 +376,15 @@ def build_grid_hierarchy_device(A_dev: DiaMatrix, num_levels: int,
                                 nu_post: int = 2) -> GridHierarchy:
     """GridHierarchy built entirely ON DEVICE from the (already-resident)
     fine DIA operator: coarse Galerkin levels by comb probing
-    (`_probe_coarse_dia`), per-level 1/diag, Chebyshev bounds by device
-    power iteration, and the coarsest dense inverse by blocked
-    Gauss-Jordan — one jitted dispatch, nothing but the fine operator
-    ever crosses the host↔device link.  The host path
-    (`build_grid_hierarchy`) re-uploads every level it assembles; at
-    n=10^6 that is seconds of tunnel time this path does not pay.
+    (`_probe_coarse_dia`), per-level 1/diag, Chebyshev bounds by a
+    Gershgorin upper bound computed on device off the DIA table (NOT
+    power iteration, which under-estimates λ_max on clustered-top
+    spectra — unlike the host path's ``estimate_lmax``), and the
+    coarsest dense inverse by blocked Gauss-Jordan — one jitted
+    dispatch, nothing but the fine operator ever crosses the
+    host↔device link.  The host path (`build_grid_hierarchy`) re-uploads
+    every level it assembles; at n=10^6 that is seconds of tunnel time
+    this path does not pay.
     """
     if smoother == "auto":
         smoother = "jacobi"
@@ -381,6 +393,14 @@ def build_grid_hierarchy_device(A_dev: DiaMatrix, num_levels: int,
                          "'chebyshev' (got %r)" % (smoother,))
     from .gmg import refinement_ms
     ndim = len(dims)
+    if ndim == 2 and dims[0] != dims[1]:
+        raise ValueError("2-D GMG needs a square m×m grid (got %r)"
+                         % (dims,))
+    if A_dev.shape[0] != dims[0] ** ndim:
+        raise ValueError("operator size %d does not match a %d-D grid of "
+                         "width %d (expected %d)"
+                         % (A_dev.shape[0], ndim, dims[0],
+                            dims[0] ** ndim))
     ms = tuple(refinement_ms(dims[0], num_levels))[::-1]   # coarsest-first
     need_cheb = smoother == "chebyshev"
 

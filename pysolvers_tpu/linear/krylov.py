@@ -274,7 +274,7 @@ def cg_solve_rr(matvec: Callable, b_hi: jax.Array, *, mv_hi: Callable,
                 maxiter: int = 100, tau: float = 1e-8,
                 precond: Optional[Callable] = None,
                 replace_every: int = 6, replace_drop: float = 3e-4,
-                hi_dots: bool = True,
+                hi_dots: bool = True, hi_matvec: bool = False,
                 norm_fn: Optional[Callable] = None):
     """Preconditioned CG with periodic f64 residual replacement.
 
@@ -308,15 +308,30 @@ def cg_solve_rr(matvec: Callable, b_hi: jax.Array, *, mv_hi: Callable,
     ``mv_hi`` is the f64 operator apply (``ops.spmv.ell_spmv_f64_
     splitgather`` or the gather-free DIA f64 path); ``b_hi`` is the f64
     right-hand side (an outer residual scaled to O(1)).  Returns
-    ``(x64, KrylovState, None)``.  Convergence is declared on the
-    recurrence norm (optimistic by up to the window drift ~eps32·anchor
-    — callers needing certified residuals verify outside; the dd-chain
-    host loop does, in exact f64).  A divergence guard tracks the best
-    REPLACED iterate and exits with it (StopReason.STALL) if a
-    replacement comes back 16× worse — reachable with NONSYMMETRIC
-    preconditioners (e.g. one-directional-GS AMG V-cycles), where PCG
-    stops being a descent method once the residual reaches the f32
-    noise floor.
+    ``(x64, KrylovState, None)``.
+
+    Convergence is declared only on REPLACED (true) residuals: when the
+    recurrence norm first reaches the tolerance, a replacement is forced
+    and the claim is checked against b_hi − A₆₄·x₆₄ — an optimistic
+    recurrence can no longer end the solve (measured: a stop between
+    replacements hid a 50× true-residual shortfall and with it a 40×
+    error inflation).  A divergence guard tracks the best REPLACED
+    iterate and exits with it (StopReason.STALL) if a replacement comes
+    back 16× worse — reachable with NONSYMMETRIC preconditioners (e.g.
+    one-directional-GS AMG V-cycles), where PCG stops being a descent
+    method once the residual reaches the f32 noise floor.
+
+    ``hi_matvec=True`` runs the RECURRENCE matvec in (emulated) f64 too
+    — only the preconditioner stays f32.  Diagnosis (round 3): the f32
+    recurrence matvec, not the f32 preconditioner, costs the iteration
+    inflation over f64 CG (DH-15 + IC: 39 vs 28 its with f32 Ap; 28
+    with exact Ap and the same f32 preconditioner) AND fills the final
+    residual with low-mode content that inflates the solution error
+    ~20× at equal residual norm.  An emulated-f64 SpMV costs ~2× the
+    f32 one — the right trade whenever a preconditioner makes
+    iterations few (the factory's mixed route enables it for every
+    preconditioned solve); unpreconditioned long recurrences keep the
+    f32 default.
     """
     if hi_dots:
         # f32 dot products carry ~sqrt(n)·eps32 accumulation error — enough
@@ -330,12 +345,21 @@ def cg_solve_rr(matvec: Callable, b_hi: jax.Array, *, mv_hi: Callable,
         dot = _dot
     norm = norm_fn or (lambda v: jnp.sqrt(dot(v, v)))
     M = precond or (lambda v: v)
-    b32 = b_hi.astype(jnp.float32)
+    # working dtype of the recurrence vectors (r, p): f64 when the
+    # recurrence matvec runs hi, f32 otherwise
+    wt = jnp.float64 if hi_matvec else jnp.float32
+    mv_rec = mv_hi if hi_matvec else matvec
+    if hi_matvec:
+        M_rec = (lambda v: M(v.astype(jnp.float32)).astype(jnp.float64)) \
+            if precond is not None else (lambda v: v)
+    else:
+        M_rec = M
+    b32 = b_hi.astype(wt)
     b_norm = norm(b32)
     tol = tau * b_norm
 
     r0 = b32                      # x0 = 0
-    u0 = M(r0)
+    u0 = M_rec(r0)
     udr0 = dot(u0, r0)
     resid0 = norm(r0)
 
@@ -343,7 +367,7 @@ def cg_solve_rr(matvec: Callable, b_hi: jax.Array, *, mv_hi: Callable,
         return c.reason == StopReason.RUNNING
 
     def body(c: _CGRRCarry):
-        Ap = matvec(c.p)
+        Ap = mv_rec(c.p)
         pAp = dot(c.p, Ap)
         breakdown_pap = pAp == 0.0
         alpha = jnp.where(breakdown_pap, 0.0, c.u_dot_r / pAp)
@@ -352,17 +376,23 @@ def cg_solve_rr(matvec: Callable, b_hi: jax.Array, *, mv_hi: Callable,
         # f64 keeps x exact against the replaced residuals
         x64 = c.x64 + alpha.astype(jnp.float64) * c.p.astype(jnp.float64)
         k = c.k + 1
-        alpha32 = alpha.astype(jnp.float32)
+        alpha_w = alpha.astype(wt)
 
         def replaced(_):
-            return (b_hi - mv_hi(x64)).astype(jnp.float32)
+            return (b_hi - mv_hi(x64)).astype(wt)
 
         def recurred(_):
-            return c.r - alpha32 * Ap
+            return c.r - alpha_w * Ap
 
+        # recurrence residual first: reaching the tolerance FORCES a
+        # replacement, so convergence below is only ever declared on a
+        # true residual
+        r_rec = recurred(None)
+        rn_rec = norm(r_rec)
         do_replace = ((k % replace_every == 0)
+                      | (rn_rec <= tol)
                       | (c.resid <= replace_drop * c.anchor))
-        r = jax.lax.cond(do_replace, replaced, recurred, None)
+        r = jax.lax.cond(do_replace, replaced, lambda _: r_rec, None)
         resid = norm(r)
         # a replacement that comes back much LARGER than the recurrence
         # means the recurrence had drifted below the attainable floor —
@@ -386,19 +416,17 @@ def cg_solve_rr(matvec: Callable, b_hi: jax.Array, *, mv_hi: Callable,
         # on any non-finite residual
         diverged = ((do_replace & ~(resid <= 16.0 * c.r_best))
                     | ~jnp.isfinite(resid))
-        u = M(r)
+        u = M_rec(r)
         udr_new = dot(u, r)
         breakdown_udr = udr_new == 0.0
         beta = jnp.where((c.u_dot_r == 0) | restart_dir, 0.0,
                          udr_new / c.u_dot_r)
-        p = u + beta.astype(jnp.float32) * c.p
+        p = u + beta.astype(wt) * c.p
 
-        # optimistic convergence on the recurrence norm — between
-        # replacements it can understate the true residual by the window
-        # drift (~eps32·anchor); callers needing certified residuals
-        # verify outside (the dd-chain host loop recomputes in exact f64
-        # and re-dispatches on a miss)
-        converged = resid <= tol
+        # convergence only on replaced (true) residuals — a recurrence
+        # hitting the tolerance forced a replacement above, so this test
+        # is always against b_hi − A₆₄·x₆₄
+        converged = do_replace & (resid <= tol)
         reason = jnp.where(
             converged, StopReason.CONVERGED,
             jnp.where(breakdown_pap | breakdown_udr, StopReason.BREAKDOWN,

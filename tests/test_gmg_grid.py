@@ -238,8 +238,8 @@ def test_device_probed_vcycle_solves():
 
 
 def test_device_probed_chebyshev_bounds():
-    """Device power iteration gives usable Chebyshev bounds and the
-    smoother converges."""
+    """The device Gershgorin upper bound gives usable Chebyshev bounds
+    and the smoother converges."""
     m = 15
     A = pst.problems.fd_laplacian_2d(m)
     A_dev = DiaMatrix.from_host_csr(A, dtype=np.float64)

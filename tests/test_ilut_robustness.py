@@ -1,10 +1,11 @@
 """ILUT calibration robustness beyond the DH/Laplacian families
 (VERDICT r1 weak item 6).
 
-The DROP_CALIBRATION scale (linear/ilu.py) matches SuperLU-grade
-preconditioner strength at like-for-like parameters; these tests sweep it
-over a nonsymmetric convection-diffusion family and pin (a) bounded fill,
-(b) convergence, (c) the loud fill-explosion guard.
+The drop-scale calibration (linear/ilu.py::_resolve_drop_scale, "auto"
+fill-budget targeting) matches SuperLU-grade preconditioner strength at
+like-for-like parameters; these tests sweep it over a nonsymmetric
+convection-diffusion family and pin (a) bounded fill, (b) convergence,
+(c) the loud fill-explosion guard.
 """
 import numpy as np
 import jax.numpy as jnp

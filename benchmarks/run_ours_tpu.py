@@ -186,6 +186,11 @@ def main():
         t = time.perf_counter()
         item_A, asm_A, perm = BwsMatrix.host_pack(H, dtype=np.float32)
         t = _mark("host_pack", t)
+        # start the operator blob upload NOW — the transfer overlaps the
+        # host factorization below (ops/fuse.py stage_items; the factory
+        # mixed path does the same)
+        from pysolvers_tpu.ops.fuse import stage_items
+        staged = stage_items([item_A])
         Hp, Hp32 = _perm_host(perm)
         t = _mark("perm_host", t)
         M = None
@@ -193,16 +198,16 @@ def main():
             pp = prec_type.prep(Hp32)
             t = _mark("prep(factor)", t)
             if pp is not None:
-                outs = fused_build([item_A, pp[0]])
+                outs = fused_build([pp[0]], staged=staged)
                 t = _mark("fused_build", t)
                 A32 = asm_A(outs[0])
                 M = pp[1](outs[1])
             else:
-                (out_A,) = fused_build([item_A])
+                (out_A,) = fused_build([], staged=staged)
                 A32 = asm_A(out_A)
                 M = prec_type.form(Hp32)
         else:
-            (out_A,) = fused_build([item_A])
+            (out_A,) = fused_build([], staged=staged)
             t = _mark("fused_build", t)
             A32 = asm_A(out_A)
         A64 = None
@@ -220,7 +225,8 @@ def main():
         return A32, Hp, M, perm, A64
 
     def _wrap_solve(A32, Hp, perm, method, restart=None, inner_maxiter=300,
-                    precond_pair=None, prec_fn=None, A64=None):
+                    precond_pair=None, prec_fn=None, A64=None,
+                    overshoot=0.02):
         # perm stays HOST-side (host_pack returns it): fetching
         # A32.perm/iperm from the device costs a tunnel round trip that
         # intermittently stalls 20-660 s (measured; transfer-queue
@@ -251,7 +257,7 @@ def main():
                     tau=1e-10, inner_tau=1e-6,
                     inner_maxiter=inner_maxiter, method=method,
                     restart=restart, precond_pair=precond_pair,
-                    precond_lo=prec_fn, chain=4, overshoot=0.005)
+                    precond_lo=prec_fn, chain=4, overshoot=overshoot)
             else:
                 # chain=2: two f32-residual-chained corrections per
                 # dispatch — halves the outer passes the tunnel pays for
@@ -305,14 +311,16 @@ def main():
                            A64=A64, **_prec_kw(M))
 
     def _amg_state(nu_pre=2, nu_post=2):
-        from pysolvers_tpu.linear.amg import (build_sa_hierarchy,
-                                              build_device_hierarchy)
+        # device-built construction products (smoothed P, R·A·P Galerkin,
+        # coarse dense inverse all on the MXU — amg.py::
+        # build_sa_hierarchy_device); only the O(nnz) aggregation runs on
+        # host.  Fine level rides the BWS Pallas kernel (fine_format auto).
+        from pysolvers_tpu.linear.amg import build_sa_hierarchy_device
         A32, Hp, _, perm, A64 = full_setup()
-        mlh = build_sa_hierarchy(Hp, num_levels=2)
-        hier = build_device_hierarchy(mlh, smoother="jacobi",
-                                      nu_pre=nu_pre, nu_post=nu_post,
-                                      dtype=np.float32,
-                                      matrix_format="bws")
+        hier = build_sa_hierarchy_device(Hp, num_levels=2,
+                                         smoother="jacobi",
+                                         nu_pre=nu_pre, nu_post=nu_post,
+                                         dtype=np.float32)
         jax.block_until_ready(jax.tree_util.tree_leaves(hier))
         return A32, Hp, hier, perm, A64
 
@@ -322,7 +330,7 @@ def main():
         # The hierarchy pytree rides as the traced preconditioner state,
         # so the warm re-built hierarchy reuses the compiled inner graph.
         A32, Hp, hier, perm, A64 = _amg_state()
-        return _wrap_solve(A32, Hp, perm, "cg",
+        return _wrap_solve(A32, Hp, perm, "cg", overshoot=0.005,
                            precond_pair=(_amg_vcycle2, hier), A64=A64)
 
     def vcycle_solver():
@@ -333,6 +341,7 @@ def main():
         # still met — SURVEY §7.3)
         A32, Hp, hier, perm, A64 = _amg_state()
         return _wrap_solve(A32, Hp, perm, "richardson", inner_maxiter=100,
+                           overshoot=0.005,
                            precond_pair=(_amg_vcycle1, hier), A64=A64)
 
     def bratu():

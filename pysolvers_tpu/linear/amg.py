@@ -205,6 +205,40 @@ def build_sa_hierarchy(A: HostCSR, num_levels: int = 2,
     return MLHierarchy(mats, Ps, Rs)
 
 
+def build_sa_hierarchy_device(A: HostCSR, num_levels: int = 2,
+                              smoother: str = "auto", nu_pre: int = 2,
+                              nu_post: int = 2, base_tol: float = 0.08,
+                              dtype=np.float32,
+                              max_bytes: int = 1 << 31,
+                              fine_format: str = "auto"):
+    """Single-chip unstructured SA hierarchy with the construction
+    products built ON DEVICE — the general-Galerkin answer to the
+    reference's scipy SpGEMM triple product (MLHierarchy.py:54) and
+    prolongator smoothing (SmoothedAggregation.py:203).
+
+    Only the O(nnz) graph aggregation runs on host; the smoothed
+    prolongator P = (I − ω D_f⁻¹ A_f)·P̂, the triple product
+    A_c = R·A·P and the coarse dense inverse are MXU dense-panel device
+    work (parallel/amg_setup.py::_setup_products — SA's one-aggregate-
+    per-row structure makes the dense-tall prolongator exact, so the
+    "sparse×sparse" runs as SpMM + one einsum contraction on the MXU,
+    no host SpGEMM and no coarse-operator upload).  The stored fine
+    level rides the BWS Pallas kernel on TPU (``fine_format``).
+
+    Memory gate: dense P is n×nc; beyond ``max_bytes`` use the host
+    SpGEMM path (build_sa_hierarchy) or the structured-grid prober
+    (gmg_grid.build_grid_hierarchy_device).  Returns a DeviceHierarchy
+    (drop-in for v_cycle/amg_solve and the factories).
+    """
+    from ..parallel.amg_setup import build_distributed_hierarchy
+    if smoother == "auto":
+        smoother = "jacobi"      # device products provide jacobi/chebyshev
+    return build_distributed_hierarchy(
+        A, None, num_levels=num_levels, smoother=smoother, nu_pre=nu_pre,
+        nu_post=nu_post, base_tol=base_tol, dtype=dtype,
+        max_bytes=max_bytes, fine_format=fine_format)
+
+
 # ---------------------------------------------------------------------------
 # Device cycle executor
 # ---------------------------------------------------------------------------
@@ -561,7 +595,7 @@ class AMGVCycle(IterativeLinearSolverType):
     def __init__(self, control: Optional[SolverConfig] = None,
                  num_levels: int = 2, nu_pre: int = 2, nu_post: int = 2,
                  smoother: str = "auto", base_tol: float = 0.08, mesh=None,
-                 matrix_format: str = "auto"):
+                 matrix_format: str = "auto", galerkin: str = "host"):
         super().__init__(control, None)
         self.num_levels = num_levels
         self.nu_pre = nu_pre
@@ -574,6 +608,10 @@ class AMGVCycle(IterativeLinearSolverType):
         # "bws" runs the cycle's matvecs in the BWS Pallas kernel (TPU
         # fast path; f32 solves only) — see build_device_hierarchy
         self.matrix_format = matrix_format
+        # "device"/"auto": construction products on device
+        # (build_sa_hierarchy_device); "host" keeps the host-SpGEMM
+        # hierarchy (the GS-parity and mesh paths need it)
+        self.galerkin = galerkin
 
     def make_solver(self):
         return AMGVCycleSolver(self)
@@ -608,8 +646,22 @@ class AMGVCycleSolver(IterativeLinearSolver):
             return
         if A_host is None:
             raise ValueError("AMG setup needs a HostCSR matrix")
-        mlh = self._build_mlh(A_host)
-        self._hierarchy = self._build_device(mlh, dtype)
+        gal = getattr(self.typ, "galerkin", "host")
+        if gal == "auto":
+            gal = ("device" if jax.default_backend() in ("tpu", "axon")
+                   and self.typ.mesh is None else "host")
+        if gal == "device":
+            if self.typ.mesh is not None:
+                raise ValueError("galerkin='device' is the single-chip "
+                                 "builder; use the mesh-aware "
+                                 "build_distributed_hierarchy for mesh=")
+            self._hierarchy = build_sa_hierarchy_device(
+                A_host, self.typ.num_levels, smoother=self.typ.smoother,
+                nu_pre=self.typ.nu_pre, nu_post=self.typ.nu_post,
+                base_tol=self.typ.base_tol, dtype=np.float32)
+        else:
+            mlh = self._build_mlh(A_host)
+            self._hierarchy = self._build_device(mlh, dtype)
         h = self._hierarchy
         maxiter = self.control.maxiter
         norm_fn = self.control.norm_fn()
@@ -665,7 +717,8 @@ class AMGPreconditionerType(PreconditionerType):
 
     def __init__(self, num_iters: int = 5, num_levels: int = 2,
                  nu_pre: int = 2, nu_post: int = 2, smoother: str = "auto",
-                 base_tol: float = 0.08, side: str = "both"):
+                 base_tol: float = 0.08, side: str = "both",
+                 galerkin: str = "auto"):
         self.num_iters = num_iters
         self.num_levels = num_levels
         self.nu_pre = nu_pre
@@ -673,11 +726,32 @@ class AMGPreconditionerType(PreconditionerType):
         self.smoother = smoother
         self.base_tol = base_tol
         self.side = side
+        # "device": construction products (smoothed P, R·A·P, coarse
+        # inverse) built on device (build_sa_hierarchy_device); "host":
+        # host SpGEMM hierarchy; "auto": device on TPU backends when the
+        # dense-panel memory gate admits it
+        self.galerkin = galerkin
 
     def form(self, A_host: HostCSR, A_dev=None) -> Preconditioner:
-        mlh = build_sa_hierarchy(A_host, self.num_levels, self.base_tol)
-        h = build_device_hierarchy(mlh, self.smoother, self.nu_pre,
-                                   self.nu_post)
+        gal = self.galerkin
+        if gal == "auto":
+            gal = ("device"
+                   if jax.default_backend() in ("tpu", "axon") else "host")
+        h = None
+        if gal == "device":
+            try:
+                h = build_sa_hierarchy_device(
+                    A_host, self.num_levels, smoother=self.smoother,
+                    nu_pre=self.nu_pre, nu_post=self.nu_post,
+                    base_tol=self.base_tol, dtype=np.float32)
+            except ValueError:
+                if self.galerkin == "device":
+                    raise          # explicit request: fail loudly
+                h = None           # auto: memory gate tripped — host path
+        if h is None:
+            mlh = build_sa_hierarchy(A_host, self.num_levels, self.base_tol)
+            h = build_device_hierarchy(mlh, self.smoother, self.nu_pre,
+                                       self.nu_post)
         apply_fn = _amg_apply_fn(self.num_iters)
         prec = self._wrap(lambda v: apply_fn(h, v))
         prec.traced = (apply_fn, h)

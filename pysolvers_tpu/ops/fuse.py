@@ -132,10 +132,40 @@ def passthrough_build(arrs, st):
 _FUSE_CACHE: dict = {}
 
 
-def fused_build(items: Sequence[SetupItem]):
-    """Run every item's device build in ONE blob upload + ONE dispatch.
+class StagedItems(NamedTuple):
+    """Items whose blob is already in flight to the device (stage_items).
 
-    Returns the list of build outputs (device pytrees), in item order.
+    The upload (jax.device_put is asynchronous) overlaps whatever host
+    work runs between staging and the fused dispatch — e.g. the
+    incomplete factorization, whose 0.1-0.2 s would otherwise serialize
+    in front of the operator pack's transfer on the tunnel."""
+
+    dev_blob: jax.Array
+    layouts: tuple
+    items: tuple
+
+
+def stage_items(items: Sequence[SetupItem]) -> StagedItems:
+    """Pack the items and START their blob upload now (asynchronously)."""
+    blobs, layouts = [], []
+    base = 0
+    for it in items:
+        b, specs = blob_pack(it.arrays)
+        blobs.append(b)
+        layouts.append(tuple((k, s, off + base) for k, s, off in specs))
+        base += len(b)
+    big = (np.concatenate(blobs) if blobs
+           else np.zeros(0, dtype=np.int32))
+    return StagedItems(jnp.asarray(big), tuple(layouts), tuple(items))
+
+
+def fused_build(items: Sequence[SetupItem],
+                staged: "StagedItems | None" = None):
+    """Run every item's device build in ONE dispatch (plus the staged
+    items' builds, if any — their blob upload already started).
+
+    Returns the list of build outputs (device pytrees): staged items
+    first, then ``items``, each in order.
     """
     blobs, layouts = [], []
     base = 0
@@ -147,20 +177,32 @@ def fused_build(items: Sequence[SetupItem]):
     big = (np.concatenate(blobs) if blobs
            else np.zeros(0, dtype=np.int32))
 
-    key = tuple((it.build, lay, it.statics)
-                for it, lay in zip(items, layouts))
+    s_items = staged.items if staged is not None else ()
+    s_lays = staged.layouts if staged is not None else ()
+    key = (tuple((it.build, lay, it.statics)
+                 for it, lay in zip(s_items, s_lays)),
+           tuple((it.build, lay, it.statics)
+                 for it, lay in zip(items, layouts)))
     fn = _FUSE_CACHE.get(key)
     if fn is None:
+        s_builds = [it.build for it in s_items]
+        s_statics = [it.statics for it in s_items]
+        s_lays_l = list(s_lays)
         builds = [it.build for it in items]
         statics = [it.statics for it in items]
         lays = list(layouts)
 
         @jax.jit
-        def fn(blob):
-            return tuple(bld(blob_split(blob, lay), st)
-                         for bld, lay, st in zip(builds, lays, statics))
+        def fn(s_blob, blob):
+            outs = [bld(blob_split(s_blob, lay), st)
+                    for bld, lay, st in zip(s_builds, s_lays_l, s_statics)]
+            outs += [bld(blob_split(blob, lay), st)
+                     for bld, lay, st in zip(builds, lays, statics)]
+            return tuple(outs)
 
         if len(_FUSE_CACHE) > 64:
             _FUSE_CACHE.pop(next(iter(_FUSE_CACHE)))
         _FUSE_CACHE[key] = fn
-    return list(fn(jnp.asarray(big)))
+    s_blob = (staged.dev_blob if staged is not None
+              else jnp.zeros(0, dtype=jnp.int32))
+    return list(fn(s_blob, jnp.asarray(big)))

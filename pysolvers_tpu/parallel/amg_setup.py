@@ -106,11 +106,19 @@ def build_distributed_hierarchy(A_host: HostCSR, mesh=None, *,
                                 omega: float = 2.0 / 3.0,
                                 dtype=np.float32,
                                 max_bytes: int = 1 << 31,
-                                coarse_inverse: str = "device"
+                                coarse_inverse: str = "device",
+                                fine_format: str = "auto"
                                 ) -> DeviceHierarchy:
     """SA hierarchy with device-built construction products (see module
     docstring).  ``mesh`` row-shards the fine level and the transfer
     products; coarse levels are replicated (gathered) dense operators.
+
+    ``fine_format``: format of the STORED fine-level operator (the one
+    every V-cycle smoothing matvec runs on — construction products keep
+    the DIA/ELL op).  "bws" packs it for the Pallas block-window kernel
+    (the TPU fast path; ELL matvecs lower to XLA's scalar gather loop
+    there); "auto" = BWS on single-device TPU f32 builds when the matrix
+    packs, the product op otherwise.
     """
     if smoother == "gs":
         raise ValueError("distributed setup provides jacobi/chebyshev "
@@ -182,9 +190,29 @@ def build_distributed_hierarchy(A_host: HostCSR, mesh=None, *,
             lmax = ChebyshevPreconditionerType().estimate_lmax(A_cur_host)
             lmin = lmax / 30.0
             cheb = (0.5 * (lmax + lmin), 0.5 * (lmax - lmin))
+        # stored level operator: on single-device TPU f32 builds, pack it
+        # for the Pallas BWS kernel — smoothing matvecs are the cycle's
+        # hot path and the ELL fallback lowers to XLA's scalar gathers
+        A_store = A_dev
+        want_bws = (fine_format == "bws"
+                    or (fine_format == "auto" and mesh is None and lvl == 0
+                        and np.dtype(dtype) == np.float32
+                        and jax.default_backend() in ("tpu", "axon")))
+        if want_bws and not isinstance(A_dev, jax.Array):
+            try:
+                from ..sparse.bws import BwsMatrix
+                # exact (HIGHEST) selects: bf16 fast_select noise in
+                # V-cycle OPERATORS breaks CG's preconditioner
+                # consistency (measured: DH-15 PCG diverged; see
+                # linear/amg.py::_bws_or_auto, same rule)
+                A_store = BwsMatrix.from_host_csr(
+                    A_cur_host, dtype=dtype, use_rcm=False,
+                    group_rows=32, gt="auto")
+            except ValueError:
+                pass                      # keep the product op
         # P/R attach to the FINE side of each transfer (v_cycle convention:
         # lev.P_dev prolongates INTO this level, lev.R_dev restricts out)
-        levels.append(DeviceLevel(A_dev, dinv_op, None, P, R, cheb))
+        levels.append(DeviceLevel(A_store, dinv_op, None, P, R, cheb))
         A_cur_host = None
         A_cur_dense = A_c
 

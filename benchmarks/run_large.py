@@ -96,15 +96,27 @@ def run_ours(args, emit):
     H32 = pst.HostCSR(H.indptr, H.indices, H.data.astype(np.float32),
                       H.shape)
 
+    _dbg = os.environ.get("PST_DEBUG_SETUP") == "1"
+
+    def _mark(label, t0):
+        if _dbg:
+            print(f"    [setup] {label}: "
+                  f"{time.perf_counter() - t0:.3f}s", flush=True)
+        return time.perf_counter()
+
     def setup_operator():
+        t = time.perf_counter()
         A32 = DiaMatrix.from_host_csr(H32)
         A64 = DiaMatrix.from_host_csr(H)
+        t = _mark("dia_build", t)
         jax.block_until_ready(A32.diags)
         jax.block_until_ready(A64.diags)
+        _mark("dia_block", t)
         return A32, A64
 
     def setup_mg():
         A32, A64 = setup_operator()
+        t = time.perf_counter()
         if jax.default_backend() in ("tpu", "axon"):
             # device-probed Galerkin: coarse levels built ON DEVICE from
             # the already-resident fine DIA — no host SpGEMM, no coarse
@@ -117,7 +129,9 @@ def run_ours(args, emit):
             hier = build_grid_hierarchy(H, num_levels=levels, dims=(m, m),
                                         smoother="jacobi",
                                         dtype=np.float32)
+        t = _mark("hier_build", t)
         jax.block_until_ready(jax.tree_util.tree_leaves(hier))
+        _mark("hier_block", t)
         return A32, A64, hier
 
     def run(config, make_fn, solve_fn):
@@ -169,6 +183,36 @@ def run_ours(args, emit):
         run(f"Lap2D(m={m})+VCycleSolver+GMG{levels}(grid)", setup_mg,
             mk_solve("richardson", precond_pair=_grid_vc1,
                      inner_maxiter=100))
+    if "mg_reuse" in want:
+        # setup amortization: ONE hierarchy (freeze semantics, reference
+        # LinearSolver.py:35-42), k solves with distinct right-hand
+        # sides — the regime a Newton sequence or a solver service pays
+        k_solves = 8
+        state = setup_mg()                    # includes compile warmup
+        solve1 = mk_solve("cg", precond_pair=_grid_vc2, inner_maxiter=100)
+        solve1(state)                         # compile
+        t0 = time.perf_counter()
+        state = setup_mg()
+        setup_s = time.perf_counter() - t0
+        per, its_tot = [], 0
+        rng2 = np.random.default_rng(7)
+        for j in range(k_solves):
+            bj = H.matvec(rng2.random(n))
+            t0 = time.perf_counter()
+            x, st, _ = ir_solve_dd(H.matvec, bj, A_lo=state[0],
+                                   A64=state[1], tau=1e-10,
+                                   inner_maxiter=100, method="cg",
+                                   precond_pair=(_grid_vc2, state[2]))
+            per.append(time.perf_counter() - t0)
+            its_tot += int(st.k)
+        per_s = float(np.median(per))
+        emit(dict(config=f"Lap2D(m={m})+PCG+GMG{levels} reuse x{k_solves}",
+                  n=n, time_s=round(setup_s + sum(per), 6),
+                  setup_s=round(setup_s, 6),
+                  per_solve_s=round(per_s, 6),
+                  per_solve_min=round(min(per), 6),
+                  per_solve_max=round(max(per), 6),
+                  solves=k_solves, iters=its_tot, success=True))
 
 
 def run_reference(args, emit):

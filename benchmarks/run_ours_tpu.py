@@ -62,6 +62,10 @@ def main():
                     help="comma list: ic,amg,ilut,vcycle,bratu,ic_sweep,"
                          "ic_level")
     ap.add_argument("--bratu-m", type=int, default=100)
+    ap.add_argument("--runs", type=int, default=1,
+                    help="warm measurement repeats per config; the row "
+                         "reports medians with *_min/*_max ranges "
+                         "(VERDICT r2 item 10: no more prose caveats)")
     args = ap.parse_args()
     want = {t.strip() for t in args.configs.split(",") if t.strip()}
     known = {"ic", "amg", "ilut", "vcycle", "bratu", "ic_sweep",
@@ -99,23 +103,36 @@ def main():
 
     def run(config, make_fn):
         """make_fn() -> {"solve": fn}; the FULL setup (pack + factor +
-        fused device build) runs twice — first (cold) loads the setup
-        graphs, second (warm) is the steady-state setup_s.  solve twice
-        likewise (compile vs steady state).  time_s = setup_s + solve_s."""
+        fused device build) runs cold once (setup-graph loads included),
+        then ``--runs`` warm (setup, solve) repeats — the row reports the
+        MEDIAN with min/max ranges.  time_s = setup_s + solve_s."""
+        import statistics
         t0 = time.perf_counter()
         make_fn()                  # cold: setup-graph loads included
         setup_cold_s = time.perf_counter() - t0
         t0 = time.perf_counter()
         state = make_fn()          # warm: steady-state setup
-        setup_s = time.perf_counter() - t0
+        first_setup = time.perf_counter() - t0
         t0 = time.perf_counter()
         state["solve"]()           # compile + first solve
         compile_s = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        iters, err, ok = state["solve"]()
-        solve_s = time.perf_counter() - t0
+        setups, solves = [first_setup], []
+        for rep in range(max(args.runs, 1)):
+            if rep > 0:
+                t0 = time.perf_counter()
+                state = make_fn()
+                setups.append(time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            iters, err, ok = state["solve"]()
+            solves.append(time.perf_counter() - t0)
+        setup_s = statistics.median(setups)
+        solve_s = statistics.median(solves)
+        totals = [a + b for a, b in zip(setups, solves)]
         emit(dict(config=config,
                   time_s=round(setup_s + solve_s, 6),
+                  time_s_min=round(min(totals), 6),
+                  time_s_max=round(max(totals), 6),
+                  runs=len(solves),
                   setup_s=round(setup_s, 6),
                   setup_cold_s=round(setup_cold_s, 6),
                   time_cold_s=round(setup_cold_s + solve_s, 6),

@@ -6,8 +6,22 @@ north-star metric (BASELINE.json) is >=80% weak-scaling nnz/s efficiency.
 Runs on any device set — the virtual 8-device CPU mesh (default in tests)
 or a real TPU slice.
 
-Emits one JSON line per mesh size:
-  {"devices": d, "n": ..., "nnz": ..., "gnnz_s": ..., "efficiency": ...}
+Paths (--paths): "dia" (ppermute neighbor halos), "ell_halo"
+(neighbor-halo ELL — vector never replicated), "ell2d" (2-D pr×pc grid:
+all-gather expand + psum_scatter fold).
+
+Overhead decomposition (VERDICT r2 item 5), dia path: every record
+carries the same-total-problem timings
+  t_single   one device, no sharding (the socket-shared baseline);
+  t_nocomm   shard_map'ed with the ppermute halos SKIPPED
+             (dist_dia_spmv(halo=False)) — partition + shard_map + any
+             socket contention, zero collectives;
+  t_dist     the full distributed step,
+so  dist_overhead = t_dist/t_single
+                  = 1 + (t_nocomm−t_single)/t_single   [shard_map share]
+                      + (t_dist−t_nocomm)/t_single     [collectives share].
+
+Emits one JSON line per (path, mesh size).
 """
 import argparse
 import json
@@ -19,11 +33,25 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def _timed_chain(jit_fn, *args, iters, reps=3):
+    y = jit_fn(*args)
+    import jax
+    jax.block_until_ready(y)
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        y = jit_fn(*args[:-1], y) if len(args) > 1 else jit_fn(y)
+        jax.block_until_ready(y)
+        best = min(best, (time.perf_counter() - t0) / iters)
+    return best
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--rows-per-shard", type=int, default=65536)
     ap.add_argument("--iters", type=int, default=50)
     ap.add_argument("--max-devices", type=int, default=None)
+    ap.add_argument("--paths", default="dia,ell_halo,ell2d")
     ap.add_argument("--cpu-devices", type=int, default=0,
                     help="force a virtual CPU mesh of this many devices "
                          "(env vars are latched by this image's "
@@ -39,78 +67,116 @@ def main():
     import numpy as np
     import pysolvers_tpu as pst
     from pysolvers_tpu.parallel import (make_mesh, shard_dia, dist_dia_spmv,
-                                        pad_vector_dia)
+                                        pad_vector_dia, shard_ell_halo,
+                                        dist_ell_halo_spmv,
+                                        pad_vector_ell_halo, make_mesh_2d,
+                                        shard_ell_2d, dist_ell_2d_spmv,
+                                        pad_vector_2d)
+    from pysolvers_tpu.sparse.device import DiaMatrix
+    from pysolvers_tpu.ops.spmv import dia_spmv_xla
 
     n_avail = len(jax.devices())
     max_d = min(args.max_devices or n_avail, n_avail)
     sizes = [d for d in (1, 2, 4, 8, 16, 32) if d <= max_d]
+    paths = [p.strip() for p in args.paths.split(",") if p.strip()]
 
     results = []
-    base = None
+    base = {}
     for d in sizes:
         m = int(math.isqrt(args.rows_per_shard * d))
         H = pst.problems.fd_laplacian_2d(m, dtype=np.float32)
         nnz = H.nnz
-        mesh = make_mesh(d)
-        A = shard_dia(H, mesh)
-        x = pad_vector_dia(
-            A, np.random.default_rng(0).random(m * m).astype(np.float32))
         scale = np.float32(1.0 / (8.0 * (m + 1.0) ** 2))
+        rng = np.random.default_rng(0)
+        xh = rng.random(m * m).astype(np.float32)
+        iters = args.iters
 
-        @jax.jit
-        def chain(A, v):
-            def body(_, v):
-                return dist_dia_spmv(A, v) * scale
-            return jax.lax.fori_loop(0, args.iters, body, v)
-
-        y = chain(A, x)
-        y.block_until_ready()
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            y = chain(A, y)
-            y.block_until_ready()
-            best = min(best, (time.perf_counter() - t0) / args.iters)
-        gnnz = nnz / best / 1e9
-        per_dev = gnnz / d
-        if base is None:
-            base = per_dev
-
-        # distribution overhead isolated from core sharing: the SAME total
-        # problem on ONE device (all shards share the socket on a virtual
-        # CPU mesh, so aggregate throughput cannot scale there — this
-        # ratio, not `efficiency`, is the meaningful single-host number;
-        # `efficiency` is the real metric only on real multi-chip meshes)
-        from pysolvers_tpu.sparse.device import DiaMatrix
-        from pysolvers_tpu.ops.spmv import dia_spmv_xla
+        # single-device baseline (same total problem)
         A1 = DiaMatrix.from_host_csr(H)
-        x1 = jnp.asarray(
-            np.random.default_rng(0).random(m * m).astype(np.float32))
+        x1 = jnp.asarray(xh)
 
         @jax.jit
         def chain1(A1, v):
-            # A1 as a traced argument, not a closure constant — baking
-            # the operator into the HLO bloats the executable (slow
-            # compiles/uploads on remote backends)
             def body(_, v):
                 return dia_spmv_xla(A1, v) * scale
-            return jax.lax.fori_loop(0, args.iters, body, v)
+            return jax.lax.fori_loop(0, iters, body, v)
 
-        y1 = chain1(A1, x1)
-        y1.block_until_ready()
-        best1 = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            y1 = chain1(A1, y1)
-            y1.block_until_ready()
-            best1 = min(best1, (time.perf_counter() - t0) / args.iters)
+        t_single = _timed_chain(chain1, A1, x1, iters=iters)
 
-        rec = dict(devices=d, n=m * m, nnz=nnz, gnnz_s=round(gnnz, 3),
-                   efficiency=round(per_dev / base, 3),
-                   single_dev_gnnz_s=round(nnz / best1 / 1e9, 3),
-                   dist_overhead=round(best / best1, 3))
-        results.append(rec)
-        print(json.dumps(rec), flush=True)
+        def emit(path, t_dist, extra=None):
+            gnnz = nnz / t_dist / 1e9
+            per_dev = gnnz / d
+            if path not in base:
+                base[path] = per_dev
+            rec = dict(path=path, devices=d, n=m * m, nnz=nnz,
+                       gnnz_s=round(gnnz, 3),
+                       efficiency=round(per_dev / base[path], 3),
+                       single_dev_gnnz_s=round(nnz / t_single / 1e9, 3),
+                       dist_overhead=round(t_dist / t_single, 3))
+            if extra:
+                rec.update(extra)
+            results.append(rec)
+            print(json.dumps(rec), flush=True)
+
+        if "dia" in paths:
+            mesh = make_mesh(d)
+            A = shard_dia(H, mesh)
+            x = pad_vector_dia(A, xh)
+
+            def make_chain(halo):
+                @jax.jit
+                def chain(A, v):
+                    def body(_, v):
+                        return dist_dia_spmv(A, v, halo=halo) * scale
+                    return jax.lax.fori_loop(0, iters, body, v)
+                return chain
+
+            t_dist = _timed_chain(make_chain(True), A, x, iters=iters)
+            t_nocomm = _timed_chain(make_chain(False), A, x, iters=iters)
+            emit("dia", t_dist, dict(
+                t_single_us=round(t_single * 1e6, 1),
+                t_nocomm_us=round(t_nocomm * 1e6, 1),
+                t_dist_us=round(t_dist * 1e6, 1),
+                shardmap_share=round((t_nocomm - t_single) / t_single, 3),
+                collective_share=round((t_dist - t_nocomm) / t_single, 3)))
+
+        if "ell_halo" in paths:
+            mesh = make_mesh(d)
+            A = shard_ell_halo(H, mesh)
+            x = pad_vector_ell_halo(A, xh)
+
+            @jax.jit
+            def chain_eh(A, v):
+                def body(_, v):
+                    return dist_ell_halo_spmv(A, v) * scale
+                return jax.lax.fori_loop(0, iters, body, v)
+
+            emit("ell_halo", _timed_chain(chain_eh, A, x, iters=iters))
+
+        if "ell2d" in paths and d >= 2:
+            pr = 2 ** (int(d).bit_length() - 1)
+            while d % pr:
+                pr //= 2
+            pc = d // pr
+            # squarest factorization
+            best_pr = pr
+            for cand in range(1, int(math.isqrt(d)) + 1):
+                if d % cand == 0:
+                    best_pr = cand
+            pr = best_pr
+            pc = d // pr
+            mesh2 = make_mesh_2d(pr, pc)
+            A = shard_ell_2d(H, mesh2)
+            x = pad_vector_2d(A, xh)
+
+            @jax.jit
+            def chain_2d(A, v):
+                def body(_, v):
+                    return dist_ell_2d_spmv(A, v) * scale
+                return jax.lax.fori_loop(0, iters, body, v)
+
+            emit("ell2d", _timed_chain(chain_2d, A, x, iters=iters),
+                 dict(grid=f"{pr}x{pc}"))
 
     if args.out:
         with open(args.out, "w") as f:

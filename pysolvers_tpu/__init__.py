@@ -17,9 +17,11 @@ __version__ = "0.1.0"
 
 from . import ops, problems, sparse, linear
 from .core import SolverConfig, SolveStatus, StopReason
-from .sparse import HostCSR, EllMatrix, DiaMatrix, read_mtx, write_mtx
+from .sparse import (HostCSR, EllMatrix, DiaMatrix, BdiaMatrix,
+                     read_mtx, write_mtx)
 from .ops import matvec
-from .linear import cg_solve, cg_solve_multi, gmres_solve
+from .linear import (cg_solve, cg_solve_multi, gmres_solve,
+                     gmres_solve_multi)
 from . import api
 from .api import (CommonSolverArgs, PCG, GMRES, DefaultDirect,
                   LinearSolverType, IterativeLinearSolverType)
@@ -44,8 +46,10 @@ RightIC = ICPreconditionerType
 
 __all__ = [
     "SolverConfig", "SolveStatus", "StopReason", "CommonSolverArgs",
-    "HostCSR", "EllMatrix", "DiaMatrix", "read_mtx", "write_mtx",
+    "HostCSR", "EllMatrix", "DiaMatrix", "BdiaMatrix", "read_mtx",
+    "write_mtx",
     "matvec", "cg_solve", "cg_solve_multi", "gmres_solve",
+    "gmres_solve_multi",
     "PCG", "GMRES", "DefaultDirect", "LinearSolverType",
     "IterativeLinearSolverType",
     "ILUTPreconditionerType", "ICPreconditionerType", "RightILUT",

@@ -283,6 +283,58 @@ class IterativeLinearSolver(LinearSolver):
 
         return self._cached_jit(f"_{tag}_jit", key, make)
 
+    def _solve_mesh_multi(self, A, B, method: str) -> SolveStatus:
+        """Blocked multi-RHS solve over the mesh: the lockstep solvers
+        (krylov.cg_solve_multi / gmres_solve_multi) run on the row-sharded
+        operator with the distributed SpMV vmapped over columns — ONE
+        ppermute-halo operator pass per lockstep step for all k RHS,
+        GSPMD-inserted psums on the per-column dots.  Returns one
+        aggregate SolveStatus (soln (n, k), max iters/resid, success only
+        if every column succeeded)."""
+        from .linear.krylov import (KrylovState, cg_solve_multi,
+                                    gmres_solve_multi)
+
+        A_host = A[0] if isinstance(A, tuple) else A
+        if not isinstance(A_host, HostCSR):
+            raise TypeError("mesh= solves take a HostCSR matrix "
+                            "(row partitioning happens at setup)")
+        ms = self._mesh_setup(A_host, "mesh")
+        prec = self._get_precond(ms["H"], ms["A"])
+        papply = (None if prec.is_identity
+                  else jax.vmap(prec.apply_any, in_axes=1, out_axes=1))
+        mv1, A_sh = ms["mv"], ms["A"]
+        control = self.control
+        key = ("multi", method, id(prec), ms["mv"], control.maxiter)
+
+        def make():
+            def run(A_sh, Bd, tau):
+                mvm = jax.vmap(lambda v: mv1(A_sh, v),
+                               in_axes=1, out_axes=1)
+                if method == "cg":
+                    return cg_solve_multi(mvm, Bd, maxiter=control.maxiter,
+                                          tau=tau, precond=papply)
+                return gmres_solve_multi(mvm, Bd,
+                                         maxiter=control.maxiter,
+                                         tau=tau, precond=papply)
+            return run
+
+        run = self._cached_jit("_mesh_multi_jit", key, make)
+        n = A_host.shape[0]
+        B = np.asarray(B)
+        n_pad = A_sh.n_pad
+        Bp = np.zeros((n_pad, B.shape[1]), dtype=B.dtype)
+        Bp[:n] = B
+        from jax.sharding import NamedSharding, PartitionSpec as PS
+        from .parallel.mesh import ROW_AXIS
+        Bd = jax.device_put(jnp.asarray(Bp),
+                            NamedSharding(self.mesh, PS(ROW_AXIS, None)))
+        X, st, _ = run(A_sh, Bd, self._effective_tau())
+        worst = int(np.asarray(st.reason).max())
+        agg = KrylovState(jnp.int32(int(np.asarray(st.k).max())),
+                          jnp.asarray(float(np.asarray(st.resid).max())),
+                          jnp.int32(worst))
+        return make_status(X[:n], agg, self.control)
+
     def _solve_mesh(self, A, b, method: str, restart=None,
                     orthog: str = "mgs",
                     flexible: bool = False) -> SolveStatus:
@@ -622,10 +674,15 @@ class PCGSolver(IterativeLinearSolver):
 
     def solve(self, A, b) -> SolveStatus:
         if np.ndim(b) == 2:
+            if getattr(self, "mesh", None) is not None \
+                    and getattr(self, "precision", "native") == "native":
+                # blocked lockstep CG over the mesh (one ppermute-halo
+                # operator pass per step for all k RHS)
+                return self._solve_mesh_multi(A, b, "cg")
             raise ValueError(
-                "factory solvers take a 1-D right-hand side; for k RHS "
-                "use pysolvers_tpu.solve(A, B) (blocked multi-RHS) or "
-                "linear.cg_solve_multi")
+                "factory solvers take a 1-D right-hand side here; for "
+                "k RHS use pysolvers_tpu.solve(A, B) (blocked multi-RHS), "
+                "linear.cg_solve_multi, or mesh= with precision='native'")
         if getattr(self, "mesh", None) is not None:
             if getattr(self, "precision", "native") == "mixed":
                 return self._solve_mesh_mixed(A, b, "cg")
@@ -711,10 +768,15 @@ class GMRESSolver(IterativeLinearSolver):
 
     def solve(self, A, b) -> SolveStatus:
         if np.ndim(b) == 2:
+            if getattr(self, "mesh", None) is not None \
+                    and getattr(self, "precision", "native") == "native":
+                # blocked lockstep GMRES over the mesh (gmres_solve_multi)
+                return self._solve_mesh_multi(A, b, "gmres")
             raise ValueError(
-                "factory solvers take a 1-D right-hand side; for k RHS "
-                "use pysolvers_tpu.solve(A, B) (blocked multi-RHS) or "
-                "linear.cg_solve_multi")
+                "factory solvers take a 1-D right-hand side here; for "
+                "k RHS use pysolvers_tpu.solve(A, B) (blocked multi-RHS), "
+                "linear.gmres_solve_multi, or mesh= with "
+                "precision='native'")
         if getattr(self, "mesh", None) is not None:
             if getattr(self, "precision", "native") == "mixed":
                 return self._solve_mesh_mixed(A, b, "gmres",

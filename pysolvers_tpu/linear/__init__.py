@@ -1,4 +1,5 @@
-from .krylov import cg_solve, cg_solve_multi, gmres_solve, KrylovState
+from .krylov import (cg_solve, cg_solve_multi, gmres_solve,
+                     gmres_solve_multi, KrylovState)
 from .preconditioner import (Preconditioner, PreconditionerType,
                              IdentityPreconditionerType,
                              JacobiPreconditionerType,
@@ -7,7 +8,8 @@ from .ilu import (ilut_factor, ict_factor, ILUTPreconditionerType,
                   ICPreconditionerType)
 
 __all__ = [
-    "cg_solve", "cg_solve_multi", "gmres_solve", "KrylovState",
+    "cg_solve", "cg_solve_multi", "gmres_solve",
+    "gmres_solve_multi", "KrylovState",
     "Preconditioner", "PreconditionerType", "IdentityPreconditionerType",
     "JacobiPreconditionerType", "ChebyshevPreconditionerType",
     "ilut_factor", "ict_factor", "ILUTPreconditionerType",

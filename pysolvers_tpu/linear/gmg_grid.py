@@ -280,15 +280,33 @@ def _probe_coarse_dia(A_f: DiaMatrix, ndim: int, m_f: int,
     n_c = m_c ** ndim
     ar = jnp.arange(m_c)
 
-    def pipeline(v):
-        return grid_restrict(matvec(A_f, grid_prolong(v, ndim, m_c, m_f)),
-                             ndim, m_f, m_c)
+    def pipeline_batch(V):
+        """(K, n_c) comb batch → (K, n_c) responses: batch-aware strided
+        transfers + the blocked DIA SpMM — ONE matrix pass for all combs.
+        (A vmap of the scalar pipeline compiled fine at n=10^6 but
+        crashed the remote TPU compiler at n=4.2M — vmapping the Pallas
+        SpMV is the suspect; dia_spmm is the natively-blocked form.)"""
+        K = V.shape[0]
+        if ndim == 1:
+            U = _prolong_last(V, m_f)                     # (K, m_f)
+        else:
+            X = V.reshape(K, m_c, m_c)
+            X = _prolong_last(X, m_f)                     # axis -1
+            X = _prolong_last(X.swapaxes(-1, -2), m_f).swapaxes(-1, -2)
+            U = X.reshape(K, m_f ** ndim)
+        W = dia_spmm(A_f, U.T).T                          # (K, n_f)
+        if ndim == 1:
+            return _restrict_last(W)
+        X = W.reshape(K, m_f, m_f)
+        X = _restrict_last(X)
+        X = _restrict_last(X.swapaxes(-1, -2)).swapaxes(-1, -2)
+        return X.reshape(K, n_c)
 
     deltas = range(-rc, rc + 1)
     if ndim == 1:
         combs = jnp.stack([(ar % s == p).astype(dtype) for p in range(s)],
-                          axis=1)                          # (m_c, s)
-        Y = jax.vmap(pipeline, in_axes=1, out_axes=0)(combs)   # (s, m_c)
+                          axis=0)                          # (s, m_c)
+        Y = pipeline_batch(combs)                          # (s, m_c)
         offsets, diags = [], []
         for da in deltas:
             # row a holds A_c[a, a-da]; its column's comb phase is (a-da)%s
@@ -301,8 +319,8 @@ def _probe_coarse_dia(A_f: DiaMatrix, ndim: int, m_f: int,
         phases = [(px, py) for px in range(s) for py in range(s)]
         combs = jnp.stack(
             [((ar % s == px)[:, None] * (ar % s == py)[None, :])
-             .astype(dtype).reshape(-1) for px, py in phases], axis=1)
-        Y = jax.vmap(pipeline, in_axes=1, out_axes=0)(combs)
+             .astype(dtype).reshape(-1) for px, py in phases], axis=0)
+        Y = pipeline_batch(combs)
         Yps = Y.reshape(s, s, m_c, m_c)                    # (px, py, a, b)
         offsets, diags = [], []
         for da in deltas:
@@ -368,6 +386,71 @@ def _build_device_levels(fine_diags: jax.Array, fine_offsets, ms,
 
 _DEVICE_BUILD_CACHE: dict = {}
 
+# above this fine-level size the whole-hierarchy one-dispatch build is
+# split into per-level jitted probes: the single fused graph (all levels'
+# vmapped comb pipelines unrolled) crashes the remote TPU compiler at
+# n=4.2M (HTTP 500 from tpu_compile_helper, reproducible), and at that
+# scale a handful of extra ~25 ms dispatches is noise anyway
+_SPLIT_BUILD_N = 1 << 21
+
+
+def _probe_level_fn(fine_offsets, m_f, m_c, ndim):
+    """Cached per-level jit: fine DIA table -> coarse DIA table."""
+    key = ("lvl", fine_offsets, m_f, m_c, ndim)
+    fn = _DEVICE_BUILD_CACHE.get(key)
+    if fn is not None:
+        return fn
+
+    @jax.jit
+    def fn(diags):
+        n_f = m_f ** ndim
+        A = DiaMatrix(diags, fine_offsets, (n_f, n_f))
+        return _probe_coarse_dia(A, ndim, m_f, m_c).diags
+
+    if len(_DEVICE_BUILD_CACHE) > 32:
+        _DEVICE_BUILD_CACHE.clear()
+    _DEVICE_BUILD_CACHE[key] = fn
+    return fn
+
+
+def _level_stats_fn(offsets, n_k, need_cheb):
+    """Cached jit: a level's own 1/diag (+ Gershgorin Chebyshev bounds)."""
+    key = ("stats", offsets, n_k, need_cheb)
+    fn = _DEVICE_BUILD_CACHE.get(key)
+    if fn is None:
+        zpos = offsets.index(0)
+
+        @jax.jit
+        def fn(diags):
+            d = diags[zpos, :n_k]
+            d = jnp.where(d == 0, 1.0, d)
+            cheb = None
+            if need_cheb:
+                rowsum = jnp.sum(jnp.abs(diags[:, :n_k]), axis=0)
+                lmax = jnp.max(rowsum / jnp.abs(d))
+                lmin = lmax / 30.0
+                cheb = (0.5 * (lmax + lmin), 0.5 * (lmax - lmin))
+            return 1.0 / d, cheb
+
+        _DEVICE_BUILD_CACHE[key] = fn
+    return fn
+
+
+def _coarsest_inverse_fn(offsets, n0):
+    key = ("inv0", offsets, n0)
+    fn = _DEVICE_BUILD_CACHE.get(key)
+    if fn is None:
+        from ..ops.dense_inverse import dense_inverse
+
+        @jax.jit
+        def fn(diags):
+            A0 = DiaMatrix(diags, offsets, (n0, n0))
+            dense0 = dia_spmm(A0, jnp.eye(n0, dtype=A0.dtype))
+            return dense_inverse(dense0)
+
+        _DEVICE_BUILD_CACHE[key] = fn
+    return fn
+
 
 def build_grid_hierarchy_device(A_dev: DiaMatrix, num_levels: int,
                                 dims: Tuple[int, ...],
@@ -404,16 +487,49 @@ def build_grid_hierarchy_device(A_dev: DiaMatrix, num_levels: int,
     ms = tuple(refinement_ms(dims[0], num_levels))[::-1]   # coarsest-first
     need_cheb = smoother == "chebyshev"
 
-    key = (A_dev.offsets, ms, ndim, need_cheb, str(A_dev.dtype))
-    fn = _DEVICE_BUILD_CACHE.get(key)
-    if fn is None:
-        fn = jax.jit(functools.partial(
-            _build_device_levels, fine_offsets=A_dev.offsets, ms=ms,
-            ndim=ndim, need_cheb=need_cheb))
-        if len(_DEVICE_BUILD_CACHE) > 16:
-            _DEVICE_BUILD_CACHE.clear()
-        _DEVICE_BUILD_CACHE[key] = fn
-    out_levels, A0_inv = fn(A_dev.diags)
+    if A_dev.shape[0] > _SPLIT_BUILD_N:
+        # per-level dispatches: the fused whole-hierarchy graph crashes
+        # the remote compiler at this scale (see _SPLIT_BUILD_N).  The
+        # compile helper itself is flaky under big-graph pressure
+        # (observed: a graph FAILS with HTTP 500 / truncated response,
+        # the helper restarts, and the SAME graph then compiles in
+        # seconds) — retry each dispatch a few times before giving up.
+        def _retry(fn, *a):
+            last = None
+            for attempt in range(3):
+                try:
+                    return fn(*a)
+                except Exception as e:          # jax runtime INTERNAL
+                    if "remote_compile" not in str(e):
+                        raise
+                    last = e
+                    import time as _t
+                    _t.sleep(3.0 * (attempt + 1))
+            raise last
+
+        out_levels = []
+        tbl = A_dev.diags
+        offs = A_dev.offsets
+        for k in range(len(ms) - 1, 0, -1):        # fine -> coarse
+            dinv, cheb = _retry(_level_stats_fn(offs, ms[k] ** ndim,
+                                                need_cheb), tbl)
+            out_levels.append((tbl, dinv, cheb))
+            tbl = _retry(_probe_level_fn(offs, ms[k], ms[k - 1], ndim),
+                         tbl)
+            offs = _probed_offsets(A_dev.offsets, ms, ndim, k - 1)
+        A0_inv = _retry(_coarsest_inverse_fn(offs, ms[0] ** ndim), tbl)
+        out_levels.reverse()                       # coarsest-first
+    else:
+        key = (A_dev.offsets, ms, ndim, need_cheb, str(A_dev.dtype))
+        fn = _DEVICE_BUILD_CACHE.get(key)
+        if fn is None:
+            fn = jax.jit(functools.partial(
+                _build_device_levels, fine_offsets=A_dev.offsets, ms=ms,
+                ndim=ndim, need_cheb=need_cheb))
+            if len(_DEVICE_BUILD_CACHE) > 16:
+                _DEVICE_BUILD_CACHE.clear()
+            _DEVICE_BUILD_CACHE[key] = fn
+        out_levels, A0_inv = fn(A_dev.diags)
 
     levels: List[GridLevel] = [GridLevel(None, None, None, None)]
     for k in range(1, len(ms)):

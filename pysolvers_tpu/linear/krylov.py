@@ -456,6 +456,139 @@ def cg_solve_rr(matvec: Callable, b_hi: jax.Array, *, mv_hi: Callable,
     return x_out, KrylovState(final.k, r_out, final.reason), None
 
 
+class _GMRESMultiCarry(NamedTuple):
+    k: jax.Array          # lockstep Arnoldi step (scalar)
+    k_col: jax.Array      # per-column step count at freeze (k_rhs,)
+    Q: jax.Array          # (m+1, n, k_rhs) bases
+    H: jax.Array          # (m+1, m, k_rhs)
+    g: jax.Array          # (m+1, k_rhs)
+    cs: jax.Array         # (m, 2, k_rhs)
+    resid: jax.Array      # per-column implicit residual (k_rhs,)
+    reason: jax.Array     # per-column StopReason (k_rhs,)
+
+
+def gmres_solve_multi(matvec: Callable, B: jax.Array, *,
+                      maxiter: int = 100, tau: float = 1e-8,
+                      precond: Optional[Callable] = None):
+    """Blocked multi-RHS right-preconditioned GMRES: ``k_rhs`` independent
+    Arnoldi recurrences advanced in LOCKSTEP, fully jitted.  Returns
+    (X, KrylovState-of-vectors, None) with per-column iteration counts,
+    implicit residuals and stop reasons.
+
+    TPU rationale (same as cg_solve_multi): each lockstep step makes ONE
+    pass over the operator for all columns — ``matvec`` is an SpMM
+    ``(n, k_rhs) -> (n, k_rhs)`` (e.g. ``lambda V: ops.matmat(A, V)``) —
+    k× the arithmetic intensity of k sequential solves on the
+    bandwidth-bound SpMV, and the MGS projections/updates run as
+    column-batched einsums on the MXU.  Converged columns freeze their
+    Hessenberg/Givens/rhs state (their basis slots keep advancing but are
+    masked out of the solution by the per-column step count), so mixed
+    convergence speeds cost no extra numerics.  No restart: like the
+    reference, the cycle length is maxiter (GMRESSolver.py:77-83); the
+    multi-RHS capability itself has no reference counterpart.
+
+    ``precond`` (optional) applies M⁻¹ columnwise to an (n, k_rhs) block;
+    wrap a vector-only apply with ``jax.vmap(apply, 1, 1)`` if needed.
+    """
+    M = precond or (lambda V: V)
+    n, kr = B.shape
+    m = maxiter
+    dtype = B.dtype
+    cnorm = lambda V: jnp.sqrt(jnp.sum(V * V, axis=0))
+
+    b_norms = cnorm(B)
+    tols = tau * b_norms
+
+    beta = b_norms
+    safe = jnp.where(beta > 0, beta, 1.0)
+    Q0 = jnp.zeros((m + 1, n, kr), dtype=dtype).at[0].set(B / safe)
+    g0 = jnp.zeros((m + 1, kr), dtype=dtype).at[0].set(beta)
+    init_reason = jnp.where(beta <= tols, StopReason.CONVERGED,
+                            StopReason.RUNNING).astype(jnp.int32)
+
+    def cond(c: _GMRESMultiCarry):
+        return jnp.any(c.reason == StopReason.RUNNING) & (c.k < m)
+
+    def body(c: _GMRESMultiCarry):
+        k = c.k
+        active = c.reason == StopReason.RUNNING
+        U = matvec(M(c.Q[k]))                       # (n, kr): ONE SpMM
+
+        def mgs_body(j, carry):
+            U, hcol = carry
+            hj = jnp.sum(c.Q[j] * U, axis=0)        # per-column dot
+            return U - c.Q[j] * hj[None, :], hcol.at[j].set(hj)
+
+        U, hcol = jax.lax.fori_loop(
+            0, k + 1, mgs_body,
+            (U, jnp.zeros((m + 1, kr), dtype=dtype)))
+        hk1 = cnorm(U)
+        lucky = hk1 == 0
+        hcol = hcol.at[k + 1].set(hk1)
+        # frozen columns write ZERO basis rows (their own junk recurrence
+        # could overflow to NaN, and 0·NaN in the final basis contraction
+        # would poison the masked solution)
+        q_new = jnp.where(active[None, :],
+                          U / jnp.where(lucky, 1.0, hk1)[None, :], 0.0)
+        Q = c.Q.at[k + 1].set(q_new)
+
+        # previous Givens rotations, batched over columns
+        def giv_body(j, h):
+            cj, sj = c.cs[j, 0], c.cs[j, 1]
+            hj, hj1 = h[j], h[j + 1]
+            h = h.at[j].set(cj * hj + sj * hj1)
+            return h.at[j + 1].set(-sj * hj + cj * hj1)
+
+        hcol = jax.lax.fori_loop(0, k, giv_body, hcol)
+        ck, sk = _givens_coeffs(hcol[k], hcol[k + 1])
+        hcol = hcol.at[k].set(ck * hcol[k] + sk * hcol[k + 1]) \
+                   .at[k + 1].set(jnp.zeros_like(hk1))
+        gk, gk1 = c.g[k], c.g[k + 1]
+        g_new = c.g.at[k].set(ck * gk + sk * gk1) \
+                    .at[k + 1].set(-sk * gk + ck * gk1)
+        resid = jnp.abs(g_new[k + 1])
+
+        # frozen columns keep their triangularized state
+        H = jnp.where(active[None, :], hcol, c.H[:, k, :])
+        H = c.H.at[:, k, :].set(H)
+        g = jnp.where(active[None, :], g_new, c.g)
+        cs = c.cs.at[k, 0].set(jnp.where(active, ck, c.cs[k, 0])) \
+                 .at[k, 1].set(jnp.where(active, sk, c.cs[k, 1]))
+        resid = jnp.where(active, resid, c.resid)
+        k_new = k + 1
+        k_col = jnp.where(active, k_new, c.k_col)
+
+        reason = jnp.where(
+            ~active, c.reason,
+            jnp.where(resid <= tols, StopReason.CONVERGED,
+                      jnp.where(lucky, StopReason.CONVERGED,
+                                jnp.where(k_new >= m, StopReason.MAXITER,
+                                          StopReason.RUNNING)))
+        ).astype(jnp.int32)
+        return _GMRESMultiCarry(k_new, k_col, Q, H, g, cs, resid, reason)
+
+    init = _GMRESMultiCarry(
+        jnp.int32(0), jnp.zeros(kr, jnp.int32), Q0,
+        jnp.zeros((m + 1, m, kr), dtype=dtype), g0,
+        jnp.zeros((m, 2, kr), dtype=dtype), beta, init_reason)
+    f = jax.lax.while_loop(cond, body, init)
+
+    # per-column masked back substitution on the triangularized H
+    def bs_body(i, y):
+        j = m - 1 - i
+        act = (j < f.k_col).astype(dtype)            # (kr,)
+        s = f.g[j] - jnp.sum(f.H[j] * y, axis=0)     # (kr,)
+        hjj = f.H[j, j]
+        yj = act * s / jnp.where(hjj != 0, hjj, 1.0)
+        return y.at[j].set(yj)
+
+    y = jax.lax.fori_loop(0, m, bs_body, jnp.zeros((m, kr), dtype=dtype))
+    # x = M(Q y) columnwise; HIGHEST for the basis contraction
+    Z = jnp.einsum("knc,kc->nc", f.Q[:m], y, precision=_HI)
+    X = M(Z)
+    return X, KrylovState(f.k_col, f.resid, f.reason), None
+
+
 # ---------------------------------------------------------------------------
 # GMRES(m) with restarts
 # ---------------------------------------------------------------------------

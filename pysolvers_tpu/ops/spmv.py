@@ -116,11 +116,15 @@ def dia_spmv_pallas(A: DiaMatrix, x: jax.Array, tile: int = 32768,
     # shrink the tile for small systems so padding to tile*8 rows doesn't
     # multiply the streamed bytes (n=1024 with the default tile would pad
     # 64x); keep lanes >= 128.  Also clamp so each grid step's buffers
-    # (diags (D,8,tile) + window + out, double-buffered) fit VMEM —
-    # measured sweep: bigger tiles win until the VMEM wall
-    # (8k: 86, 16k: 101, 32k: 107 Gnnz/s on v5e).
+    # fit scoped VMEM: the streamed diags block is DOUBLE-buffered by the
+    # pipeline (2·D), window + out add ~4 more tile-rows.  Measured
+    # sweep: bigger tiles win until the VMEM wall (8k: 86, 16k: 101,
+    # 32k: 107 Gnnz/s on v5e); D=5 keeps the 32k tile under this cap,
+    # while a 9-offset probed GMG level at n=10^6 previously requested
+    # 18 MB scoped vs the 16 MB limit and failed to compile.
     vmem_budget = 16 * 1024 * 1024
-    tile_cap = max((vmem_budget // (4 * 8 * (D + 2))) // 128 * 128, 128)
+    tile_cap = max((vmem_budget // (4 * 8 * (2 * D + 4))) // 128 * 128,
+                   128)
     tile = max(128, min(tile, tile_cap,
                         _ceil_to((A.diags.shape[1] + 7) // 8, 128)))
     n_pad = _ceil_to(A.diags.shape[1], tile * 8)
@@ -185,6 +189,118 @@ def dia_spmv_xla(A: DiaMatrix, x: jax.Array) -> jax.Array:
     return acc[:n]
 
 
+def _bdia_kernel(planes_ref, xw_ref, o_ref, *, offsets, b, tile, pad_lo):
+    # planes_ref: (D·b, b, tile); xw_ref: (1, b, wlen); o_ref:
+    # (b, tile).  For each block offset d and source dof q: FMA the
+    # contiguous (b, tile) plane slab against dof-q's shifted x window
+    # row, broadcast over the p sublanes — zero gathers, zero transposes.
+    acc = jnp.zeros((b, tile), dtype=planes_ref.dtype)
+    for d, off in enumerate(offsets):
+        xs = xw_ref[0, :, off + pad_lo: off + pad_lo + tile]   # (b, tile)
+        for q in range(b):
+            acc = acc + planes_ref[d * b + q] * xs[q:q + 1, :]
+    o_ref[...] = acc
+
+
+def bdia_spmv_pallas(A, x: jax.Array, tile: int = 16384,
+                     interpret: bool = None) -> jax.Array:
+    """Planar block-DIA SpMV Pallas kernel (sparse/bdia.py layout):
+    y[p·nb+i] = Σ_d Σ_q planes[d·b+q, p, i] · x[q·nb + i + off_d].
+
+    x is PLANAR-ordered (all dof-0 values first).  Row tiles of the
+    block-row axis stream through VMEM like dia_spmv_pallas; each tile's
+    per-dof x windows (b, tile + band) are materialized once outside the
+    kernel."""
+    b, nb = A.b, A.nb
+    nb_pad = A.nb_pad
+    offsets = A.offsets
+    pad_lo = max(0, -min(offsets))
+    pad_hi = max(0, max(offsets))
+    D = len(offsets)
+
+    vmem_budget = 16 * 1024 * 1024
+    tile_cap = max((vmem_budget // (4 * b * (D * b + 2))) // 128 * 128, 128)
+    tile = max(128, min(tile, tile_cap, _ceil_to(nb_pad, 128)))
+    npad2 = _ceil_to(nb_pad, tile)
+    n_tiles = npad2 // tile
+    planes = A.planes
+    if planes.shape[-1] != npad2:
+        planes = jnp.pad(planes,
+                         ((0, 0), (0, 0), (0, npad2 - planes.shape[-1])))
+
+    wlen = _ceil_to(tile + pad_lo + pad_hi, 128)
+    xb = x.astype(A.dtype).reshape(b, nb)
+    xp = jnp.zeros((b, npad2 + wlen - tile + pad_lo), dtype=A.dtype)
+    xp = xp.at[:, pad_lo: pad_lo + nb].set(xb)
+    xw = jnp.stack([jax.lax.slice(xp, (0, t * tile),
+                                  (b, t * tile + wlen))
+                    for t in range(n_tiles)])        # (n_tiles, b, wlen)
+
+    if interpret is None:
+        interpret = _interpret_mode()
+    with jax.enable_x64(False):
+        out = pl.pallas_call(
+            functools.partial(_bdia_kernel, offsets=offsets, b=b,
+                              tile=tile, pad_lo=pad_lo),
+            grid=(n_tiles,),
+            interpret=interpret,
+            in_specs=[
+                pl.BlockSpec((D * b, b, tile), lambda i: (0, 0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, b, wlen), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((b, tile), lambda i: (0, i),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((b, npad2), A.dtype),
+        )(planes, xw)
+    return out[:, :nb].reshape(b * nb)
+
+
+def _bdia_xla(A, xb: jax.Array):
+    """(b, nb_pad[, k]) planar shift-and-FMA in plain jnp (fallback for
+    f64 and non-TPU backends; also the SpMM path)."""
+    b = A.b
+    nb_pad = A.nb_pad
+    pad_lo = max(0, -min(A.offsets))
+    pad_hi = max(0, max(A.offsets))
+    pad = [(0, 0), (pad_lo, pad_hi)] + [(0, 0)] * (xb.ndim - 2)
+    xp = jnp.pad(xb, pad)
+    acc = jnp.zeros_like(xb)
+    for d, off in enumerate(A.offsets):
+        start = (0, off + pad_lo) + (0,) * (xb.ndim - 2)
+        xs = jax.lax.dynamic_slice(xp, start, xb.shape)
+        for q in range(b):
+            pl_dq = A.planes[d * b + q]          # (b, nb_pad)
+            if xb.ndim == 3:
+                pl_dq = pl_dq[..., None]
+            acc = acc + pl_dq * xs[q:q + 1]
+    return acc
+
+
+def bdia_spmv(A, x: jax.Array) -> jax.Array:
+    """Planar block-DIA SpMV (dispatching Pallas on TPU f32, XLA
+    shift-and-FMA elsewhere).  x and y are PLANAR-ordered — reorder once
+    per solve with BdiaMatrix.to_planar/from_planar."""
+    b, nb = A.b, A.nb
+    if A.dtype == jnp.float32 and not _interpret_mode():
+        return bdia_spmv_pallas(A, x)
+    xb = jnp.zeros((b, A.nb_pad), dtype=jnp.result_type(A.dtype, x.dtype))
+    xb = xb.at[:, :nb].set(x.astype(xb.dtype).reshape(b, nb))
+    return _bdia_xla(A, xb)[:, :nb].reshape(b * nb)
+
+
+def bdia_spmm(A, X: jax.Array) -> jax.Array:
+    """Blocked multi-RHS planar block-DIA SpMM: (n, k) -> (n, k), one
+    pass over the block streams for all k columns (planar-ordered)."""
+    b, nb = A.b, A.nb
+    k = X.shape[1]
+    xb = jnp.zeros((b, A.nb_pad, k),
+                   dtype=jnp.result_type(A.dtype, X.dtype))
+    xb = xb.at[:, :nb, :].set(X.astype(xb.dtype).reshape(b, nb, k))
+    return _bdia_xla(A, xb)[:, :nb, :].reshape(b * nb, k)
+
+
 # ---------------------------------------------------------------------------
 # Dispatch
 # ---------------------------------------------------------------------------
@@ -199,6 +315,9 @@ def matvec(A, x: jax.Array) -> jax.Array:
     if isinstance(A, BwsMatrix):
         from .bws_spmv import bws_spmv
         return bws_spmv(A, x)
+    from ..sparse.bdia import BdiaMatrix
+    if isinstance(A, BdiaMatrix):
+        return bdia_spmv(A, x)
     if isinstance(A, DiaMatrix):
         if A.dtype == jnp.float32 and x.dtype == jnp.float32:
             return dia_spmv_pallas(A, x)
@@ -262,6 +381,9 @@ def dia_spmm(A: DiaMatrix, X: jax.Array) -> jax.Array:
 
 def matmat(A, X: jax.Array) -> jax.Array:
     """Y = A @ X (multi-vector SpMM dispatch, jittable)."""
+    from ..sparse.bdia import BdiaMatrix
+    if isinstance(A, BdiaMatrix):
+        return bdia_spmm(A, X)
     if isinstance(A, DiaMatrix):
         return dia_spmm(A, X)
     if isinstance(A, EllMatrix):

@@ -76,8 +76,15 @@ def shard_dia(A_host: HostCSR, mesh: Mesh, dtype=None) -> ShardedDia:
     return ShardedDia(d, tuple(int(o) for o in offs), (n, n), mesh)
 
 
-def dist_dia_spmv(A: ShardedDia, x: jax.Array) -> jax.Array:
-    """y = A @ x with x row-sharded (length n_pad).  Jittable."""
+def dist_dia_spmv(A: ShardedDia, x: jax.Array, *,
+                  halo: bool = True) -> jax.Array:
+    """y = A @ x with x row-sharded (length n_pad).  Jittable.
+
+    ``halo=False`` is a DIAGNOSTIC mode: the ppermute halo exchanges are
+    skipped (neighbor contributions read as zero, so the product is
+    WRONG near shard boundaries).  It isolates the collectives' share of
+    distributed overhead in the weak-scaling harness
+    (benchmarks/weak_scaling.py) — never use it in a solve."""
     offsets = A.offsets
     if len(offsets) == 0:
         return jnp.zeros_like(x)     # zero-nnz matrix (shard_dia allows it)
@@ -86,6 +93,8 @@ def dist_dia_spmv(A: ShardedDia, x: jax.Array) -> jax.Array:
     mesh = A.mesh
     n_dev = mesh.devices.size
     slab = A.n_pad // n_dev
+    if not halo:
+        n_dev = 1                    # disables both ppermute branches
 
     def local(diags_s, x_s):
         # x_s: (slab,) local slab.  Fetch halos from neighbors.

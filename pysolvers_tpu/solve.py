@@ -149,11 +149,12 @@ def _solve_multi(A: HostCSR, B: np.ndarray, *, tau, maxiter, method,
 
     from .core import StopReason, make_status
 
-    if method == "cg" and precision == "native":
+    if method in ("cg", "gmres") and precision == "native":
         import jax
 
         from .api import as_device_matrix
-        from .linear.krylov import KrylovState, cg_solve_multi
+        from .linear.krylov import (KrylovState, cg_solve_multi,
+                                    gmres_solve_multi)
         from .ops import matmat
 
         A_host, A_dev = as_device_matrix(A)
@@ -168,9 +169,14 @@ def _solve_multi(A: HostCSR, B: np.ndarray, *, tau, maxiter, method,
         # api.py PCGSolver.solve) — a numpy-f64 B must not silently
         # promote the whole lockstep solve to emulated f64 on TPU
         Bd = jnp.asarray(B, dtype=getattr(A_dev, "dtype", None))
-        X, st, _ = cg_solve_multi(
-            lambda V: matmat(A_dev, V), Bd, maxiter=maxiter,
-            tau=tau, precond=papply)
+        if method == "cg":
+            X, st, _ = cg_solve_multi(
+                lambda V: matmat(A_dev, V), Bd, maxiter=maxiter,
+                tau=tau, precond=papply)
+        else:
+            X, st, _ = gmres_solve_multi(
+                lambda V: matmat(A_dev, V), Bd, maxiter=maxiter,
+                tau=tau, precond=papply)
         worst = int(np.asarray(st.reason).max())  # RUNNING<CONV<others
         agg = KrylovState(jnp.int32(int(np.asarray(st.k).max())),
                           jnp.asarray(float(np.asarray(st.resid).max())),

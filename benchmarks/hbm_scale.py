@@ -162,11 +162,14 @@ def run_chip(args, emit):
     t0 = time.perf_counter()
     diags, offsets = analytic_lap2d_diags(m, n_pad)
     build_s = time.perf_counter() - t0
+    print(f"[chip] built diags ({diags.nbytes/1e9:.1f} GB) in "
+          f"{build_s:.1f}s", flush=True)
     from pysolvers_tpu.sparse.device import DiaMatrix
     t0 = time.perf_counter()
     A = DiaMatrix(jnp.asarray(diags), offsets, (n, n))
     jax.block_until_ready(A.diags)
     upload_s = time.perf_counter() - t0
+    print(f"[chip] uploaded in {upload_s:.1f}s", flush=True)
     rng = np.random.default_rng(0)
     xh = rng.random(n).astype(np.float32)
     x = jnp.asarray(xh)
@@ -174,8 +177,10 @@ def run_chip(args, emit):
     from pysolvers_tpu.ops import matvec
     # correctness spot-check
     y = np.asarray(jax.jit(lambda v: matvec(A, v))(x))
+    print("[chip] first matvec + fetch done", flush=True)
     yref = host_matvec_diags(diags, offsets, n, xh.astype(np.float64))
     rel = float(np.linalg.norm(y - yref) / np.linalg.norm(yref))
+    print(f"[chip] correctness rel={rel:.2e}", flush=True)
 
     from pysolvers_tpu.linear.krylov import cg_solve
     b = jax.jit(lambda v: matvec(A, v))(x)
@@ -184,6 +189,7 @@ def run_chip(args, emit):
         lambda v: matvec(A, v), b, maxiter=args.cg_iters, tau=1e-30))(b)
     jax.block_until_ready(xs)
     cg_s = time.perf_counter() - t0
+    print(f"[chip] CG done in {cg_s:.1f}s", flush=True)
     nnz = 5 * n - 4 * m            # interior stencil nnz (approx exact)
     emit(dict(config="single_chip_dia", n=n,
               matrix_gb=round(diags.nbytes / 1e9, 2),

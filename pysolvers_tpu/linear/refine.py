@@ -333,6 +333,14 @@ def _cached_dd_chain(apply_fn, method, inner_maxiter, restart, chain,
                             mv64, r64, maxiter=inner_maxiter,
                             tau=tau_k.astype(jnp.float64),
                             precond=papply64)
+                    elif method == "cg":
+                        # reachable only with PST_RR=0 (rr normally owns
+                        # the hi CG path): plain f64 CG on the hi
+                        # operator with the f32 preconditioner
+                        d64, st, _ = cg_solve(
+                            mv64, r64, maxiter=inner_maxiter,
+                            tau=tau_k.astype(jnp.float64),
+                            precond=papply64)
                     else:
                         opts = method.split(":")[1:]
                         d64, st, _ = gmres_solve(

@@ -75,3 +75,8 @@ class TestExamples:
         out = run_example("distributed_example.py", "--m", "32",
                           "--cpu-devices", "8")
         assert "CONVERGED" in out
+
+    def test_bdia(self):
+        # block-structured multi-dof solve on the block-DIA kernel
+        out = run_example("bdia_example.py", "--m", "16", "--b", "2")
+        assert "error vs exact" in out

@@ -97,7 +97,11 @@ def run_virtual(args, emit):
 
     # correctness vs analytic host matvec on a slice (full host f64
     # matvec at n=4e8 is cheap numpy)
-    y = np.asarray(jax.jit(lambda v: dist_dia_spmv(A, v))(x))[:n]
+    # the operator rides as a traced ARGUMENT: closing over it bakes the
+    # multi-GB table into the HLO as a constant (observed 3.9 GB shipped
+    # to the remote compiler — it wedged for 30+ minutes)
+    mv = jax.jit(lambda A, v: dist_dia_spmv(A, v))
+    y = np.asarray(mv(A, x))[:n]
     yref = host_matvec_diags(diags, offsets, n, xh[:n].astype(np.float64))
     rel = float(np.linalg.norm(y - yref) / np.linalg.norm(yref))
 
@@ -108,11 +112,11 @@ def run_virtual(args, emit):
 
     # a few distributed CG steps (psum dots via GSPMD)
     from pysolvers_tpu.linear.krylov import cg_solve
-    b = jax.jit(lambda v: dist_dia_spmv(A, v))(x)
+    b = mv(A, x)
     t0 = time.perf_counter()
-    xs, st, _ = jax.jit(lambda b: cg_solve(
+    xs, st, _ = jax.jit(lambda A, b: cg_solve(
         lambda v: dist_dia_spmv(A, v), b, maxiter=args.cg_iters,
-        tau=1e-30))(b)
+        tau=1e-30))(A, b)
     jax.block_until_ready(xs)
     cg_s = time.perf_counter() - t0
     emit(dict(config="virtual_mesh_dia", n=n, devices=d,
@@ -143,7 +147,7 @@ def run_ell50m(args, emit):
     rng = np.random.default_rng(0)
     xh = rng.random(n).astype(np.float32)
     x = pad_vector_ell_halo(A, xh)
-    y = np.asarray(jax.jit(lambda v: dist_ell_halo_spmv(A, v))(x))[:n]
+    y = np.asarray(jax.jit(lambda A, v: dist_ell_halo_spmv(A, v))(A, x))[:n]
     yref = H.matvec(xh.astype(np.float64))
     rel = float(np.linalg.norm(y - yref) / np.linalg.norm(yref))
     db = (A.data.addressable_shards[0].data.nbytes
@@ -175,18 +179,19 @@ def run_chip(args, emit):
     x = jnp.asarray(xh)
 
     from pysolvers_tpu.ops import matvec
-    # correctness spot-check
-    y = np.asarray(jax.jit(lambda v: matvec(A, v))(x))
+    # correctness spot-check; A as a traced argument (see run_virtual)
+    mv = jax.jit(lambda A, v: matvec(A, v))
+    y = np.asarray(mv(A, x))
     print("[chip] first matvec + fetch done", flush=True)
     yref = host_matvec_diags(diags, offsets, n, xh.astype(np.float64))
     rel = float(np.linalg.norm(y - yref) / np.linalg.norm(yref))
     print(f"[chip] correctness rel={rel:.2e}", flush=True)
 
     from pysolvers_tpu.linear.krylov import cg_solve
-    b = jax.jit(lambda v: matvec(A, v))(x)
+    b = mv(A, x)
     t0 = time.perf_counter()
-    xs, st, _ = jax.jit(lambda b: cg_solve(
-        lambda v: matvec(A, v), b, maxiter=args.cg_iters, tau=1e-30))(b)
+    xs, st, _ = jax.jit(lambda A, b: cg_solve(
+        lambda v: matvec(A, v), b, maxiter=args.cg_iters, tau=1e-30))(A, b)
     jax.block_until_ready(xs)
     cg_s = time.perf_counter() - t0
     print(f"[chip] CG done in {cg_s:.1f}s", flush=True)

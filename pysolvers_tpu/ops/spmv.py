@@ -122,9 +122,27 @@ def dia_spmv_pallas(A: DiaMatrix, x: jax.Array, tile: int = 32768,
     # 32k: 107 Gnnz/s on v5e); D=5 keeps the 32k tile under this cap,
     # while a 9-offset probed GMG level at n=10^6 previously requested
     # 18 MB scoped vs the 16 MB limit and failed to compile.
-    vmem_budget = 16 * 1024 * 1024
-    tile_cap = max((vmem_budget // (4 * 8 * (2 * D + 4))) // 128 * 128,
-                   128)
+    # per grid step (double-buffered): diags 2·D·8·tile + window
+    # 2·8·(tile + band) + out 2·8·tile floats; the band term matters for
+    # wide stencils (a 2-D Laplacian at m=17000 carries a ±m band that
+    # doubles the window).  Mosaic's ACTUAL scoped allocation runs ~15%
+    # above this model (kernel stack/slicing temps — measured 19.3 MB
+    # where the model said 16.7), so budget 13 MB against the 16 MB
+    # scoped limit.
+    vmem_budget = 13 * 1024 * 1024
+    band = pad_lo + pad_hi
+    tile_cap = max(
+        (vmem_budget // 4 - 2 * 8 * band) // (8 * (2 * D + 4))
+        // 128 * 128, 128)
+    if band > 2 * tile_cap:
+        # the kernel's windowed-x copy costs n·(1 + band/tile) floats;
+        # past band ≈ 2·tile that HBM expansion dominates (a 2-D
+        # Laplacian at m=17000, n=2.9e8 needed +4.2 GB of windows and
+        # OOM'd HBM).  The plain shift-and-FMA lowering pads x once
+        # (O(n)) — slower (measured 0.8 Gnnz/s at n=2.2e8: XLA doesn't
+        # pipeline the giant shifted reads) but memory-proportional, the
+        # only option at the extreme-band edge.
+        return dia_spmv_xla(A, x)
     tile = max(128, min(tile, tile_cap,
                         _ceil_to((A.diags.shape[1] + 7) // 8, 128)))
     n_pad = _ceil_to(A.diags.shape[1], tile * 8)
@@ -135,14 +153,21 @@ def dia_spmv_pallas(A: DiaMatrix, x: jax.Array, tile: int = 32768,
     diags3 = diags.reshape(D, n_tiles, tile)
 
     wlen = _ceil_to(tile + pad_lo + pad_hi, 128)
+    # windowed view: xw[t] = xp[t*tile : t*tile + wlen], built from
+    # ceil(wlen/tile) RESHAPED pieces concatenated along the window axis
+    # — piece j is reshape(xp[j*tile:], (n_tiles, tile)), so xw costs
+    # O(band/tile) fused copies regardless of n_tiles.  (The previous
+    # per-tile jnp.stack of n_tiles slices stopped fusing at scale:
+    # 5.6k slices at n=1.4e8 ran ~1.4 s/matvec — pure launch overhead.)
+    k_pieces = -(-wlen // tile)
     # x has length shape[1] (rectangular operators: GMG/AMG transfers)
-    xp = jnp.zeros((max(n_pad + wlen - tile, pad_lo + A.shape[1]),),
+    xp = jnp.zeros((max(n_pad + k_pieces * tile, pad_lo + A.shape[1]),),
                    dtype=A.dtype)
     xp = xp.at[pad_lo: pad_lo + A.shape[1]].set(x.astype(A.dtype))
-    # windowed view: xw[t] = xp[t*tile : t*tile + wlen] (static slices,
-    # fused into one copy by XLA)
-    xw = jnp.stack([jax.lax.slice(xp, (t * tile,), (t * tile + wlen,))
-                    for t in range(n_tiles)])
+    xw = jnp.concatenate(
+        [jax.lax.slice(xp, (j * tile,),
+                       (j * tile + n_tiles * tile,)).reshape(n_tiles, tile)
+         for j in range(k_pieces)], axis=1)[:, :wlen]
 
     grid = n_tiles // 8
     if interpret is None:

@@ -71,7 +71,7 @@ def main():
 
     c1 = per_iter_cost(1)
     ck = per_iter_cost(args.k)
-    rec = {
+    recs = [{
         "metric": "multi_rhs_cg_amortization",
         "m": m, "n": n, "k": args.k,
         "per_iter_single_s": round(c1, 8),
@@ -79,11 +79,46 @@ def main():
         # cost of one blocked iteration vs k single iterations
         "amortization_x": round(args.k * c1 / ck, 3),
         "backend": jax.default_backend(),
-    }
-    print(json.dumps(rec), flush=True)
+    }]
+
+    # GMRES-multi amortization (round 3): the lockstep Arnoldi makes one
+    # SpMM pass per step, but GMRES adds O(k_step·n) MGS work per column,
+    # so the ratio is below CG's — the SpMM+dispatch savings still win
+    from pysolvers_tpu.linear.krylov import gmres_solve_multi
+
+    def gm_per_iter(k_rhs, short=20, long=60, reps=3):
+        B = jnp.asarray(rng.random((n, k_rhs)).astype(np.float32))
+        fns = {it: jax.jit(lambda Bv, it=it: gmres_solve_multi(
+            lambda V: matmat(A, V), Bv, maxiter=it, tau=0.0)[0])
+            for it in (short, long)}
+        for f in fns.values():
+            float(f(B)[0, 0])
+        best = {}
+        for it, f in fns.items():
+            b = float("inf")
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                float(f(B)[0, 0])
+                b = min(b, time.perf_counter() - t0)
+            best[it] = b
+        return max((best[long] - best[short]) / (long - short), 1e-9)
+
+    g1 = gm_per_iter(1)
+    gk = gm_per_iter(args.k)
+    recs.append({
+        "metric": "multi_rhs_gmres_amortization",
+        "m": m, "n": n, "k": args.k,
+        "per_iter_single_s": round(g1, 8),
+        "per_iter_blocked_s": round(gk, 8),
+        "amortization_x": round(args.k * g1 / gk, 3),
+        "backend": jax.default_backend(),
+    })
+    for rec in recs:
+        print(json.dumps(rec), flush=True)
     if args.out:
         with open(args.out, "a") as f:
-            f.write(json.dumps(rec) + "\n")
+            for rec in recs:
+                f.write(json.dumps(rec) + "\n")
 
 
 if __name__ == "__main__":

@@ -408,8 +408,13 @@ class IterativeLinearSolver(LinearSolver):
             ms64 = self._mesh_setup(A_host, "mm64", dtype=np.float64)
             prec = getattr(self, "_mm_prec_src", None)
             papply = getattr(self, "_mm_papply", None)
+            # hi matvec over the mesh when a preconditioner keeps the
+            # iteration count low (same policy as ir_solve_dd): the f64
+            # sharded recurrence reaches f64-CG counts and an
+            # error-clean final residual direction
+            hi = papply is not None
             key = ("rr", id(prec), ms["mv"], ms64["mv"],
-                   self.control.maxiter)
+                   self.control.maxiter, hi)
 
             def make():
                 mv32, mv64 = ms["mv"], ms64["mv"]
@@ -419,7 +424,8 @@ class IterativeLinearSolver(LinearSolver):
                     x64, st, _ = cg_solve_rr(
                         lambda v: mv32(A32_sh, v), b64,
                         mv_hi=lambda v: mv64(A64_sh, v),
-                        maxiter=control.maxiter, tau=tau, precond=papply)
+                        maxiter=control.maxiter, tau=tau, precond=papply,
+                        hi_matvec=hi)
                     return x64, st.k
 
                 return _rr
@@ -428,6 +434,45 @@ class IterativeLinearSolver(LinearSolver):
             b_pad = ms64["pad"](ms64["A"], b_h / b_norm)
             x64, k = rr_run(ms["A"], ms64["A"], b_pad,
                             self._effective_tau())
+            inner_total += int(k)
+            x_h = b_norm * np.asarray(x64[:n], dtype=np.float64)
+        elif method == "gmres" and b_norm > 0 \
+                and jax.config.jax_enable_x64:
+            # f64 FGMRES fast path over the mesh (round-3 accuracy
+            # design, refine._cached_dd_chain): f64 sharded basis +
+            # matvec, the f32 preconditioner riding as the flexible
+            # part — f64-grade counts and error, one dispatch, no
+            # restart-chain waste.  Falls through to the f32 chain
+            # below if not converged.
+            from .linear.krylov import gmres_solve
+            ms64 = self._mesh_setup(A_host, "mm64", dtype=np.float64)
+            prec = getattr(self, "_mm_prec_src", None)
+            papply = getattr(self, "_mm_papply", None)
+            key = ("fg64", id(prec), ms64["mv"], self.control.maxiter,
+                   restart, orthog)
+
+            def make():
+                mv64 = ms64["mv"]
+                control = self.control
+                papply64 = (None if papply is None else
+                            (lambda v: papply(
+                                v.astype(jnp.float32)).astype(
+                                    jnp.float64)))
+
+                def _fg(A64_sh, b64, tau):
+                    x64, st, _ = gmres_solve(
+                        lambda v: mv64(A64_sh, v), b64,
+                        maxiter=control.maxiter, tau=tau,
+                        precond=papply64, restart=restart,
+                        orthog=orthog, flexible=True,
+                        check_true_residual=False)
+                    return x64, st.k
+
+                return _fg
+
+            fg_run = self._cached_jit("_mm_fg64_jit", key, make)
+            b_pad = ms64["pad"](ms64["A"], b_h / b_norm)
+            x64, k = fg_run(ms64["A"], b_pad, self._effective_tau())
             inner_total += int(k)
             x_h = b_norm * np.asarray(x64[:n], dtype=np.float64)
         for disp in range(21):

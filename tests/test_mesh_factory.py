@@ -134,3 +134,17 @@ class TestMeshFactory:
                    precision="mixed", mesh=mesh).make_solver().solve(H, b)
         assert st.success
         assert np.linalg.norm(np.asarray(st.soln) - x_exact) <= 1e-6
+
+    def test_gmres_mesh_mixed_f64_fastpath_iters_and_err(self, mesh):
+        # the f64 FGMRES fast path (round 3) converges in ONE pass at
+        # f64-grade counts (no restart-chain multiples) and f64-grade
+        # solution error
+        H, x_exact, b = dh_test_problem(10)
+        st = GMRES(CommonSolverArgs(maxiter=600, tau=1e-10),
+                   precision="mixed", mesh=mesh).make_solver().solve(H, b)
+        assert st.success
+        # no overshoot knob on the mesh route: err is tau-governed
+        assert np.linalg.norm(np.asarray(st.soln) - x_exact) <= 5e-6
+        # unpreconditioned f64 GMRES on DH-10 needs ~its in the low
+        # hundreds; the old f32 restart chain needed ~3-4x that total
+        assert st.iters <= 450

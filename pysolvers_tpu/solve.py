@@ -85,9 +85,17 @@ def solve(A, b, *, tau: float = 1e-8, maxiter: int = 1000,
     """
     if isinstance(A, np.ndarray) and A.ndim == 2:
         A = HostCSR.from_dense(A)
+    from .sparse.bdia import BdiaMatrix
+    if isinstance(A, BdiaMatrix):
+        # block-structured (BSR-class) operator: the kernel works in
+        # PLANAR (dof-major) ordering — reorder b/x once at the solve
+        # boundary (sparse/bdia.py module docstring)
+        return _solve_bdia(A, b, tau=tau, maxiter=maxiter, method=method,
+                           **solver_kwargs)
     if not isinstance(A, HostCSR):
-        raise TypeError("solve() takes a HostCSR or dense ndarray; use the "
-                        "factory API for device formats / operators")
+        raise TypeError("solve() takes a HostCSR, dense ndarray or "
+                        "BdiaMatrix; use the factory API for other device "
+                        "formats / operators")
     n = A.shape[0]
     b = np.asarray(b)
 
@@ -130,6 +138,36 @@ def solve(A, b, *, tau: float = 1e-8, maxiter: int = 1000,
     else:
         factory = GMRES(control, precond=prec_type, **gm_kwargs)
     return factory.make_solver().solve(A, b)
+
+
+def _solve_bdia(A, b, *, tau, maxiter, method, **solver_kwargs):
+    """solve() route for a BdiaMatrix operator: natural-ordered b in,
+    natural-ordered solution out; the lockstep/blocked kernels run in
+    the format's planar ordering in between."""
+    import jax.numpy as jnp
+
+    from .core import StopReason, make_status
+    from .linear.krylov import cg_solve, gmres_solve
+    from .ops import matvec as op_matvec
+
+    if method in ("auto", "direct"):
+        method = "cg"            # BDIA problems are large by construction
+    bp = A.to_planar(jnp.asarray(np.asarray(b), dtype=A.dtype))
+    if bp.ndim == 2:
+        raise ValueError("solve(BdiaMatrix, B): multi-RHS rides the "
+                         "factory/lockstep APIs with bdia_spmm; pass one "
+                         "column here")
+    if method == "cg":
+        x, st, hist = cg_solve(lambda v: op_matvec(A, v), bp,
+                               maxiter=maxiter, tau=tau)
+    elif method == "gmres":
+        x, st, hist = gmres_solve(lambda v: op_matvec(A, v), bp,
+                                  maxiter=maxiter, tau=tau,
+                                  restart=solver_kwargs.get("restart"))
+    else:
+        raise ValueError(f"unknown method {method!r} for BdiaMatrix")
+    control = CommonSolverArgs(maxiter=maxiter, tau=tau)
+    return make_status(A.from_planar(x), st, control, history=hist)
 
 
 def _solve_multi(A: HostCSR, B: np.ndarray, *, tau, maxiter, method,

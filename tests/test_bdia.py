@@ -104,3 +104,11 @@ class TestBdia:
     def test_spd_guard(self):
         with pytest.raises(ValueError):
             fd_vector_laplacian_2d(4, b=3, coupling=0.6)
+
+    def test_solve_front_end_accepts_bdia(self):
+        A, x_exact = _prob(m=16, b=2)
+        b_rhs = A.matvec(x_exact)
+        Ad = BdiaMatrix.from_host_csr(A, b=2)
+        st = pst.solve(Ad, b_rhs, tau=1e-11, maxiter=3000)
+        assert st.success
+        assert np.abs(np.asarray(st.soln) - x_exact).max() < 1e-7

@@ -44,17 +44,29 @@ def main():
     x_exact = rng.random(n)
     b_rhs = A.matvec(x_exact)
 
-    dtype = (np.float32 if jax.default_backend() in ("tpu", "axon")
-             else np.float64)
+    on_tpu = jax.default_backend() in ("tpu", "axon")
+    dtype = np.float32 if on_tpu else np.float64
     Ad = pst.BdiaMatrix.from_host_csr(A, b=args.b, dtype=dtype)
     print(f"n={n} (m={args.m}, b={args.b}), block offsets="
           f"{len(Ad.offsets)}, stored/{'nnz'}={Ad.nnz_stored / A.nnz:.2f}")
 
     # solve in PLANAR ordering (one reorder per solve, zero per matvec)
-    bp = Ad.to_planar(jnp.asarray(b_rhs.astype(dtype)))
-    tau = max(args.tau, 2e-6) if dtype == np.float32 else args.tau
-    x, st, _ = pst.cg_solve(lambda v: matvec(Ad, v), bp,
-                            maxiter=args.maxiter, tau=tau)
+    if on_tpu:
+        # f64-grade answers from the f32 Pallas kernel: rr-CG with the
+        # f64 block-DIA copy (XLA shift-and-FMA path) as the replaced-
+        # residual / hi-recurrence operator (linear/krylov.cg_solve_rr)
+        from pysolvers_tpu.linear.krylov import cg_solve_rr
+        Ad64 = pst.BdiaMatrix.from_host_csr(A, b=args.b, dtype=np.float64)
+        bp64 = Ad.to_planar(jnp.asarray(b_rhs))
+        bn = float(np.linalg.norm(b_rhs))
+        x, st, _ = cg_solve_rr(lambda v: matvec(Ad, v), bp64 / bn,
+                               mv_hi=lambda v: matvec(Ad64, v),
+                               maxiter=args.maxiter, tau=args.tau)
+        x = x * bn
+    else:
+        bp = Ad.to_planar(jnp.asarray(b_rhs.astype(dtype)))
+        x, st, _ = pst.cg_solve(lambda v: matvec(Ad, v), bp,
+                                maxiter=args.maxiter, tau=args.tau)
     xu = np.asarray(Ad.from_planar(x), dtype=np.float64)
     err = np.linalg.norm(xu - x_exact)
     print(f"CG: iters={int(st.k)} resid={float(st.resid):.3e} "

@@ -139,8 +139,8 @@ def build_block_trisolve_plan(T: HostCSR, lower: bool, unit_diag: bool = False,
     # as ONE jitted dispatch (eager op-by-op costs ~25 ms/op through the
     # axon tunnel, and the doubling matmuls belong on the MXU anyway).
     vals, flat_idx, meta = _prep(rows, cols, vals, n, nb, bs, p)
-    from .fuse import SetupItem, fused_build
-    item = SetupItem((vals, flat_idx), _single_build,
+    from .fuse import DeviceCached, SetupItem, fused_build
+    item = SetupItem((vals, DeviceCached(flat_idx)), _single_build,
                      (nb, bs, p, unit_diag, jnp.dtype(dtype).name))
     ((s_hat, dinv),) = fused_build([item])
     return BlockTriSolvePlan(s_hat, dinv, n, bs, p, flip)
@@ -213,8 +213,8 @@ def build_block_trisolve_plan_pair(T_lo: HostCSR, T_up: HostCSR,
     v_cat = np.concatenate([v1, v2])
     i_cat = np.concatenate([i1, i2])
 
-    from .fuse import SetupItem, fused_build
-    item = SetupItem((v_cat, i_cat), _pair_builder,
+    from .fuse import DeviceCached, SetupItem, fused_build
+    item = SetupItem((v_cat, DeviceCached(i_cat)), _pair_builder,
                      (m1, nb1, p1, u1, nb2, p2, u2, bs, dtype_name))
 
     def assemble(out):
@@ -270,8 +270,8 @@ def build_ic_block_trisolve_plan_pair(L: HostCSR, bs: int = 256,
     v, fi, _ = _prep(rows, cols, vals, n, nb, bs, p)
     dtype_name = jnp.dtype(dtype).name
 
-    from .fuse import SetupItem, fused_build
-    item = SetupItem((v, fi), _ic_pair_builder,
+    from .fuse import DeviceCached, SetupItem, fused_build
+    item = SetupItem((v, DeviceCached(fi)), _ic_pair_builder,
                      (nb, bs, p, dtype_name))
 
     def assemble(out):

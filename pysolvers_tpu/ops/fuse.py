@@ -34,11 +34,53 @@ class SetupItem(NamedTuple):
 
     ``build`` must be a module-level (stable-identity) traceable function;
     the fused jit is cached on ``(build, statics, array specs)``.
+
+    Wrap an array in ``DeviceCached`` when it is STRUCTURE (index/plan
+    data fixed across re-setups): it uploads once per process and stays
+    device-resident, so warm re-setups ship only the value arrays.
+    Rationale: after the process's first device→host fetch this tunnel's
+    uploads run at ~40 MB/s + ~30 ms each (measured 100× below the
+    pre-fetch rate), so every byte NOT re-shipped is ~25 µs of setup.
     """
 
     arrays: tuple
     build: Callable
     statics: tuple
+
+
+class DeviceCached:
+    """Marker for a structure array in SetupItem.arrays (see SetupItem).
+
+    Index dtypes are normalized the way the blob packer does (uint8 and
+    in-range int64 widen/narrow to int32), so a build function sees the
+    same dtypes whether its array arrived via the blob or the cache."""
+
+    __slots__ = ("array", "key")
+
+    def __init__(self, array: np.ndarray):
+        a = np.ascontiguousarray(array)
+        if a.dtype == np.uint8:
+            a = a.astype(np.int32)
+        elif a.dtype == np.int64:
+            if a.size and (np.abs(a) > 2 ** 31 - 1).any():
+                raise ValueError("int64 array exceeds int32 range")
+            a = a.astype(np.int32)
+        self.array = a
+        self.key = (hash(a.tobytes()), a.dtype.str, a.shape)
+
+
+# device-resident structure arrays, keyed on content (bounded)
+_DEV_STRUCT_CACHE: dict = {}
+
+
+def _dev_cached(dc: DeviceCached) -> jax.Array:
+    ent = _DEV_STRUCT_CACHE.get(dc.key)
+    if ent is None:
+        ent = jnp.asarray(dc.array)
+        if len(_DEV_STRUCT_CACHE) > 32:
+            _DEV_STRUCT_CACHE.pop(next(iter(_DEV_STRUCT_CACHE)))
+        _DEV_STRUCT_CACHE[dc.key] = ent
+    return ent
 
 
 def _to_words(a: np.ndarray):
@@ -145,18 +187,59 @@ class StagedItems(NamedTuple):
     items: tuple
 
 
+def _pack_items(items: Sequence[SetupItem], base: int = 0):
+    """Split each item's arrays into blob-bound values and DeviceCached
+    structure.  Returns (blob, layouts, cached_arrays) where each layout
+    entry is either ("blob", kind, shape, off) or ("cached", j) with j
+    indexing into the flat cached-array list."""
+    blobs, layouts, cached = [], [], []
+    off = base
+    for it in items:
+        lay = []
+        for a in it.arrays:
+            if isinstance(a, DeviceCached):
+                lay.append(("cached", len(cached)))
+                cached.append(a)
+                continue
+            w, kind, shape = _to_words(np.asarray(a))
+            blobs.append(w)
+            lay.append(("blob", kind, shape, off))
+            off += len(w)
+        layouts.append(tuple(lay))
+    blob = (np.concatenate(blobs) if blobs
+            else np.zeros(0, dtype=np.int32))
+    return blob, tuple(layouts), cached
+
+
+def _split_items(blob, lay, cached_args):
+    """Reconstitute one item's array list (jit-traceable)."""
+    out = []
+    for ent in lay:
+        if ent[0] == "cached":
+            out.append(cached_args[ent[1]])
+            continue
+        _, kind, shape, off = ent
+        n = int(np.prod(shape)) if shape else 1
+        if kind == "i32":
+            x = blob[off:off + n]
+        elif kind == "f32":
+            x = jax.lax.bitcast_convert_type(blob[off:off + n],
+                                             jnp.float32)
+        elif kind == "f64":
+            words = blob[off:off + 2 * n].reshape(n, 2)
+            x = jax.lax.bitcast_convert_type(_f64_order(words),
+                                             jnp.float64)
+        else:  # pragma: no cover
+            raise ValueError(kind)
+        out.append(x.reshape(shape))
+    return out
+
+
 def stage_items(items: Sequence[SetupItem]) -> StagedItems:
     """Pack the items and START their blob upload now (asynchronously)."""
-    blobs, layouts = [], []
-    base = 0
-    for it in items:
-        b, specs = blob_pack(it.arrays)
-        blobs.append(b)
-        layouts.append(tuple((k, s, off + base) for k, s, off in specs))
-        base += len(b)
-    big = (np.concatenate(blobs) if blobs
-           else np.zeros(0, dtype=np.int32))
-    return StagedItems(jnp.asarray(big), tuple(layouts), tuple(items))
+    blob, layouts, cached = _pack_items(items)
+    return StagedItems(jnp.asarray(blob), (layouts, tuple(cached)),
+                       tuple(items))
 
 
 def fused_build(items: Sequence[SetupItem],
@@ -165,38 +248,38 @@ def fused_build(items: Sequence[SetupItem],
     items' builds, if any — their blob upload already started).
 
     Returns the list of build outputs (device pytrees): staged items
-    first, then ``items``, each in order.
+    first, then ``items``, each in order.  DeviceCached arrays ride as
+    separate device-resident jit arguments, uploaded once per process.
     """
-    blobs, layouts = [], []
-    base = 0
-    for it in items:
-        b, specs = blob_pack(it.arrays)
-        blobs.append(b)
-        layouts.append(tuple((k, s, off + base) for k, s, off in specs))
-        base += len(b)
-    big = (np.concatenate(blobs) if blobs
-           else np.zeros(0, dtype=np.int32))
+    blob, layouts, cached = _pack_items(items)
 
     s_items = staged.items if staged is not None else ()
-    s_lays = staged.layouts if staged is not None else ()
+    s_lays, s_cached = (staged.layouts if staged is not None
+                        else ((), ()))
+    # cached arrays key on (dtype, shape) only — their VALUES are traced
+    # jit arguments, so same-layout structure swaps reuse the compilation
     key = (tuple((it.build, lay, it.statics)
                  for it, lay in zip(s_items, s_lays)),
+           tuple(dc.key[1:] for dc in s_cached),
            tuple((it.build, lay, it.statics)
-                 for it, lay in zip(items, layouts)))
+                 for it, lay in zip(items, layouts)),
+           tuple(dc.key[1:] for dc in cached))
     fn = _FUSE_CACHE.get(key)
     if fn is None:
         s_builds = [it.build for it in s_items]
         s_statics = [it.statics for it in s_items]
         s_lays_l = list(s_lays)
+        n_sc = len(s_cached)
         builds = [it.build for it in items]
         statics = [it.statics for it in items]
         lays = list(layouts)
 
         @jax.jit
-        def fn(s_blob, blob):
-            outs = [bld(blob_split(s_blob, lay), st)
+        def fn(s_blob, blob, *cached_args):
+            sc, c = cached_args[:n_sc], cached_args[n_sc:]
+            outs = [bld(_split_items(s_blob, lay, sc), st)
                     for bld, lay, st in zip(s_builds, s_lays_l, s_statics)]
-            outs += [bld(blob_split(blob, lay), st)
+            outs += [bld(_split_items(blob, lay, c), st)
                      for bld, lay, st in zip(builds, lays, statics)]
             return tuple(outs)
 
@@ -205,4 +288,6 @@ def fused_build(items: Sequence[SetupItem],
         _FUSE_CACHE[key] = fn
     s_blob = (staged.dev_blob if staged is not None
               else jnp.zeros(0, dtype=jnp.int32))
-    return list(fn(s_blob, jnp.asarray(big)))
+    cached_dev = ([_dev_cached(dc) for dc in s_cached]
+                  + [_dev_cached(dc) for dc in cached])
+    return list(fn(s_blob, jnp.asarray(blob), *cached_dev))

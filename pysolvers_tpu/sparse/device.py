@@ -28,6 +28,8 @@ from .host import HostCSR
 
 # structure-keyed DIA layout plans (DiaMatrix.from_host_csr)
 _DIA_PLAN_CACHE: dict = {}
+# device-resident ELL column tables (EllMatrix.from_host_csr)
+_ELL_COLS_CACHE: dict = {}
 
 
 def _round_up(x: int, m: int) -> int:
@@ -77,7 +79,13 @@ class EllMatrix:
     @staticmethod
     def from_host_csr(A: HostCSR, dtype=None, row_tile: int = 8,
                       k_align: int = 1) -> "EllMatrix":
-        """Pack a host CSR into padded ELL (setup phase, host)."""
+        """Pack a host CSR into padded ELL (setup phase, host).
+
+        The column-index table is STRUCTURE: it is kept device-resident
+        in a content-keyed cache, so a same-structure re-pack (Newton
+        steps, the f32/f64 pair of one operator) uploads only the value
+        table — post-first-fetch uploads on the remote tunnel run at
+        ~40 MB/s (ops/fuse.py), so structure bytes are pure setup tax."""
         n, m = A.shape
         counts = A.row_nnz()
         k = max(int(counts.max()) if len(counts) else 1, 1)
@@ -85,18 +93,27 @@ class EllMatrix:
         n_pad = _round_up(max(n, 1), row_tile)
         dtype = dtype or A.data.dtype
         data = np.zeros((n_pad, k), dtype=dtype)
-        # padding slots point one past the real columns (data is 0 so any
-        # gathered value is harmless) — keeps explicitly stored zeros
-        # distinguishable from padding for exact pattern round-trips
-        cols = np.full((n_pad, k), m, dtype=np.int32)
-        # vectorized scatter of CSR rows into ELL slots
         rows, cs, vs = A.to_coo()
+        skey = (hash(A.indptr.tobytes()), hash(A.indices.tobytes()),
+                A.nnz, A.shape, k, n_pad)
+        ent = _ELL_COLS_CACHE.get(skey)
+        if ent is None:
+            # padding slots point one past the real columns (data is 0 so
+            # any gathered value is harmless) — keeps explicitly stored
+            # zeros distinguishable from padding for exact round-trips
+            cols = np.full((n_pad, k), m, dtype=np.int32)
+            slot = (np.arange(len(rows)) - A.indptr[rows]
+                    if len(rows) else np.zeros(0, np.int64))
+            if len(rows):
+                cols[rows, slot] = cs
+            ent = (jnp.asarray(cols), slot)
+            if len(_ELL_COLS_CACHE) > 16:
+                _ELL_COLS_CACHE.pop(next(iter(_ELL_COLS_CACHE)))
+            _ELL_COLS_CACHE[skey] = ent
+        cols_dev, slot = ent
         if len(rows):
-            # position within row = index - indptr[row]
-            slot = np.arange(len(rows)) - A.indptr[rows]
             data[rows, slot] = vs
-            cols[rows, slot] = cs
-        return EllMatrix(jnp.asarray(data), jnp.asarray(cols), (n, m),
+        return EllMatrix(jnp.asarray(data), cols_dev, (n, m),
                          _round_up(max(m, 1), row_tile))
 
     def to_host_csr(self) -> HostCSR:

@@ -76,6 +76,21 @@ def as_device_matrix(A, dtype=None):
     raise TypeError(f"cannot convert {type(A)} to a device matrix")
 
 
+def _aggregate_multi(sts, control) -> SolveStatus:
+    """One SolveStatus over per-column statuses: (n, k) soln, max
+    iters/resid, success only if every column succeeded."""
+    from .core import StopReason
+
+    X = jnp.stack([jnp.asarray(st.soln) for st in sts], axis=1)
+    failed = [st for st in sts if not st.success]
+    return SolveStatus(
+        success=not failed, soln=X,
+        resid=max(float(st.resid) for st in sts),
+        iters=max(int(st.iters) for st in sts),
+        reason=failed[0].reason if failed else StopReason.CONVERGED,
+        msg="; ".join(sorted({st.msg for st in sts if st.msg})))
+
+
 # ---------------------------------------------------------------------------
 # Base classes (factory split — reference LinearSolver.py:7-42)
 # ---------------------------------------------------------------------------
@@ -322,7 +337,10 @@ class IterativeLinearSolver(LinearSolver):
         n = A_host.shape[0]
         B = np.asarray(B)
         n_pad = A_sh.n_pad
-        Bp = np.zeros((n_pad, B.shape[1]), dtype=B.dtype)
+        # solve in the OPERATOR dtype (the single-RHS contract): a numpy
+        # f64 B must not silently promote every lockstep iteration to
+        # emulated f64 on TPU against an f32 sharded operator
+        Bp = np.zeros((n_pad, B.shape[1]), dtype=ms["H"].data.dtype)
         Bp[:n] = B
         from jax.sharding import NamedSharding, PartitionSpec as PS
         from .parallel.mesh import ROW_AXIS
@@ -815,6 +833,22 @@ class GMRESSolver(IterativeLinearSolver):
         if np.ndim(b) == 2:
             if getattr(self, "mesh", None) is not None \
                     and getattr(self, "precision", "native") == "native":
+                too_big = ((self.control.maxiter + 1) * np.shape(b)[0]
+                           * np.shape(b)[1] * 4 > (1 << 31))
+                if self.restart is not None or self.orthog != "mgs" \
+                        or self.flexible or too_big:
+                    # gmres_solve_multi has no restart (its basis is
+                    # (maxiter+1, n, k)) and runs MGS: honor the
+                    # configured options via a shared-setup column loop
+                    # through the single-RHS mesh path instead of
+                    # silently dropping them
+                    self.freeze_matrix()
+                    sts = [self._solve_mesh(A, np.asarray(b)[:, j],
+                                            "gmres", restart=self.restart,
+                                            orthog=self.orthog,
+                                            flexible=self.flexible)
+                           for j in range(np.shape(b)[1])]
+                    return _aggregate_multi(sts, self.control)
                 # blocked lockstep GMRES over the mesh (gmres_solve_multi)
                 return self._solve_mesh_multi(A, b, "gmres")
             raise ValueError(

@@ -655,10 +655,13 @@ class AMGVCycleSolver(IterativeLinearSolver):
                 raise ValueError("galerkin='device' is the single-chip "
                                  "builder; use the mesh-aware "
                                  "build_distributed_hierarchy for mesh=")
+            # build in the SOLVE dtype (the host path's contract): a
+            # hardcoded f32 hierarchy caps an f64 stationary solve at
+            # the ~1e-7 f32 V-cycle floor
             self._hierarchy = build_sa_hierarchy_device(
                 A_host, self.typ.num_levels, smoother=self.typ.smoother,
                 nu_pre=self.typ.nu_pre, nu_post=self.typ.nu_post,
-                base_tol=self.typ.base_tol, dtype=np.float32)
+                base_tol=self.typ.base_tol, dtype=np.dtype(dtype))
         else:
             mlh = self._build_mlh(A_host)
             self._hierarchy = self._build_device(mlh, dtype)
@@ -740,10 +743,12 @@ class AMGPreconditionerType(PreconditionerType):
         h = None
         if gal == "device":
             try:
+                # build in the MATRIX dtype (the mixed factory route
+                # hands an f32 host copy; an f64 caller keeps f64)
                 h = build_sa_hierarchy_device(
                     A_host, self.num_levels, smoother=self.smoother,
                     nu_pre=self.nu_pre, nu_post=self.nu_post,
-                    base_tol=self.base_tol, dtype=np.float32)
+                    base_tol=self.base_tol, dtype=A_host.data.dtype)
             except ValueError:
                 if self.galerkin == "device":
                     raise          # explicit request: fail loudly

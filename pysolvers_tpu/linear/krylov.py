@@ -379,21 +379,20 @@ def cg_solve_rr(matvec: Callable, b_hi: jax.Array, *, mv_hi: Callable,
         alpha_w = alpha.astype(wt)
 
         def replaced(_):
-            return (b_hi - mv_hi(x64)).astype(wt)
-
-        def recurred(_):
-            return c.r - alpha_w * Ap
+            r_new = (b_hi - mv_hi(x64)).astype(wt)
+            return r_new, norm(r_new)
 
         # recurrence residual first: reaching the tolerance FORCES a
         # replacement, so convergence below is only ever declared on a
-        # true residual
-        r_rec = recurred(None)
+        # true residual.  The norm rides inside the cond so the common
+        # (non-replacement) iteration pays ONE global reduction.
+        r_rec = c.r - alpha_w * Ap
         rn_rec = norm(r_rec)
         do_replace = ((k % replace_every == 0)
                       | (rn_rec <= tol)
                       | (c.resid <= replace_drop * c.anchor))
-        r = jax.lax.cond(do_replace, replaced, lambda _: r_rec, None)
-        resid = norm(r)
+        r, resid = jax.lax.cond(do_replace, replaced,
+                                lambda _: (r_rec, rn_rec), None)
         # a replacement that comes back much LARGER than the recurrence
         # means the recurrence had drifted below the attainable floor —
         # its Krylov history is rounding noise, and carrying it forward

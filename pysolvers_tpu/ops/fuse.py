@@ -183,17 +183,18 @@ class StagedItems(NamedTuple):
     in front of the operator pack's transfer on the tunnel."""
 
     dev_blob: jax.Array
-    layouts: tuple
+    layouts: tuple          # per-item layout tuples (see _pack_items)
+    cached: tuple           # DeviceCached structure arrays, flat
     items: tuple
 
 
-def _pack_items(items: Sequence[SetupItem], base: int = 0):
+def _pack_items(items: Sequence[SetupItem]):
     """Split each item's arrays into blob-bound values and DeviceCached
     structure.  Returns (blob, layouts, cached_arrays) where each layout
     entry is either ("blob", kind, shape, off) or ("cached", j) with j
     indexing into the flat cached-array list."""
     blobs, layouts, cached = [], [], []
-    off = base
+    off = 0
     for it in items:
         lay = []
         for a in it.arrays:
@@ -238,7 +239,7 @@ def _split_items(blob, lay, cached_args):
 def stage_items(items: Sequence[SetupItem]) -> StagedItems:
     """Pack the items and START their blob upload now (asynchronously)."""
     blob, layouts, cached = _pack_items(items)
-    return StagedItems(jnp.asarray(blob), (layouts, tuple(cached)),
+    return StagedItems(jnp.asarray(blob), layouts, tuple(cached),
                        tuple(items))
 
 
@@ -254,8 +255,8 @@ def fused_build(items: Sequence[SetupItem],
     blob, layouts, cached = _pack_items(items)
 
     s_items = staged.items if staged is not None else ()
-    s_lays, s_cached = (staged.layouts if staged is not None
-                        else ((), ()))
+    s_lays = staged.layouts if staged is not None else ()
+    s_cached = staged.cached if staged is not None else ()
     # cached arrays key on (dtype, shape) only — their VALUES are traced
     # jit arguments, so same-layout structure swaps reuse the compilation
     key = (tuple((it.build, lay, it.statics)

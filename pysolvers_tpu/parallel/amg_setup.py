@@ -194,6 +194,13 @@ def build_distributed_hierarchy(A_host: HostCSR, mesh=None, *,
         # for the Pallas BWS kernel — smoothing matvecs are the cycle's
         # hot path and the ELL fallback lowers to XLA's scalar gathers
         A_store = A_dev
+        if fine_format == "bws" and mesh is not None:
+            # a single-device BWS pack would replace the SHARDED fine
+            # operator while the cycle's vectors stay row-sharded —
+            # loudly refuse instead of mixing shardings
+            raise ValueError("fine_format='bws' is single-device; "
+                             "mesh= builds keep the sharded operator "
+                             "(use fine_format='auto')")
         want_bws = (fine_format == "bws"
                     or (fine_format == "auto" and mesh is None and lvl == 0
                         and np.dtype(dtype) == np.float32

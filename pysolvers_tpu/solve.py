@@ -89,7 +89,20 @@ def solve(A, b, *, tau: float = 1e-8, maxiter: int = 1000,
     if isinstance(A, BdiaMatrix):
         # block-structured (BSR-class) operator: the kernel works in
         # PLANAR (dof-major) ordering — reorder b/x once at the solve
-        # boundary (sparse/bdia.py module docstring)
+        # boundary (sparse/bdia.py module docstring).  Unsupported
+        # options fail loudly — a silently-dropped preconditioner or
+        # precision request would grind to maxiter with no hint why.
+        if precond not in ("auto", "none"):
+            raise ValueError(
+                f"solve(BdiaMatrix, ...) has no {precond!r} "
+                "preconditioner route yet; use the factory API with an "
+                "explicit preconditioner, or precond='none'")
+        if precision != "native":
+            raise ValueError(
+                "solve(BdiaMatrix, ...) runs native precision; for "
+                "f64-grade answers from the f32 kernel use "
+                "cg_solve_rr(hi_matvec=...) with an f64 BdiaMatrix copy "
+                "(see examples/bdia_example.py)")
         return _solve_bdia(A, b, tau=tau, maxiter=maxiter, method=method,
                            **solver_kwargs)
     if not isinstance(A, HostCSR):
@@ -212,6 +225,21 @@ def _solve_multi(A: HostCSR, B: np.ndarray, *, tau, maxiter, method,
                 lambda V: matmat(A_dev, V), Bd, maxiter=maxiter,
                 tau=tau, precond=papply)
         else:
+            # gmres_solve_multi has no restart: its basis is
+            # (maxiter+1, n, k).  Route to it only when that buffer is
+            # sane AND no restart/orthog/flexible option was requested —
+            # otherwise the shared-setup column loop below honors them
+            # (the lockstep SpMM saving isn't worth a silently dropped
+            # restart or a multi-GB basis)
+            basis_bytes = ((maxiter + 1) * Bd.shape[0] * Bd.shape[1]
+                           * Bd.dtype.itemsize)
+            opts_used = any(k in solver_kwargs
+                            for k in ("restart", "orthog", "flexible"))
+            if opts_used or basis_bytes > (1 << 31):
+                return _solve_multi_column_loop(
+                    A, B, tau=tau, maxiter=maxiter, method=method,
+                    precond=precond, precision=precision,
+                    **solver_kwargs)
             X, st, _ = gmres_solve_multi(
                 lambda V: matmat(A_dev, V), Bd, maxiter=maxiter,
                 tau=tau, precond=papply)
@@ -222,8 +250,19 @@ def _solve_multi(A: HostCSR, B: np.ndarray, *, tau, maxiter, method,
         control = CommonSolverArgs(maxiter=maxiter, tau=tau)
         return make_status(X, agg, control)
 
+    return _solve_multi_column_loop(A, B, tau=tau, maxiter=maxiter,
+                                    method=method, precond=precond,
+                                    precision=precision, **solver_kwargs)
+
+
+def _solve_multi_column_loop(A, B, *, tau, maxiter, method, precond,
+                             precision, **solver_kwargs):
     # column loop sharing ONE solver: matrix + preconditioner frozen, so
     # setup (factorization, packs, compiled graphs) is paid once, not k×
+    import jax.numpy as jnp
+
+    from .core import StopReason
+
     if method == "direct":
         s = DefaultDirect().make_solver()
     elif precision == "mixed":

@@ -31,11 +31,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .device import _round_up
 from .host import HostCSR
-
-
-def _round_up(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m
 
 
 # structure-keyed layout plans (see device._DIA_PLAN_CACHE)
@@ -98,8 +95,11 @@ class BdiaMatrix:
         dtype = dtype or A.data.dtype
         nb_pad = _round_up(max(nb, 1), row_tile)
 
+        # nb_pad is baked into the cached flat scatter targets — it must
+        # key the plan or a different row_tile would scatter values to
+        # wrong plane positions
         key = (hash(A.indptr.tobytes()), hash(A.indices.tobytes()),
-               A.nnz, A.shape, b)
+               A.nnz, A.shape, b, nb_pad)
         ent = _BDIA_PLAN_CACHE.get(key)
         if ent is None:
             rows, cols, _ = A.to_coo()

@@ -112,3 +112,23 @@ class TestBdia:
         st = pst.solve(Ad, b_rhs, tau=1e-11, maxiter=3000)
         assert st.success
         assert np.abs(np.asarray(st.soln) - x_exact).max() < 1e-7
+
+    def test_plan_cache_keys_on_row_tile(self):
+        # the cached flat scatter indices embed nb_pad — a different
+        # row_tile must NOT reuse them (review finding: silent corruption)
+        A, x = _prob(m=12, b=2)
+        A1 = BdiaMatrix.from_host_csr(A, b=2, row_tile=128)
+        A2 = BdiaMatrix.from_host_csr(A, b=2, row_tile=256)
+        for Ad in (A1, A2):
+            xp = Ad.to_planar(jnp.asarray(x))
+            y = np.asarray(Ad.from_planar(bdia_spmv(Ad, xp)))
+            np.testing.assert_allclose(y, A.matvec(x), rtol=1e-12,
+                                       atol=1e-12)
+
+    def test_solve_rejects_unsupported_options(self):
+        A, x = _prob(m=8, b=2)
+        Ad = BdiaMatrix.from_host_csr(A, b=2)
+        with pytest.raises(ValueError):
+            pst.solve(Ad, A.matvec(x), precond="amg")
+        with pytest.raises(ValueError):
+            pst.solve(Ad, A.matvec(x), precision="mixed")

@@ -126,3 +126,47 @@ class TestMeshMulti:
             mvm, Bd, maxiter=2000, tau=1e-12))(Bd)
         assert (np.asarray(st.reason) == 1).all()
         assert np.abs(np.asarray(Xm)[:n] - X).max() < 1e-8
+
+
+class TestMultiRhsGuards:
+    def test_solve_gmres_multi_honors_restart_via_column_loop(self):
+        # restart/orthog requests must not be silently dropped by the
+        # lockstep route (review finding)
+        A, X, B = _nonsym(m=12, k=2)
+        st = pst.solve(A, B, tau=1e-10, maxiter=400, method="gmres",
+                       precision="native", restart=30)
+        assert st.success
+        assert np.abs(np.asarray(st.soln) - X).max() < 1e-6
+
+    def test_mesh_multi_solves_in_operator_dtype(self):
+        # an f64 numpy B must not promote the sharded lockstep solve
+        import jax
+        from jax.sharding import Mesh
+        from pysolvers_tpu.parallel.mesh import ROW_AXIS
+        mesh = Mesh(np.array(jax.devices()), (ROW_AXIS,))
+        m = 16
+        A = pst.problems.fd_laplacian_2d(m, dtype=np.float32)
+        n = A.shape[0]
+        rng = np.random.default_rng(3)
+        Xe = rng.random((n, 2)).astype(np.float32)
+        B = np.stack([A.matvec(Xe[:, j]) for j in range(2)],
+                     axis=1).astype(np.float64)
+        from pysolvers_tpu import PCG, CommonSolverArgs
+        s = PCG(CommonSolverArgs(maxiter=2000, tau=1e-5),
+                mesh=mesh).make_solver()
+        st = s.solve(A, B)
+        assert st.success
+        assert np.asarray(st.soln).dtype == np.float32
+
+    def test_gmres_mesh_multi_restart_column_loop(self):
+        import jax
+        from jax.sharding import Mesh
+        from pysolvers_tpu.parallel.mesh import ROW_AXIS
+        mesh = Mesh(np.array(jax.devices()), (ROW_AXIS,))
+        A, X, B = _nonsym(m=14, k=2)
+        from pysolvers_tpu import GMRES, CommonSolverArgs
+        s = GMRES(CommonSolverArgs(maxiter=400, tau=1e-10),
+                  restart=40, mesh=mesh).make_solver()
+        st = s.solve(A, B)
+        assert st.success
+        assert np.abs(np.asarray(st.soln) - X).max() < 1e-6

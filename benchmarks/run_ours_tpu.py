@@ -393,12 +393,19 @@ def main():
                 prob.evalF(np.asarray(st.soln, dtype=np.float64))))
             return st, Fn
 
+        import statistics
         st, Fn = newton_once()          # compile + first solve
-        t0 = time.perf_counter()
-        st, Fn = newton_once()          # steady state
-        solve_s = time.perf_counter() - t0
+        solves = []
+        for _ in range(max(args.runs, 1)):
+            t0 = time.perf_counter()
+            st, Fn = newton_once()      # steady state
+            solves.append(time.perf_counter() - t0)
+        solve_s = statistics.median(solves)
         emit(dict(config=f"Bratu{m}+Newton+PCG+AMG5(mixed)",
                   time_s=round(build_s + solve_s, 6),
+                  time_s_min=round(build_s + min(solves), 6),
+                  time_s_max=round(build_s + max(solves), 6),
+                  runs=len(solves),
                   pack_s=round(build_s, 6), setup_s=0.0,
                   solve_s=round(solve_s, 6), iters=int(st.iters),
                   err=Fn, success=bool(st.success), compile_s=0.0))

@@ -288,7 +288,8 @@ _SCALE_CACHE: dict = {}   # (kind, drop_tol, fill, n, nnz) -> resolved scale
 
 
 def _resolve_drop_scale(kind: str, A: HostCSR, drop_tol: float,
-                        fill_factor: float, drop_scale, factor_fn):
+                        fill_factor: float, drop_scale, factor_fn,
+                        fill_is_free: bool = True):
     """Resolve the effective drop threshold and factor once or twice.
 
     ``factor_fn(eff_drop) -> (result, total_nnz)``.  With a float
@@ -299,9 +300,19 @@ def _resolve_drop_scale(kind: str, A: HostCSR, drop_tol: float,
     re-factor (clamped to seed/8).  The resolved scale is cached on the
     matrix signature, so warm re-setups (Newton re-factorizations, solver
     services) pay ONE factorization.
+
+    ``fill_is_free=False`` (the level-scheduled / sweep apply modes,
+    where trisolve cost scales with nnz — unlike the bandwidth-bound
+    TPU block path) skips the budget search and factors once at the
+    seed scale: measured on CPU DH-15, the fuller factor halved the
+    iteration count but the denser per-iteration trisolves made the
+    SOLVE 1.5× slower overall.
     """
     if drop_scale != "auto":
         res, _ = factor_fn(drop_tol * float(drop_scale))
+        return res
+    if not fill_is_free:
+        res, _ = factor_fn(drop_tol * _AUTO_SEED)
         return res
     key = (kind, float(drop_tol), float(fill_factor), A.shape, A.nnz)
     s = _SCALE_CACHE.get(key)
@@ -360,7 +371,9 @@ class ILUTPreconditionerType(PreconditionerType):
             "ilut", A_host, self.drop_tol, self.fill_factor,
             self.drop_scale,
             lambda eff: ((lu := ilut_factor(A_host, eff, self.fill_factor)),
-                         lu[0].nnz + lu[1].nnz))
+                         lu[0].nnz + lu[1].nnz),
+            fill_is_free=_resolve_trisolve_mode(
+                self.trisolve_mode) == "block")
 
     def prep(self, A_host: HostCSR):
         """Deferred block-mode setup for the fused one-dispatch path
@@ -456,7 +469,9 @@ class ICPreconditionerType(PreconditionerType):
             "ic", A_host, self.drop_tol, self.fill_factor,
             self.drop_scale,
             lambda eff: ((lc := ict_factor(A_host, eff, self.fill_factor)),
-                         2 * lc.nnz))
+                         2 * lc.nnz),
+            fill_is_free=_resolve_trisolve_mode(
+                self.trisolve_mode) == "block")
 
     def prep(self, A_host: HostCSR):
         """Deferred block-mode setup (see ILUTPreconditionerType.prep).

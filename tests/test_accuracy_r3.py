@@ -37,8 +37,11 @@ def _dh(lev=10):
 
 class TestAutoDropScale:
     def test_auto_strengthens_vs_seed(self):
+        # the budget search runs only on the block-trisolve path, where
+        # retained fill is bandwidth-free (fill_is_free)
         _, _, _, _, _, _, _, Hp32 = _dh(10)
-        auto = ICPreconditionerType(1e-3, 15.0)._factor(Hp32)
+        auto = ICPreconditionerType(
+            1e-3, 15.0, trisolve_mode="block")._factor(Hp32)
         seed = ICPreconditionerType(1e-3, 15.0, drop_scale=0.1)._factor(Hp32)
         assert auto.nnz > seed.nnz
         # within the budget guard
@@ -47,13 +50,25 @@ class TestAutoDropScale:
     def test_resolved_scale_is_cached(self):
         _, _, _, _, _, _, _, Hp32 = _dh(10)
         _SCALE_CACHE.clear()
-        ICPreconditionerType(1e-3, 15.0)._factor(Hp32)
+        pt = ICPreconditionerType(1e-3, 15.0, trisolve_mode="block")
+        pt._factor(Hp32)
         key = ("ic", 1e-3, 15.0, Hp32.shape, Hp32.nnz)
         assert key in _SCALE_CACHE
         s = _SCALE_CACHE[key]
         # warm call resolves to the same scale without re-searching
-        ICPreconditionerType(1e-3, 15.0)._factor(Hp32)
+        pt._factor(Hp32)
         assert _SCALE_CACHE[key] == s
+
+    def test_level_mode_skips_the_budget_search(self):
+        # level/sweep applies scale with nnz — auto keeps the seed scale
+        # there (measured: the fuller factor made CPU solves 1.5x slower)
+        _, _, _, _, _, _, _, Hp32 = _dh(10)
+        lvl = ICPreconditionerType(
+            1e-3, 15.0, trisolve_mode="level")._factor(Hp32)
+        seed = ICPreconditionerType(
+            1e-3, 15.0, drop_scale=0.1,
+            trisolve_mode="level")._factor(Hp32)
+        assert lvl.nnz == seed.nnz
 
     def test_float_scale_respected(self):
         _, _, _, _, _, _, _, Hp32 = _dh(10)
@@ -63,7 +78,8 @@ class TestAutoDropScale:
 
     def test_budget_frac_reached_on_dh(self):
         _, _, _, _, _, _, _, Hp32 = _dh(13)
-        L, U = ILUTPreconditionerType(1e-3, 15.0)._factor(Hp32)
+        L, U = ILUTPreconditionerType(
+            1e-3, 15.0, trisolve_mode="block")._factor(Hp32)
         total = L.nnz + U.nnz
         target = _AUTO_BUDGET_FRAC * 15.0 * Hp32.nnz
         assert total >= 0.5 * target   # the one-shot jump lands near it

@@ -91,6 +91,23 @@ void spgemm(int64_t n, int64_t m, int64_t k, const int64_t* a_indptr,
 }
 
 // ---------------------------------------------------------------------------
+// CSR SpMV: y = A x (f64).  The host-side high-precision residual oracle
+// of the mixed-precision refinement loop (linear/refine.py) — numpy's
+// add.at/fancy-gather route costs ~10 s at 7e6 nnz on slow-memory hosts;
+// this sequential C loop is memory-latency bound only.
+// ---------------------------------------------------------------------------
+
+void csr_matvec(int64_t n, const int64_t* indptr, const int32_t* indices,
+                const double* data, const double* x, double* y) {
+  for (int64_t i = 0; i < n; ++i) {
+    double acc = 0.0;
+    for (int64_t p = indptr[i]; p < indptr[i + 1]; ++p)
+      acc += data[p] * x[indices[p]];
+    y[i] = acc;
+  }
+}
+
+// ---------------------------------------------------------------------------
 // ILUT factorization (Saad dual-threshold), CSR in, L/U CSR out.
 // L has unit diagonal stored explicitly; U holds the diagonal first.
 // ---------------------------------------------------------------------------

@@ -560,14 +560,17 @@ class IterativeLinearSolver(LinearSolver):
                 # dispatch/upload pays a per-process program-load round
                 # trip (ops/fuse.py)
                 from .ops.fuse import fused_build, stage_items
-                item_A, asm_A, perm = BwsMatrix.host_pack(
-                    A_host, dtype=np.float32)
+                from .utils.timing import Timer
+                with Timer("mixed.pack_A"):
+                    item_A, asm_A, perm = BwsMatrix.host_pack(
+                        A_host, dtype=np.float32)
                 # stage the operator blob NOW: its (async) upload
                 # overlaps the host factorization below (ops/fuse.py
                 # StagedItems — measured 0.1-0.2 s of serial factor time
                 # hidden behind the transfer)
                 staged = stage_items([item_A])
-                Hp = A_host.permute_symmetric(perm)
+                with Timer("mixed.permute"):
+                    Hp = A_host.permute_symmetric(perm)
                 Hp32 = HostCSR(Hp.indptr, Hp.indices,
                                Hp.data.astype(np.float32), Hp.shape)
                 pp = None
@@ -645,7 +648,9 @@ class IterativeLinearSolver(LinearSolver):
             prec = mx["fused_prec"]
             self._formed_prec = prec
         else:
-            prec = self._get_precond(mx["Hp32"], mx["A32"])
+            from .utils.timing import Timer
+            with Timer("mixed.prec_form"):
+                prec = self._get_precond(mx["Hp32"], mx["A32"])
         if getattr(self, "_mx_prec_src", None) is not prec:
             # prec.apply_right makes a FRESH bound method each access —
             # pin one so the inner-jit cache key stays stable

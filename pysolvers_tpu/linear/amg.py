@@ -303,7 +303,8 @@ def _pad_fine_level(mlh: MLHierarchy, n_pad: int) -> MLHierarchy:
 def build_device_hierarchy(mlh: MLHierarchy, smoother: str = "auto",
                            nu_pre: int = 2, nu_post: int = 2,
                            dtype=None, mesh=None,
-                           matrix_format: str = "auto") -> DeviceHierarchy:
+                           matrix_format: str = "auto",
+                           fine_A_dev=None) -> DeviceHierarchy:
     """Lower the host hierarchy onto the device(s).
 
     ``smoother``: "auto" (default — "gs" on CPU for reference parity,
@@ -369,6 +370,7 @@ def build_device_hierarchy(mlh: MLHierarchy, smoother: str = "auto",
 
     def _bws_or_auto(M, threshold=2000):
         from ..sparse.bws import BwsMatrix
+        from ..utils.timing import Timer
         if use_bws and max(M.shape) >= threshold:
             try:
                 # exact (HIGHEST) selects: bf16 fast_select noise in the
@@ -379,9 +381,11 @@ def build_device_hierarchy(mlh: MLHierarchy, smoother: str = "auto",
                 # gr=32 on a wide restrictor packs the whole operator
                 # into one tile (S explodes, ~16 MB device uploads)
                 gr = 32 if M.shape[0] == M.shape[1] else None
-                it, asm, _ = BwsMatrix.host_pack(M, dtype=np.float32,
-                                                 use_rcm=False,
-                                                 group_rows=gr, gt="auto")
+                with Timer("amg.bws_pack"):
+                    it, asm, _ = BwsMatrix.host_pack(M, dtype=np.float32,
+                                                     use_rcm=False,
+                                                     group_rows=gr,
+                                                     gt="auto")
                 return _defer(it, asm)
             except ValueError:
                 pass    # too unbanded — fall back to gather formats
@@ -397,7 +401,17 @@ def build_device_hierarchy(mlh: MLHierarchy, smoother: str = "auto",
             continue
         d = A.diagonal()
         d = np.where(d == 0, 1.0, d)
-        A_ref = _bws_or_auto(A)
+        if fine_A_dev is not None and k == len(mlh.matrices) - 1:
+            # caller already holds a packed device operator for the fine
+            # level (e.g. the mixed route's BWS A32) — reuse it instead
+            # of re-packing the framework's biggest matrix.  Valid only
+            # when its apply coordinates match the hierarchy's (the
+            # caller's contract; the mixed route builds the hierarchy on
+            # the PERMUTED host matrix, whose natural order is the BWS
+            # pack's packed order).
+            A_ref = ("now", fine_A_dev)
+        else:
+            A_ref = _bws_or_auto(A)
         gs_plan = None
         cheb = None
         if smoother == "gs" and k > 0:
@@ -449,7 +463,9 @@ def build_device_hierarchy(mlh: MLHierarchy, smoother: str = "auto",
                       (nc, jnp.dtype(out_dtype).name)),
             lambda o: o)
 
-    outs = fused_build(items) if items else []
+    from ..utils.timing import Timer
+    with Timer("amg.fused_build"):
+        outs = fused_build(items) if items else []
 
     def _resolve(ref):
         if ref is None:
@@ -721,7 +737,7 @@ class AMGPreconditionerType(PreconditionerType):
     def __init__(self, num_iters: int = 5, num_levels: int = 2,
                  nu_pre: int = 2, nu_post: int = 2, smoother: str = "auto",
                  base_tol: float = 0.08, side: str = "both",
-                 galerkin: str = "auto"):
+                 galerkin: str = "auto", matrix_format: str = "auto"):
         self.num_iters = num_iters
         self.num_levels = num_levels
         self.nu_pre = nu_pre
@@ -734,6 +750,11 @@ class AMGPreconditionerType(PreconditionerType):
         # host SpGEMM hierarchy; "auto": device on TPU backends when the
         # dense-panel memory gate admits it
         self.galerkin = galerkin
+        # "bws" packs host-Galerkin level operators and transfers for the
+        # BWS Pallas kernel (build_device_hierarchy) — the TPU path for
+        # LARGE unstructured hierarchies where the dense-panel device
+        # Galerkin is memory-gated and ELL gathers are scalar-slow
+        self.matrix_format = matrix_format
 
     def form(self, A_host: HostCSR, A_dev=None) -> Preconditioner:
         gal = self.galerkin
@@ -754,9 +775,26 @@ class AMGPreconditionerType(PreconditionerType):
                     raise          # explicit request: fail loudly
                 h = None           # auto: memory gate tripped — host path
         if h is None:
-            mlh = build_sa_hierarchy(A_host, self.num_levels, self.base_tol)
-            h = build_device_hierarchy(mlh, self.smoother, self.nu_pre,
-                                       self.nu_post)
+            from ..utils.timing import Timer
+            from ..sparse.bws import BwsMatrix
+            with Timer("amg.host_hierarchy"):
+                mlh = build_sa_hierarchy(A_host, self.num_levels,
+                                         self.base_tol)
+            # reuse the solver's packed fine operator when its apply
+            # coordinates match the hierarchy's: a BWS pack with the
+            # identity perm applies natural coordinates; the mixed
+            # route's pack applies its OWN rcm ordering, which is the
+            # natural order of the permuted host matrix it passed here
+            reuse = (A_dev if self.matrix_format == "bws"
+                     and isinstance(A_dev, BwsMatrix)
+                     and tuple(A_dev.shape) == tuple(A_host.shape)
+                     else None)
+            with Timer("amg.device_lower"):
+                h = build_device_hierarchy(
+                    mlh, self.smoother, self.nu_pre, self.nu_post,
+                    dtype=(A_host.data.dtype
+                           if self.matrix_format == "bws" else None),
+                    matrix_format=self.matrix_format, fine_A_dev=reuse)
         apply_fn = _amg_apply_fn(self.num_iters)
         prec = self._wrap(lambda v: apply_fn(h, v))
         prec.traced = (apply_fn, h)

@@ -468,7 +468,8 @@ class _GMRESMultiCarry(NamedTuple):
 
 def gmres_solve_multi(matvec: Callable, B: jax.Array, *,
                       maxiter: int = 100, tau: float = 1e-8,
-                      precond: Optional[Callable] = None):
+                      precond: Optional[Callable] = None,
+                      restart: Optional[int] = None):
     """Blocked multi-RHS right-preconditioned GMRES: ``k_rhs`` independent
     Arnoldi recurrences advanced in LOCKSTEP, fully jitted.  Returns
     (X, KrylovState-of-vectors, None) with per-column iteration counts,
@@ -482,28 +483,27 @@ def gmres_solve_multi(matvec: Callable, B: jax.Array, *,
     column-batched einsums on the MXU.  Converged columns freeze their
     Hessenberg/Givens/rhs state (their basis slots keep advancing but are
     masked out of the solution by the per-column step count), so mixed
-    convergence speeds cost no extra numerics.  No restart: like the
-    reference, the cycle length is maxiter (GMRESSolver.py:77-83); the
-    multi-RHS capability itself has no reference counterpart.
+    convergence speeds cost no extra numerics.
+
+    ``restart`` (optional) bounds the shared basis to (restart+1, n, kr):
+    cycles stay in LOCKSTEP across the columns (per-column residual
+    carry, shared basis reset — the reference's cycle capability,
+    GMRESSolver.py:77-83, lifted to multi-RHS) and every cycle boundary
+    verifies the per-column TRUE residual B − A·X, so an optimistic
+    implicit residual reactivates its column instead of ending it.
+    None = a single maxiter-length cycle, like the reference.
 
     ``precond`` (optional) applies M⁻¹ columnwise to an (n, k_rhs) block;
     wrap a vector-only apply with ``jax.vmap(apply, 1, 1)`` if needed.
     """
     M = precond or (lambda V: V)
     n, kr = B.shape
-    m = maxiter
+    m = maxiter if restart is None else max(1, min(int(restart), maxiter))
     dtype = B.dtype
     cnorm = lambda V: jnp.sqrt(jnp.sum(V * V, axis=0))
 
     b_norms = cnorm(B)
     tols = tau * b_norms
-
-    beta = b_norms
-    safe = jnp.where(beta > 0, beta, 1.0)
-    Q0 = jnp.zeros((m + 1, n, kr), dtype=dtype).at[0].set(B / safe)
-    g0 = jnp.zeros((m + 1, kr), dtype=dtype).at[0].set(beta)
-    init_reason = jnp.where(beta <= tols, StopReason.CONVERGED,
-                            StopReason.RUNNING).astype(jnp.int32)
 
     def cond(c: _GMRESMultiCarry):
         return jnp.any(c.reason == StopReason.RUNNING) & (c.k < m)
@@ -566,26 +566,68 @@ def gmres_solve_multi(matvec: Callable, B: jax.Array, *,
         ).astype(jnp.int32)
         return _GMRESMultiCarry(k_new, k_col, Q, H, g, cs, resid, reason)
 
-    init = _GMRESMultiCarry(
-        jnp.int32(0), jnp.zeros(kr, jnp.int32), Q0,
-        jnp.zeros((m + 1, m, kr), dtype=dtype), g0,
-        jnp.zeros((m, 2, kr), dtype=dtype), beta, init_reason)
-    f = jax.lax.while_loop(cond, body, init)
+    def run_cycle(R, reason_in):
+        """One lockstep Arnoldi cycle from per-column residuals R;
+        returns (correction dX, per-column steps this cycle)."""
+        beta = cnorm(R)
+        safe = jnp.where(beta > 0, beta, 1.0)
+        Q0 = jnp.zeros((m + 1, n, kr), dtype=dtype).at[0].set(R / safe)
+        g0 = jnp.zeros((m + 1, kr), dtype=dtype).at[0].set(beta)
+        # frozen-in (already converged) columns enter frozen; CONVERGED
+        # is the in-cycle freeze code — the OUTER loop owns final reasons
+        active_in = (reason_in == StopReason.RUNNING) & (beta > tols)
+        init_reason = jnp.where(active_in, StopReason.RUNNING,
+                                StopReason.CONVERGED).astype(jnp.int32)
+        init = _GMRESMultiCarry(
+            jnp.int32(0), jnp.zeros(kr, jnp.int32), Q0,
+            jnp.zeros((m + 1, m, kr), dtype=dtype), g0,
+            jnp.zeros((m, 2, kr), dtype=dtype), beta, init_reason)
+        f = jax.lax.while_loop(cond, body, init)
 
-    # per-column masked back substitution on the triangularized H
-    def bs_body(i, y):
-        j = m - 1 - i
-        act = (j < f.k_col).astype(dtype)            # (kr,)
-        s = f.g[j] - jnp.sum(f.H[j] * y, axis=0)     # (kr,)
-        hjj = f.H[j, j]
-        yj = act * s / jnp.where(hjj != 0, hjj, 1.0)
-        return y.at[j].set(yj)
+        # per-column masked back substitution on the triangularized H
+        def bs_body(i, y):
+            j = m - 1 - i
+            act = (j < f.k_col).astype(dtype)            # (kr,)
+            s = f.g[j] - jnp.sum(f.H[j] * y, axis=0)     # (kr,)
+            hjj = f.H[j, j]
+            yj = act * s / jnp.where(hjj != 0, hjj, 1.0)
+            return y.at[j].set(yj)
 
-    y = jax.lax.fori_loop(0, m, bs_body, jnp.zeros((m, kr), dtype=dtype))
-    # x = M(Q y) columnwise; HIGHEST for the basis contraction
-    Z = jnp.einsum("knc,kc->nc", f.Q[:m], y, precision=_HI)
-    X = M(Z)
-    return X, KrylovState(f.k_col, f.resid, f.reason), None
+        y = jax.lax.fori_loop(0, m, bs_body,
+                              jnp.zeros((m, kr), dtype=dtype))
+        # dx = M(Q y) columnwise; HIGHEST for the basis contraction.
+        # Frozen columns have k_col = 0, so their y — and correction —
+        # are exactly zero.
+        Z = jnp.einsum("knc,kc->nc", f.Q[:m], y, precision=_HI)
+        return M(Z), f.k_col
+
+    # outer restart loop with per-column residual carry and TRUE-residual
+    # verification at every cycle boundary (the single-RHS solver's
+    # recheck semantics, reference GMRESSolver.py:159-174)
+    def outer_cond(c):
+        _, _, _, _, reason = c
+        return jnp.any(reason == StopReason.RUNNING)
+
+    def outer_body(c):
+        X, R, total, _, reason = c
+        dX, k_cyc = run_cycle(R, reason)
+        X = X + dX
+        R = B - matvec(X)
+        resid = cnorm(R)
+        total = total + k_cyc
+        reason = jnp.where(
+            resid <= tols, StopReason.CONVERGED,
+            jnp.where(total >= maxiter, StopReason.MAXITER,
+                      StopReason.RUNNING)).astype(jnp.int32)
+        return (X, R, total, resid, reason)
+
+    init_reason = jnp.where(b_norms <= tols, StopReason.CONVERGED,
+                            StopReason.RUNNING).astype(jnp.int32)
+    X0 = jnp.zeros_like(B)
+    X, _, total, resid, reason = jax.lax.while_loop(
+        outer_cond, outer_body,
+        (X0, B, jnp.zeros(kr, jnp.int32), b_norms, init_reason))
+    return X, KrylovState(total, resid, reason), None
 
 
 # ---------------------------------------------------------------------------

@@ -308,9 +308,20 @@ def _cached_dd_chain(apply_fn, method, inner_maxiter, restart, chain,
             def go(_):
                 if rr:
                     from .krylov import cg_solve_rr
+                    # replacement cadence: preconditioned solves converge
+                    # fast (and nonsymmetric-prec drift bites early), so
+                    # verify every 6 steps; unpreconditioned runs go
+                    # thousands of slow-reducing iterations where each
+                    # f64 replacement matvec costs ~25x the f32
+                    # recurrence step (ELL splitgather at n=1e6: 142 ms
+                    # vs 5.5 ms) — the drop trigger still fires on fast
+                    # reduction, so a longer window only skips no-op
+                    # verifications (drift/window ~ eps32·reduction)
+                    unprec = apply_fn is None and precond_lo is None
                     d64, st, _ = cg_solve_rr(
                         mv, r / scale, mv_hi=lambda v: mv_hi(A64, v),
                         maxiter=inner_maxiter, tau=tau_k, precond=papply,
+                        replace_every=48 if unprec else 6,
                         hi_matvec=hi_matvec)
                     return scale * d64, st.k
                 if hi_matvec:
@@ -437,18 +448,23 @@ def ir_solve_dd(mv_hi_host, b, *, A_lo, A64, tau=1e-10, inner_tau=1e-6,
     reason = StopReason.MAXITER
     f_obs = 0.0
     max_disp = max(1, -(-max_outer // chain))
+    from ..utils.timing import Timer
     for disp in range(max_disp):
-        packed = np.asarray(run(A_lo, prec_state, A64, b64,
-                                None if disp == 0 else jnp.asarray(x_h),
-                                tol64, tau32, jnp.float64(f_obs),
-                                jnp.float64(overshoot),
-                                x_is_zero=(disp == 0)))
+        with Timer("refine.dd_compute"):
+            fut = run(A_lo, prec_state, A64, b64,
+                      None if disp == 0 else jnp.asarray(x_h),
+                      tol64, tau32, jnp.float64(f_obs),
+                      jnp.float64(overshoot), x_is_zero=(disp == 0))
+            jax.block_until_ready(fut)
+        with Timer("refine.dd_fetch"):
+            packed = np.asarray(fut)
         x_h = packed[:-3]
         inner_total += int(packed[-3])
         rn_dev = float(packed[-2])
         f_obs = float(packed[-1])
         # exact host residual: covers the 2^-48 in-graph representation
-        rn = float(np.linalg.norm(b_h - mv_hi_host(x_h)))
+        with Timer("refine.host_resid"):
+            rn = float(np.linalg.norm(b_h - mv_hi_host(x_h)))
         if rn <= tol:
             reason = StopReason.CONVERGED
             break

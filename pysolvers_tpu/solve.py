@@ -87,23 +87,17 @@ def solve(A, b, *, tau: float = 1e-8, maxiter: int = 1000,
         A = HostCSR.from_dense(A)
     from .sparse.bdia import BdiaMatrix
     if isinstance(A, BdiaMatrix):
-        # block-structured (BSR-class) operator: the kernel works in
-        # PLANAR (dof-major) ordering — reorder b/x once at the solve
-        # boundary (sparse/bdia.py module docstring).  Unsupported
-        # options fail loudly — a silently-dropped preconditioner or
-        # precision request would grind to maxiter with no hint why.
-        if precond not in ("auto", "none"):
-            raise ValueError(
-                f"solve(BdiaMatrix, ...) has no {precond!r} "
-                "preconditioner route yet; use the factory API with an "
-                "explicit preconditioner, or precond='none'")
-        if precision != "native":
-            raise ValueError(
-                "solve(BdiaMatrix, ...) runs native precision; for "
-                "f64-grade answers from the f32 kernel use "
-                "cg_solve_rr(hi_matvec=...) with an f64 BdiaMatrix copy "
-                "(see examples/bdia_example.py)")
+        # block-structured (BSR-class) operator: a first-class solver
+        # citizen — block preconditioners (planar-native), mixed
+        # precision, multi-RHS (bdia_spmm lockstep) and mesh= sharding
+        # all ride the 170 Gnnz/s planar kernel.  The kernel works in
+        # PLANAR (dof-major) ordering — b/x reorder once at the solve
+        # boundary (sparse/bdia.py module docstring).
+        if precision not in ("native", "mixed"):
+            raise ValueError(f"precision must be 'native' or 'mixed', "
+                             f"got {precision!r}")
         return _solve_bdia(A, b, tau=tau, maxiter=maxiter, method=method,
+                           precond=precond, precision=precision,
                            **solver_kwargs)
     if not isinstance(A, HostCSR):
         raise TypeError("solve() takes a HostCSR, dense ndarray or "
@@ -153,34 +147,186 @@ def solve(A, b, *, tau: float = 1e-8, maxiter: int = 1000,
     return factory.make_solver().solve(A, b)
 
 
-def _solve_bdia(A, b, *, tau, maxiter, method, **solver_kwargs):
+_BDIA_PRECONDS = ("auto", "none", "bjacobi", "bcheb", "ic")
+
+
+def _bdia_precond(A, precond: str):
+    """(apply, traced_pair) planar preconditioner for a BdiaMatrix."""
+    if precond not in _BDIA_PRECONDS:
+        raise ValueError(f"unknown BDIA precond {precond!r}; expected "
+                         f"one of {_BDIA_PRECONDS}")
+    if precond == "auto":
+        precond = "bjacobi"
+    if precond == "none":
+        return None, None
+    if precond == "bjacobi":
+        from .linear.block_precond import BlockJacobiBdiaPreconditionerType
+        prec = BlockJacobiBdiaPreconditionerType().form(A_dev=A)
+        return prec.apply_any, prec.traced
+    if precond == "bcheb":
+        from .linear.block_precond import (
+            BlockChebyshevBdiaPreconditionerType)
+        prec = BlockChebyshevBdiaPreconditionerType().form(A_dev=A)
+        return prec.apply_any, None
+    # scalar IC(t) via the host CSR view: factor in node-major order,
+    # apply with planar<->node transposes per application — the parity
+    # option (a full-vector transpose costs ~8x on a bandwidth-bound
+    # kernel; prefer 'bjacobi'/'bcheb' for speed)
+    from .linear.ilu import ICPreconditionerType
+    H = A.to_host_csr()
+    H32 = HostCSR(H.indptr, H.indices, H.data.astype(np.float32), H.shape)
+    inner = ICPreconditionerType().form(H32)
+
+    def apply(v):
+        vn = A.from_planar(v)
+        return A.to_planar(inner.apply_any(vn).astype(v.dtype))
+
+    return apply, None
+
+
+def _solve_bdia(A, b, *, tau, maxiter, method, precond="auto",
+                precision="native", mesh=None, **solver_kwargs):
     """solve() route for a BdiaMatrix operator: natural-ordered b in,
     natural-ordered solution out; the lockstep/blocked kernels run in
-    the format's planar ordering in between."""
+    the format's planar ordering in between.
+
+    ``precond``: "auto" (= block-Jacobi) | "none" | "bjacobi" | "bcheb"
+    (block-Chebyshev) | "ic" (scalar IC via the host CSR view).
+    ``precision="mixed"`` runs the f64-residual dd-chain with the f32
+    planar kernel inside (refine.ir_solve_dd — the same machinery as the
+    HostCSR route).  ``mesh``: 1-D jax Mesh — planes and vectors shard
+    over the block-row axis with ppermute halos (parallel/bdia.py).
+    """
     import jax.numpy as jnp
 
     from .core import StopReason, make_status
-    from .linear.krylov import cg_solve, gmres_solve
-    from .ops import matvec as op_matvec
+    from .linear.krylov import cg_solve, cg_solve_multi, gmres_solve
+    from .ops import matmat as op_matmat, matvec as op_matvec
+    from .sparse.bdia import BdiaMatrix
 
     if method in ("auto", "direct"):
         method = "cg"            # BDIA problems are large by construction
-    bp = A.to_planar(jnp.asarray(np.asarray(b), dtype=A.dtype))
-    if bp.ndim == 2:
-        raise ValueError("solve(BdiaMatrix, B): multi-RHS rides the "
-                         "factory/lockstep APIs with bdia_spmm; pass one "
-                         "column here")
-    if method == "cg":
-        x, st, hist = cg_solve(lambda v: op_matvec(A, v), bp,
-                               maxiter=maxiter, tau=tau)
-    elif method == "gmres":
-        x, st, hist = gmres_solve(lambda v: op_matvec(A, v), bp,
-                                  maxiter=maxiter, tau=tau,
-                                  restart=solver_kwargs.get("restart"))
-    else:
+    if method not in ("cg", "gmres"):
         raise ValueError(f"unknown method {method!r} for BdiaMatrix")
     control = CommonSolverArgs(maxiter=maxiter, tau=tau)
+
+    if mesh is not None:
+        return _solve_bdia_mesh(A, b, tau=tau, maxiter=maxiter,
+                                method=method, precond=precond,
+                                precision=precision, mesh=mesh,
+                                control=control)
+
+    b_np = np.asarray(b)
+    multi = b_np.ndim == 2
+
+    if precision == "mixed":
+        if multi:
+            # shared-setup column loop (the HostCSR mixed route's policy)
+            cols = [_solve_bdia(A, b_np[:, j], tau=tau, maxiter=maxiter,
+                                method=method, precond=precond,
+                                precision="mixed") for j in
+                    range(b_np.shape[1])]
+            from .api import _aggregate_multi
+            return _aggregate_multi(cols, control)
+        from .linear.refine import ir_solve_dd
+        A32 = A if A.dtype == jnp.float32 else A.astype(jnp.float32)
+        A64 = A if A.dtype == jnp.float64 else A.astype(jnp.float64)
+        papply, traced = _bdia_precond(A32, precond)
+        # planar reorder on host (numpy): keeps f64 exact regardless of
+        # the x64 flag and avoids a device round trip
+        bp = np.asarray(b_np, dtype=np.float64).reshape(
+            A.nb, A.b).T.reshape(-1)
+        x, st, _ = ir_solve_dd(
+            A64.host_matvec_planar, bp, A_lo=A32, A64=A64, tau=tau,
+            inner_tau=max(min(tau, 0.5), 1e-6), inner_maxiter=maxiter,
+            method=method, restart=solver_kwargs.get("restart"),
+            precond_pair=traced,
+            precond_lo=None if traced is not None else papply)
+        return make_status(A.from_planar(x), st, control, history=None)
+
+    papply, _ = _bdia_precond(A, precond)
+    bp = A.to_planar(jnp.asarray(b_np, dtype=A.dtype))
+    if multi:
+        import jax
+        pmulti = (None if papply is None
+                  else jax.vmap(papply, in_axes=1, out_axes=1))
+        X, st, hist = cg_solve_multi(lambda V: op_matmat(A, V), bp,
+                                     maxiter=maxiter, tau=tau,
+                                     precond=pmulti)
+        from .linear.krylov import KrylovState
+        worst = int(np.asarray(st.reason).max())
+        st = KrylovState(jnp.int32(int(np.asarray(st.k).max())),
+                         jnp.asarray(float(np.asarray(st.resid).max())),
+                         jnp.int32(worst))
+        return make_status(A.from_planar(X), st, control, history=hist)
+    if method == "cg":
+        x, st, hist = cg_solve(lambda v: op_matvec(A, v), bp,
+                               maxiter=maxiter, tau=tau, precond=papply)
+    else:
+        x, st, hist = gmres_solve(lambda v: op_matvec(A, v), bp,
+                                  maxiter=maxiter, tau=tau,
+                                  precond=papply,
+                                  restart=solver_kwargs.get("restart"))
     return make_status(A.from_planar(x), st, control, history=hist)
+
+
+def _solve_bdia_mesh(A, b, *, tau, maxiter, method, precond, precision,
+                     mesh, control):
+    """Distributed BDIA solve: planes sharded on the block-row axis,
+    2-D planar vectors, ppermute halos (parallel/bdia.py).  precision=
+    "mixed" runs residual-replacement CG with both operand precisions
+    sharded (dots psum under jit)."""
+    import jax
+    import jax.numpy as jnp
+
+    from .core import make_status
+    from .linear.krylov import cg_solve, cg_solve_rr, gmres_solve
+    from .parallel.bdia import (block_jacobi_sharded, dist_bdia_spmv,
+                                shard_bdia)
+
+    if precond not in ("auto", "none", "bjacobi"):
+        raise ValueError("mesh= BDIA solves support precond='bjacobi' "
+                         "(block-diagonal => shard-local) or 'none'")
+    b_np = np.asarray(b)
+    if b_np.ndim != 1:
+        raise ValueError("mesh= BDIA solves take a single RHS")
+
+    if precision == "mixed":
+        A32 = A if A.dtype == jnp.float32 else A.astype(jnp.float32)
+        A64 = A if A.dtype == jnp.float64 else A.astype(jnp.float64)
+        S32, S64 = shard_bdia(A32, mesh), shard_bdia(A64, mesh)
+        papply = None
+        if precond != "none":
+            apply, state = block_jacobi_sharded(S32)
+            papply = lambda v: apply(state, v)   # noqa: E731
+        bp = S64.to_planar(b_np.astype(np.float64))
+        if method != "cg":
+            raise ValueError("mesh= mixed BDIA solves run CG (rr); use "
+                             "precision='native' for GMRES")
+        solve = jax.jit(lambda b64: cg_solve_rr(
+            lambda v: dist_bdia_spmv(S32, v.astype(jnp.float32)
+                                     ).astype(jnp.float64),
+            b64, mv_hi=lambda v: dist_bdia_spmv(S64, v),
+            maxiter=maxiter, tau=tau, precond=papply, hi_matvec=True))
+        x, st, _ = solve(bp)
+        return make_status(S64.from_planar(x), st, control, history=None)
+
+    S = shard_bdia(A, mesh)
+    papply = None
+    if precond != "none":
+        apply, state = block_jacobi_sharded(S)
+        papply = lambda v: apply(state, v)       # noqa: E731
+    bp = S.to_planar(b_np)
+    if method == "cg":
+        solve = jax.jit(lambda bv: cg_solve(
+            lambda v: dist_bdia_spmv(S, v), bv, maxiter=maxiter, tau=tau,
+            precond=papply))
+    else:
+        solve = jax.jit(lambda bv: gmres_solve(
+            lambda v: dist_bdia_spmv(S, v), bv, maxiter=maxiter, tau=tau,
+            precond=papply))
+    x, st, hist = solve(bp)
+    return make_status(S.from_planar(x), st, control, history=hist)
 
 
 def _solve_multi(A: HostCSR, B: np.ndarray, *, tau, maxiter, method,
@@ -225,16 +371,18 @@ def _solve_multi(A: HostCSR, B: np.ndarray, *, tau, maxiter, method,
                 lambda V: matmat(A_dev, V), Bd, maxiter=maxiter,
                 tau=tau, precond=papply)
         else:
-            # gmres_solve_multi has no restart: its basis is
-            # (maxiter+1, n, k).  Route to it only when that buffer is
-            # sane AND no restart/orthog/flexible option was requested —
-            # otherwise the shared-setup column loop below honors them
-            # (the lockstep SpMM saving isn't worth a silently dropped
-            # restart or a multi-GB basis)
-            basis_bytes = ((maxiter + 1) * Bd.shape[0] * Bd.shape[1]
+            # gmres_solve_multi runs restarts in lockstep (per-column
+            # residual carry, shared basis reset, true-residual verify
+            # at cycle boundaries).  The column loop remains only for
+            # orthog/flexible requests and for unrestarted basis buffers
+            # that would not fit
+            restart = solver_kwargs.get("restart")
+            mlen = (maxiter if restart is None
+                    else max(1, min(int(restart), maxiter)))
+            basis_bytes = ((mlen + 1) * Bd.shape[0] * Bd.shape[1]
                            * Bd.dtype.itemsize)
             opts_used = any(k in solver_kwargs
-                            for k in ("restart", "orthog", "flexible"))
+                            for k in ("orthog", "flexible"))
             if opts_used or basis_bytes > (1 << 31):
                 return _solve_multi_column_loop(
                     A, B, tau=tau, maxiter=maxiter, method=method,
@@ -242,7 +390,7 @@ def _solve_multi(A: HostCSR, B: np.ndarray, *, tau, maxiter, method,
                     **solver_kwargs)
             X, st, _ = gmres_solve_multi(
                 lambda V: matmat(A_dev, V), Bd, maxiter=maxiter,
-                tau=tau, precond=papply)
+                tau=tau, precond=papply, restart=restart)
         worst = int(np.asarray(st.reason).max())  # RUNNING<CONV<others
         agg = KrylovState(jnp.int32(int(np.asarray(st.k).max())),
                           jnp.asarray(float(np.asarray(st.resid).max())),

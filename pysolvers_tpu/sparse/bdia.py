@@ -151,6 +151,45 @@ class BdiaMatrix:
         stored = len(boffs) * b * b * (n // b)
         return stored <= 2.5 * A.nnz
 
+    def diag_blocks(self) -> jax.Array:
+        """(nb, b, b) dense diagonal blocks D_i (device array) — the
+        block-Jacobi setup input (linear/block_precond.py).  Requires a
+        stored offset-0 block diagonal."""
+        if 0 not in self.offsets:
+            raise ValueError("BdiaMatrix has no offset-0 block diagonal")
+        d0 = self.offsets.index(0)
+        # planes[d0·b+q, p, i] = D_i[p, q] -> (nb, b, b) as [i, p, q]
+        return self.planes[d0 * self.b:(d0 + 1) * self.b,
+                           :, :self.nb].transpose(2, 1, 0)
+
+    def diagonal_planar(self) -> jax.Array:
+        """Scalar diagonal in PLANAR ordering, shape (b·nb,) — feeds
+        point-Jacobi/Chebyshev scaling without leaving planar layout."""
+        if 0 not in self.offsets:
+            raise ValueError("BdiaMatrix has no offset-0 block diagonal")
+        d0 = self.offsets.index(0)
+        idx = jnp.arange(self.b)
+        d = self.planes[d0 * self.b + idx, idx, :self.nb]    # (b, nb)
+        return d.reshape(self.b * self.nb)
+
+    def host_matvec_planar(self, x: np.ndarray) -> np.ndarray:
+        """f64 numpy matvec on PLANAR-ordered x — the high-precision
+        residual oracle for mixed-precision BDIA solves (refine/rr
+        machinery) without densifying to CSR."""
+        pl_ = np.asarray(self.planes, dtype=np.float64)
+        b, nb = self.b, self.nb
+        xb = np.asarray(x, dtype=np.float64).reshape(b, nb)
+        acc = np.zeros((b, nb))
+        for d, off in enumerate(self.offsets):
+            lo = max(0, -off)
+            hi = min(nb, nb - off)
+            if hi <= lo:
+                continue
+            for q in range(b):
+                acc[:, lo:hi] += (pl_[d * b + q][:, lo:hi]
+                                  * xb[q, lo + off:hi + off])
+        return acc.reshape(b * nb)
+
     def to_host_csr(self) -> HostCSR:
         pl_ = np.asarray(self.planes)
         nb, b = self.nb, self.b

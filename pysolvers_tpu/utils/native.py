@@ -88,6 +88,11 @@ def get_lib() -> Optional[ctypes.CDLL]:
                                  ctypes.c_int64, i64p,
                                  ctypes.POINTER(ctypes.c_int32)]
         lib.mtx_read.restype = ctypes.c_int64
+        try:                      # tolerate a stale .so predating it
+            lib.csr_matvec.argtypes = [ctypes.c_int64, i64p, i32p, f64p,
+                                       f64p, f64p]
+        except AttributeError:
+            pass
     except AttributeError:
         # stale .so missing a required symbol (e.g. a failed rebuild
         # left the old library): degrade to the numpy fallbacks the
@@ -188,6 +193,20 @@ def sym_rcm(indptr, indices, n):
     lib.sym_rcm(n, np.ascontiguousarray(indptr, np.int64),
                 np.ascontiguousarray(indices, np.int32), out)
     return out
+
+
+def csr_matvec(indptr, indices, data, x):
+    """y = A x in f64 (native sequential loop).  Returns y or None."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "csr_matvec"):
+        return None
+    n = len(indptr) - 1
+    y = np.empty(n, dtype=np.float64)
+    lib.csr_matvec(n, np.ascontiguousarray(indptr, np.int64),
+                   np.ascontiguousarray(indices, np.int32),
+                   np.ascontiguousarray(data, np.float64),
+                   np.ascontiguousarray(x, np.float64), y)
+    return y
 
 
 def mtx_read(path: str, nnz_cap: int):

@@ -129,6 +129,6 @@ class TestBdia:
         A, x = _prob(m=8, b=2)
         Ad = BdiaMatrix.from_host_csr(A, b=2)
         with pytest.raises(ValueError):
-            pst.solve(Ad, A.matvec(x), precond="amg")
+            pst.solve(Ad, A.matvec(x), precond="amg")   # not a BDIA prec
         with pytest.raises(ValueError):
-            pst.solve(Ad, A.matvec(x), precision="mixed")
+            pst.solve(Ad, A.matvec(x), precision="half")

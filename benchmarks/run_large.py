@@ -53,20 +53,9 @@ def _mg_levels(m: int) -> int:
     return lev
 
 
-# module-level apply fns: stable identity keys refine's jit caches
-def _grid_vc1(state, r):
-    import jax.numpy as jnp
-    from pysolvers_tpu.linear.gmg_grid import v_cycle_grid
-    return v_cycle_grid(state, r, jnp.zeros_like(r))
-
-
-def _grid_vc2(state, r):
-    import jax.numpy as jnp
-    from pysolvers_tpu.linear.gmg_grid import v_cycle_grid
-    x = jnp.zeros_like(r)
-    for _ in range(2):
-        x = v_cycle_grid(state, r, x)
-    return x
+# apply fns come from the library registry (gmg_grid.grid_vc_apply):
+# stable identity keys refine's jit caches, and sharing the very same
+# functions with pysolvers_tpu.prime makes cache priming hit
 
 
 def run_ours(args, emit):
@@ -78,11 +67,13 @@ def run_ours(args, emit):
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     import jax.numpy as jnp
     import pysolvers_tpu as pst
-    from pysolvers_tpu.linear.gmg_grid import build_grid_hierarchy
+    from pysolvers_tpu.linear.gmg_grid import (build_grid_hierarchy,
+                                               grid_vc_apply)
     from pysolvers_tpu.linear.refine import ir_solve_dd
     from pysolvers_tpu.sparse.device import DiaMatrix
     from pysolvers_tpu.utils.platform import warmup_device
 
+    _vc1, _vc2 = grid_vc_apply(1), grid_vc_apply(2)
     m = args.m
     n = m * m
     H = pst.problems.fd_laplacian_2d(m, dtype=np.float64)
@@ -178,10 +169,10 @@ def run_ours(args, emit):
                      max_outer=16))
     if "mg" in want:
         run(f"Lap2D(m={m})+PCG+GMG{levels}(grid)", setup_mg,
-            mk_solve("cg", precond_pair=_grid_vc2, inner_maxiter=100))
+            mk_solve("cg", precond_pair=_vc2, inner_maxiter=100))
     if "vcycle" in want:
         run(f"Lap2D(m={m})+VCycleSolver+GMG{levels}(grid)", setup_mg,
-            mk_solve("richardson", precond_pair=_grid_vc1,
+            mk_solve("richardson", precond_pair=_vc1,
                      inner_maxiter=100))
     if "mg_reuse" in want:
         # setup amortization: ONE hierarchy (freeze semantics, reference
@@ -189,7 +180,7 @@ def run_ours(args, emit):
         # sides — the regime a Newton sequence or a solver service pays
         k_solves = 8
         state = setup_mg()                    # includes compile warmup
-        solve1 = mk_solve("cg", precond_pair=_grid_vc2, inner_maxiter=100)
+        solve1 = mk_solve("cg", precond_pair=_vc2, inner_maxiter=100)
         solve1(state)                         # compile
         t0 = time.perf_counter()
         state = setup_mg()
@@ -202,7 +193,7 @@ def run_ours(args, emit):
             x, st, _ = ir_solve_dd(H.matvec, bj, A_lo=state[0],
                                    A64=state[1], tau=1e-10,
                                    inner_maxiter=100, method="cg",
-                                   precond_pair=(_grid_vc2, state[2]))
+                                   precond_pair=(_vc2, state[2]))
             per.append(time.perf_counter() - t0)
             its_tot += int(st.k)
         per_s = float(np.median(per))

@@ -38,6 +38,7 @@ from . import nonlinear
 from .nonlinear import (NewtonSolver, FuncAdapter1D, SimpleBacktrack,
                         TrivialLinesearch)
 from .solve import solve
+from .prime import prime_cache
 
 # reference-style aliases (ILUTPreconditioner.py:10-31, ICPreconditioner.py:20-29)
 RightILUT = ILUTPreconditionerType
@@ -61,5 +62,5 @@ __all__ = [
     "GridHierarchy", "build_grid_hierarchy", "build_grid_hierarchy_device",
     "v_cycle_grid",
     "NewtonSolver", "FuncAdapter1D", "SimpleBacktrack", "TrivialLinesearch",
-    "solve",
+    "solve", "prime_cache",
 ]

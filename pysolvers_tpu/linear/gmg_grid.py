@@ -578,3 +578,26 @@ def v_cycle_grid(h: GridHierarchy, f: jax.Array, x: jax.Array) -> jax.Array:
         return x_k
 
     return run(h.n_levels - 1, f, x)
+
+
+# stable per-num_iters apply functions (state rides as the traced
+# argument): the refine-layer jit caches key on function identity, and
+# the PERSISTENT compile cache keys on the traced HLO — sharing these
+# between batteries and pysolvers_tpu.prime is what makes cache priming
+# hit (same function -> same trace -> same cache entry)
+_GRID_VC_APPLY_FNS: dict = {}
+
+
+def grid_vc_apply(num_iters: int):
+    """apply(state, r): ``num_iters`` grid V-cycles from a zero start —
+    the GMG-as-preconditioner application (module-level identity, see
+    comment above)."""
+    fn = _GRID_VC_APPLY_FNS.get(num_iters)
+    if fn is None:
+        def fn(state, r):
+            x = jnp.zeros_like(r)
+            for _ in range(num_iters):
+                x = v_cycle_grid(state, r, x)
+            return x
+        _GRID_VC_APPLY_FNS[num_iters] = fn
+    return fn

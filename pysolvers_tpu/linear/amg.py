@@ -485,6 +485,14 @@ def build_device_hierarchy(mlh: MLHierarchy, smoother: str = "auto",
             if isinstance(A_dev, (DiaMatrix, EllMatrix)):
                 A_dev = shard_operator_rows(A_dev, mesh)
             dinv = jax.device_put(dinv, row_sharding(mesh))
+        if mesh is None:
+            # store kernel-native layouts: V-cycle matvecs run inside
+            # solver loops, where a 2-D DIA leaf would pay a diagonal
+            # layout copy per application (ops.prep_operator)
+            from ..ops import prep_operator
+            A_dev = prep_operator(A_dev)
+            P_dev = prep_operator(P_dev) if P_dev is not None else None
+            R_dev = prep_operator(R_dev) if R_dev is not None else None
         levels.append(DeviceLevel(A_dev, dinv, gs_plan, P_dev, R_dev, cheb))
     # coarse direct solve: dense inverse applied as a matvec (MXU).
     # jnp.linalg custom calls are avoided so the cycle stays portable

@@ -226,7 +226,10 @@ def build_grid_hierarchy(A: Optional[HostCSR], num_levels: int,
             levels.append(GridLevel(None, None, None, None))
             continue
         i_diag, offsets, shape, i_dinv, cheb = plan
-        A_dev = DiaMatrix(outs[i_diag], offsets, shape)
+        from ..ops import prep_operator
+        # kernel-native layout at setup: smoothing matvecs run inside
+        # solver loops where a 2-D DIA leaf pays a layout copy per call
+        A_dev = prep_operator(DiaMatrix(outs[i_diag], offsets, shape))
         levels.append(GridLevel(A_dev, outs[i_dinv], None, cheb))
     return GridHierarchy(levels, outs[i_inv], tuple(ms), ndim,
                          smoother, nu_pre, nu_post)
@@ -536,8 +539,21 @@ def build_grid_hierarchy_device(A_dev: DiaMatrix, num_levels: int,
         tbl, dinv, cheb = out_levels[k - 1]
         n_k = ms[k] ** ndim
         offs = _probed_offsets(A_dev.offsets, ms, ndim, k)
-        levels.append(GridLevel(DiaMatrix(tbl, offs, (n_k, n_k)),
-                                dinv, None,
+        from ..ops import prep_operator
+        Ak = DiaMatrix(tbl, offs, (n_k, n_k))
+        if ndim == 2 and ms[k] >= 4096:
+            # huge grids: the 1-D windowed kernel's x expansion is
+            # 1 + m/tile (>= 1.25 past m=4096, OOM territory past
+            # m~15000); the 2-D grid kernel's is (R+2)/R at any m
+            # (ops/grid_spmv.py — the round-3 HBM-scale cliff fix)
+            from ..ops.grid_spmv import GridDiaMatrix
+            try:
+                Ak = GridDiaMatrix.from_dia_device(Ak, (ms[k], ms[k]))
+            except ValueError:
+                Ak = prep_operator(Ak)
+        else:
+            Ak = prep_operator(Ak)
+        levels.append(GridLevel(Ak, dinv, None,
                                 tuple(cheb) if cheb is not None else None))
     return GridHierarchy(levels, A0_inv, ms, ndim, smoother,
                          nu_pre, nu_post)

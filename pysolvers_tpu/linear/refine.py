@@ -106,7 +106,7 @@ def _cached_inner_op(precond_lo, method, inner_maxiter, restart, chain=1):
     repeated solves with same-structure matrices whose values change
     (Newton steps bumping the Jacobian diagonal) and adaptive tolerances
     (Newton's forcing terms) reuse one compilation."""
-    from ..ops import matvec as op_matvec
+    from ..ops import matvec as op_matvec, prep_operator as op_prep
     key = ("op", id(precond_lo), method, inner_maxiter, restart, chain)
     ent = _INNER_CACHE.get(key)
     if ent is not None and ent[0] is precond_lo:
@@ -114,6 +114,7 @@ def _cached_inner_op(precond_lo, method, inner_maxiter, restart, chain=1):
 
     @jax.jit
     def inner(A_dev, r32, inner_tau):
+        A_dev = op_prep(A_dev)         # once, outside the inner loop
         mv = lambda v: op_matvec(A_dev, v)
         d, k = _chained_correction(method, mv, precond_lo, r32, inner_tau,
                                    inner_maxiter, restart, chain)
@@ -183,7 +184,7 @@ def _cached_inner_pair(apply_fn, method, inner_maxiter, restart, chain=1):
     (Newton steps re-factoring the Jacobian) hits the same compiled graph.
     ``apply_fn(state, v)`` must be a stable module-level function
     (Preconditioner.traced)."""
-    from ..ops import matvec as op_matvec
+    from ..ops import matvec as op_matvec, prep_operator as op_prep
     key = ("pair", id(apply_fn), method, inner_maxiter, restart, chain)
     ent = _INNER_CACHE.get(key)
     if ent is not None and ent[0] is apply_fn:
@@ -191,6 +192,7 @@ def _cached_inner_pair(apply_fn, method, inner_maxiter, restart, chain=1):
 
     @jax.jit
     def inner(A_dev, prec_state, r32, inner_tau):
+        A_dev = op_prep(A_dev)         # once, outside the inner loop
         mv = lambda v: op_matvec(A_dev, v)
         papply = lambda v: apply_fn(prec_state, v)
         d, k = _chained_correction(method, mv, papply, r32, inner_tau,
@@ -243,7 +245,7 @@ def _cached_dd_chain(apply_fn, method, inner_maxiter, restart, chain,
     if ent is not None and ent[0] is apply_fn and ent[2] is precond_lo:
         return ent[1]
 
-    from ..ops import matvec as op_matvec
+    from ..ops import matvec as op_matvec, prep_operator
     from ..ops.spmv import ell_spmv_f64_splitgather
 
     # x64=None (the common whole-solve-in-one-dispatch case) builds the
@@ -254,6 +256,7 @@ def _cached_dd_chain(apply_fn, method, inner_maxiter, restart, chain,
             overshoot, x_is_zero=False):
         if x_is_zero:
             x64 = jnp.zeros_like(b64)
+        A_lo = prep_operator(A_lo)     # once per dispatch, outside loops
         mv = lambda v: op_matvec(A_lo, v)
         papply = (precond_lo if apply_fn is None
                   else (lambda v: apply_fn(prec_state, v)))

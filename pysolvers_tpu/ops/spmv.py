@@ -98,39 +98,31 @@ def _dia_kernel(diags_ref, xw_ref, o_ref, *, offsets, tile, pad_lo):
     o_ref[...] = acc
 
 
-def dia_spmv_pallas(A: DiaMatrix, x: jax.Array, tile: int = 32768,
-                    interpret: bool = None) -> jax.Array:
-    """Row-tiled diagonal SpMV at ~4·n_diags bytes/nnz of HBM traffic.
+def _dia_tile_plan(D: int, band: int, n_store: int, tile: int = 32768):
+    """Kernel tile choice for a DIA SpMV over ``n_store`` stored rows.
 
-    Rows are split into tiles of ``tile``; tiles are grouped 8 per kernel
-    step so the VPU runs on full (8, tile) vregs.  Each tile's x window
-    (tile + band) is materialized once outside the kernel (static slices,
-    one fused XLA copy) and streamed through VMEM by the Pallas pipeline.
+    Returns None when the band is too wide for the windowed kernel
+    (extreme-band XLA fallback).  Shared between the kernel and
+    ``prep_operator`` so a prepped layout always matches the tile the
+    kernel would pick.
+
+    Sizing rules (measured):
+    * shrink the tile for small systems so padding to tile*8 rows
+      doesn't multiply the streamed bytes; keep lanes >= 128;
+    * clamp so each grid step's buffers fit scoped VMEM: the streamed
+      diags block is DOUBLE-buffered by the pipeline (2·D), window +
+      out add ~4 more tile-rows; Mosaic's actual scoped allocation runs
+      ~15% above this model (kernel stack/slicing temps — measured
+      19.3 MB where the model said 16.7), so budget 13 MB against the
+      16 MB scoped limit;
+    * bigger tiles win until the VMEM wall (8k: 86, 16k: 101, 32k: 107
+      Gnnz/s on v5e); a 9-offset probed GMG level at n=10^6 previously
+      requested 18 MB scoped and failed to compile;
+    * power-of-two multiple of 128: DiaMatrix pads its rows to the
+      262144 grid at pack time, and any power-of-two tile <= 32768
+      divides it — the kernel's alignment pad becomes a no-op.
     """
-    n = A.n_rows
-    offsets = A.offsets
-    pad_lo = max(0, -min(offsets))
-    pad_hi = max(0, max(offsets))
-    D = len(offsets)
-
-    # shrink the tile for small systems so padding to tile*8 rows doesn't
-    # multiply the streamed bytes (n=1024 with the default tile would pad
-    # 64x); keep lanes >= 128.  Also clamp so each grid step's buffers
-    # fit scoped VMEM: the streamed diags block is DOUBLE-buffered by the
-    # pipeline (2·D), window + out add ~4 more tile-rows.  Measured
-    # sweep: bigger tiles win until the VMEM wall (8k: 86, 16k: 101,
-    # 32k: 107 Gnnz/s on v5e); D=5 keeps the 32k tile under this cap,
-    # while a 9-offset probed GMG level at n=10^6 previously requested
-    # 18 MB scoped vs the 16 MB limit and failed to compile.
-    # per grid step (double-buffered): diags 2·D·8·tile + window
-    # 2·8·(tile + band) + out 2·8·tile floats; the band term matters for
-    # wide stencils (a 2-D Laplacian at m=17000 carries a ±m band that
-    # doubles the window).  Mosaic's ACTUAL scoped allocation runs ~15%
-    # above this model (kernel stack/slicing temps — measured 19.3 MB
-    # where the model said 16.7), so budget 13 MB against the 16 MB
-    # scoped limit.
     vmem_budget = 13 * 1024 * 1024
-    band = pad_lo + pad_hi
     tile_cap = max(
         (vmem_budget // 4 - 2 * 8 * band) // (8 * (2 * D + 4))
         // 128 * 128, 128)
@@ -138,19 +130,85 @@ def dia_spmv_pallas(A: DiaMatrix, x: jax.Array, tile: int = 32768,
         # the kernel's windowed-x copy costs n·(1 + band/tile) floats;
         # past band ≈ 2·tile that HBM expansion dominates (a 2-D
         # Laplacian at m=17000, n=2.9e8 needed +4.2 GB of windows and
-        # OOM'd HBM).  The plain shift-and-FMA lowering pads x once
-        # (O(n)) — slower (measured 0.8 Gnnz/s at n=2.2e8: XLA doesn't
-        # pipeline the giant shifted reads) but memory-proportional, the
-        # only option at the extreme-band edge.
-        return dia_spmv_xla(A, x)
-    tile = max(128, min(tile, tile_cap,
-                        _ceil_to((A.diags.shape[1] + 7) // 8, 128)))
+        # OOM'd HBM)
+        return None
+    tile = max(128, min(tile, tile_cap, _ceil_to((n_store + 7) // 8, 128)))
+    t = 128
+    while t * 2 <= tile:
+        t *= 2
+    return t
+
+
+def prep_operator(A):
+    """Lay an operator out in its SpMV kernel's native form, ONCE.
+
+    DiaMatrix → DiaTiled: the kernel consumes (D, n_tiles, tile), and
+    XLA materializes that reshape as a full copy of the diagonals at
+    EVERY call because the 2-D and 3-D tilings differ physically — and
+    does not hoist it out of while/fori solver loops (measured 2x
+    whole-matvec cost at n=2.1M).  Call this at the top of a jitted
+    solve (traced once, outside the iteration loop) or at setup time
+    for stored operators (AMG/GMG hierarchy levels).
+
+    Everything else (Ell/BWS/BDIA/dense/operators) passes through —
+    their stored layouts already match their kernels.
+    """
+    from ..sparse.device import DiaTiled
+    if not isinstance(A, DiaMatrix):
+        return A
+    if A.dtype != jnp.float32:
+        return A       # f64/other ride the XLA 2-D path — no kernel form
+    offsets = A.offsets
+    if len(offsets) == 0:
+        return A
+    pad_lo = max(0, -min(offsets))
+    pad_hi = max(0, max(offsets))
+    tile = _dia_tile_plan(len(offsets), pad_lo + pad_hi, A.diags.shape[1])
+    if tile is None:
+        return A                      # extreme band: XLA path keeps 2-D
     n_pad = _ceil_to(A.diags.shape[1], tile * 8)
-    n_tiles = n_pad // tile
     diags = A.diags
     if diags.shape[1] != n_pad:
         diags = jnp.pad(diags, ((0, 0), (0, n_pad - diags.shape[1])))
-    diags3 = diags.reshape(D, n_tiles, tile)
+    return DiaTiled(diags.reshape(len(offsets), n_pad // tile, tile),
+                    offsets, A.shape)
+
+
+def dia_spmv_pallas(A, x: jax.Array, tile: int = 32768,
+                    interpret: bool = None) -> jax.Array:
+    """Row-tiled diagonal SpMV at ~4·n_diags bytes/nnz of HBM traffic.
+
+    Rows are split into tiles of ``tile``; tiles are grouped 8 per kernel
+    step so the VPU runs on full (8, tile) vregs.  Each tile's x window
+    (tile + band) is materialized once outside the kernel (static slices,
+    one fused XLA copy) and streamed through VMEM by the Pallas pipeline.
+
+    ``A`` may be a DiaMatrix or a prepped DiaTiled (see prep_operator —
+    passing DiaMatrix inside an iteration loop pays a per-call layout
+    copy of the diagonals).
+    """
+    from ..sparse.device import DiaTiled
+    n = A.n_rows
+    offsets = A.offsets
+    pad_lo = max(0, -min(offsets))
+    pad_hi = max(0, max(offsets))
+    D = len(offsets)
+
+    if isinstance(A, DiaTiled):
+        diags3 = A.diags3
+        tile = A.tile
+        n_tiles = diags3.shape[1]
+    else:
+        tile = _dia_tile_plan(D, pad_lo + pad_hi, A.diags.shape[1], tile)
+        if tile is None:
+            return dia_spmv_xla(A, x)   # extreme band (see _dia_tile_plan)
+        n_pad = _ceil_to(A.diags.shape[1], tile * 8)
+        n_tiles = n_pad // tile
+        diags = A.diags
+        if diags.shape[1] != n_pad:
+            diags = jnp.pad(diags, ((0, 0), (0, n_pad - diags.shape[1])))
+        diags3 = diags.reshape(D, n_tiles, tile)
+    n_pad = n_tiles * tile
 
     wlen = _ceil_to(tile + pad_lo + pad_hi, 128)
     # windowed view: xw[t] = xp[t*tile : t*tile + wlen], built from
@@ -246,6 +304,12 @@ def bdia_spmv_pallas(A, x: jax.Array, tile: int = 16384,
     vmem_budget = 16 * 1024 * 1024
     tile_cap = max((vmem_budget // (4 * b * (D * b + 2))) // 128 * 128, 128)
     tile = max(128, min(tile, tile_cap, _ceil_to(nb_pad, 128)))
+    # power-of-two tile <= 16384 divides the pack-time nb_pad grid
+    # (sparse/bdia.py) — keeps the alignment pad below a no-op
+    t = 128
+    while t * 2 <= tile:
+        t *= 2
+    tile = t
     npad2 = _ceil_to(nb_pad, tile)
     n_tiles = npad2 // tile
     planes = A.planes
@@ -343,6 +407,14 @@ def matvec(A, x: jax.Array) -> jax.Array:
     from ..sparse.bdia import BdiaMatrix
     if isinstance(A, BdiaMatrix):
         return bdia_spmv(A, x)
+    from ..sparse.device import DiaTiled
+    if isinstance(A, DiaTiled):
+        if A.dtype == jnp.float32 and x.dtype == jnp.float32:
+            return dia_spmv_pallas(A, x)
+        return dia_spmv_xla(A.to_dia(), x)
+    from .grid_spmv import GridDiaMatrix, grid_dia_spmv
+    if isinstance(A, GridDiaMatrix):
+        return grid_dia_spmv(A, x)
     if isinstance(A, DiaMatrix):
         if A.dtype == jnp.float32 and x.dtype == jnp.float32:
             return dia_spmv_pallas(A, x)
@@ -409,6 +481,9 @@ def matmat(A, X: jax.Array) -> jax.Array:
     from ..sparse.bdia import BdiaMatrix
     if isinstance(A, BdiaMatrix):
         return bdia_spmm(A, X)
+    from ..sparse.device import DiaTiled
+    if isinstance(A, DiaTiled):
+        A = A.to_dia()                 # SpMM reads the 2-D layout
     if isinstance(A, DiaMatrix):
         return dia_spmm(A, X)
     if isinstance(A, EllMatrix):

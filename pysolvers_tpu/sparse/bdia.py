@@ -80,7 +80,7 @@ class BdiaMatrix:
 
     @staticmethod
     def from_host_csr(A: HostCSR, b: int, dtype=None,
-                      row_tile: int = 128) -> "BdiaMatrix":
+                      row_tile: int = None) -> "BdiaMatrix":
         """Pack a host CSR (node-major, n divisible by ``b``) into
         planar block-DIA.  Blocks are dense in storage (absent entries
         are zeros).  The layout plan (block offsets + per-nnz scatter
@@ -93,6 +93,12 @@ class BdiaMatrix:
             raise ValueError(f"n={n} not divisible by block size b={b}")
         nb = n // b
         dtype = dtype or A.data.dtype
+        if row_tile is None:
+            # align to the Pallas kernel's tile grid so its in-graph
+            # alignment pad is a no-op — with planes as a jit argument
+            # that pad copies the whole storage every matvec (same 2x
+            # tax as DiaMatrix; sparse/device.py)
+            row_tile = 16384 if nb > 16384 else 128
         nb_pad = _round_up(max(nb, 1), row_tile)
 
         # nb_pad is baked into the cached flat scatter targets — it must

@@ -151,8 +151,18 @@ class DiaMatrix:
         return self.diags.dtype
 
     @staticmethod
-    def from_host_csr(A: HostCSR, dtype=None, row_tile: int = 8) -> "DiaMatrix":
+    def from_host_csr(A: HostCSR, dtype=None,
+                      row_tile: int = None) -> "DiaMatrix":
         n, m = A.shape
+        if row_tile is None:
+            # pad to the SpMV kernel's grid granularity (tile·8 rows for
+            # power-of-two tiles up to 32768) so the kernel's in-graph
+            # alignment pad is a NO-OP.  When the operator rides as a jit
+            # ARGUMENT (every real solver loop), that pad is a full copy
+            # of the diagonals EVERY matvec — measured 2x on the m=1448
+            # headline bench (58 -> 112 Gnnz/s once removed).  Waste is
+            # <= 262144·n_diags·4 B, negligible at the sizes it applies.
+            row_tile = 262144 if n > 32768 else (8192 if n > 8192 else 8)
         n_pad = _round_up(max(n, 1), row_tile)
         dtype = dtype or A.data.dtype
         # structure-keyed layout plan (offsets + per-nnz scatter target):
@@ -182,3 +192,46 @@ class DiaMatrix:
     def is_profitable(A: HostCSR, max_diags: int = 32) -> bool:
         rows, cols, _ = A.to_coo()
         return len(np.unique(cols - rows)) <= max_diags
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class DiaTiled:
+    """DIA diagonals pre-laid-out in the SpMV kernel's tiled form
+    (D, n_tiles, tile).
+
+    Why this exists: XLA assigns (D, n_pad) and (D, n_tiles, tile)
+    DIFFERENT physical tilings, so the kernel-entry reshape is a full
+    copy of the diagonals — and XLA does NOT hoist it out of
+    ``lax.while_loop``/``fori_loop`` bodies.  Every solver iteration
+    paid ~42 MB of extra HBM traffic at n=2.1M (measured: 57 vs 115
+    Gnnz/s on the headline bench).  ``ops.prep_operator`` converts a
+    DiaMatrix to this form ONCE — per solve (inside jit, outside the
+    iteration loop) or per setup (stored hierarchy levels).
+
+    Fallback consumers (dia_spmm, shards, extreme-band XLA path) use
+    ``.diags``, which reshapes back (a copy — fine outside hot loops).
+    """
+
+    diags3: jax.Array                  # (D, n_tiles, tile)
+    offsets: tuple = dataclasses.field(metadata=dict(static=True))
+    shape: tuple = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def tile(self) -> int:
+        return self.diags3.shape[2]
+
+    @property
+    def n_rows(self) -> int:
+        return self.shape[0]
+
+    @property
+    def dtype(self):
+        return self.diags3.dtype
+
+    @property
+    def diags(self) -> jax.Array:
+        return self.diags3.reshape(self.diags3.shape[0], -1)
+
+    def to_dia(self) -> DiaMatrix:
+        return DiaMatrix(self.diags, self.offsets, self.shape)

@@ -108,7 +108,12 @@ def test_pcg_ic_block_matches_level_iteration_count():
 
     iters = {}
     for mode in ("level", "block"):
-        M = ICPreconditionerType(1e-3, 15, trisolve_mode=mode).form(Hp32)
+        # pin drop_scale: the fill-budget auto-search runs only in block
+        # mode (fill is bandwidth-free there), so "auto" would compare
+        # DIFFERENT factors — this test is about apply exactness, so
+        # both modes must factor identically
+        M = ICPreconditionerType(1e-3, 15, trisolve_mode=mode,
+                                 drop_scale=0.1).form(Hp32)
         x, st, _ = cg_solve(mv, bp, maxiter=200, tau=1e-5,
                             precond=M.apply_right)
         assert int(st.reason) == 1

@@ -32,24 +32,29 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from hbm_scale import analytic_lap2d_diags  # noqa: E402
 
 
-def _chain_rate(mv, x, nnz, n_short=5, n_long=25, reps=3):
+def _chain_rate(A, x, nnz, n_short=5, n_long=25, reps=3):
+    # the operator rides as a jit ARGUMENT: a closed-over multi-GB
+    # table would be baked into the HLO and blow the remote compiler's
+    # request limit (HTTP 413) — and misrepresent the solver path anyway
     import jax
+    from pysolvers_tpu.ops import matvec
 
     def mk(iters):
         @jax.jit
-        def chain(v):
-            return jax.lax.fori_loop(0, iters, lambda _, v: mv(v), v)
+        def chain(A, v):
+            return jax.lax.fori_loop(0, iters,
+                                     lambda _, v: matvec(A, v), v)
         return chain
 
     cs, cl = mk(n_short), mk(n_long)
-    jax.block_until_ready(cs(x))
-    jax.block_until_ready(cl(x))
+    jax.block_until_ready(cs(A, x))
+    jax.block_until_ready(cl(A, x))
 
     def t(fn, v):
         best = float("inf")
         for _ in range(reps):
             t0 = time.perf_counter()
-            v = fn(v)
+            v = fn(A, v)
             _ = float(v[0])
             best = min(best, time.perf_counter() - t0)
         return best, v
@@ -130,8 +135,12 @@ def run_solve(m: int, tau: float, emit, runs: int = 1):
 
     @jax.jit
     def solve(hh, b):
+        # the fine operator comes FROM the traced hierarchy — closing
+        # over the 2 GB table would bake it into the HLO (HTTP 413 on
+        # the remote compiler)
+        A_f = hh.levels[-1].A_dev
         return cg_solve_rr(
-            lambda v: matvec(A_fine, v), b,
+            lambda v: matvec(A_f, v), b,
             mv_hi=mv_hi, maxiter=200, tau=tau,
             precond=lambda r: vc2(hh, r).astype(r.dtype),
             hi_matvec=False)
@@ -174,7 +183,7 @@ def run_spmv(ms, emit):
         del A32
         x = jnp.asarray(np.random.default_rng(0).random(n).astype(
             np.float32))
-        rate, per = _chain_rate(lambda v: matvec(G, v), x, 5 * n)
+        rate, per = _chain_rate(G, x, 5 * n)
         emit(dict(config=f"grid_dia_spmv(m={m})", n=n,
                   gnnzs=round(rate / 1e9, 2),
                   per_matvec_ms=round(per * 1e3, 3)))

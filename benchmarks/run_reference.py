@@ -22,7 +22,9 @@ def _make_stubs():
     with open(f"{STUBS}/PyTab/__init__.py", "w") as f:
         f.write("class Tab:\n"
                 "    def __init__(self, *a, **k): pass\n"
-                "    def __str__(self): return '  '\n")
+                "    def __str__(self): return '  '\n"
+                "    def indent(self, *a, **k): pass\n"
+                "    def unindent(self, *a, **k): pass\n")
     with open(f"{STUBS}/PyTimer/__init__.py", "w") as f:
         f.write(
             "import time\n"

@@ -257,13 +257,22 @@ def shard_ell_halo(A_host: HostCSR, mesh: Mesh, dtype=None) -> ShardedEllHalo:
         A_host.shape, mesh, int(halo))
 
 
-def dist_ell_halo_spmv(A: ShardedEllHalo, x: jax.Array) -> jax.Array:
+def dist_ell_halo_spmv(A: ShardedEllHalo, x: jax.Array, *,
+                       halo: bool = True) -> jax.Array:
     """y = A @ x with x row-sharded (length n_pad).  One ppermute each
-    direction (rides ICI neighbor links), local gather, no all-gather."""
+    direction (rides ICI neighbor links), local gather, no all-gather.
+
+    ``halo=False`` is the DIAGNOSTIC mode (same contract as
+    dist_dia_spmv): ppermutes skipped, neighbor contributions read zero
+    — wrong near shard boundaries, used only to decompose distributed
+    overhead into shard_map vs collective shares
+    (benchmarks/weak_scaling.py)."""
     mesh = A.mesh
     n_dev = mesh.devices.size
     slab = A.n_pad // n_dev
     h = A.halo
+    if not halo:
+        n_dev = 1                      # disables both ppermute branches
 
     def local(data_s, lcols_s, x_s):
         x_s = x_s.reshape(slab)

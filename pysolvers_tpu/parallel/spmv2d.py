@@ -130,25 +130,39 @@ def shard_ell_2d(A_host: HostCSR, mesh: Mesh, dtype=None) -> ShardedEll2D:
                         A_host.shape, mesh, sub)
 
 
-def dist_ell_2d_spmv(A: ShardedEll2D, x: jax.Array) -> jax.Array:
+def dist_ell_2d_spmv(A: ShardedEll2D, x: jax.Array, *,
+                     comm: bool = True) -> jax.Array:
     """y = A @ x, x sharded P(("rows","cols")) of length n_pad.  Jittable.
 
     One all-gather over the pr-device "rows" axis (expand), a local ELL
     multiply, one psum_scatter over the pc-device "cols" axis (fold).
-    """
+
+    ``comm=False`` is the DIAGNOSTIC mode (same contract as
+    dist_dia_spmv(halo=False)): the all-gather is replaced by a local
+    tile of the device's own sub-chunk and the psum_scatter by a local
+    slice — numerically WRONG, identical local compute/memory shape;
+    isolates the collectives' share of distributed overhead
+    (benchmarks/weak_scaling.py)."""
     mesh = A.mesh
     pr, pc = A.grid
     sub = A.sub
 
     def local(data_s, lcols_s, x_s):
         # data_s/lcols_s: (rslab, 1, k); x_s: (sub,) this device's sub-chunk
-        xg = jax.lax.all_gather(x_s.reshape(-1), R_AXIS, tiled=True)
+        if comm:
+            xg = jax.lax.all_gather(x_s.reshape(-1), R_AXIS, tiled=True)
+        else:
+            xg = jnp.tile(x_s.reshape(-1), pr)      # same bytes, no wire
         xg = jnp.concatenate([xg, jnp.zeros((1,), xg.dtype)])  # pad slot
         g = jnp.take(xg, lcols_s[:, 0, :], axis=0)
         w = jnp.sum(data_s[:, 0, :] * g, axis=1)               # (rslab,)
         if pc > 1:
-            return jax.lax.psum_scatter(w, C_AXIS, scatter_dimension=0,
-                                        tiled=True)
+            if comm:
+                return jax.lax.psum_scatter(w, C_AXIS,
+                                            scatter_dimension=0,
+                                            tiled=True)
+            j = jax.lax.axis_index(C_AXIS)
+            return jax.lax.dynamic_slice(w, (j * sub,), (sub,))
         return w
 
     f = shard_map(local, mesh=mesh,

@@ -29,7 +29,7 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from hbm_scale import analytic_lap2d_diags  # noqa: E402
+from hbm_scale import _ceil_to, analytic_lap2d_diags  # noqa: E402
 
 
 def _chain_rate(A, x, nnz, n_short=5, n_long=25, reps=3):
@@ -160,27 +160,40 @@ def run_solve(m: int, tau: float, emit, runs: int = 1):
                   setup_s=round(setup_s, 2), solve_s=round(wall, 2)))
 
 
+def analytic_lap2d_grid(m: int, dtype=np.float32, scale=1.0):
+    """Grid-layout (5, mr_pad, mc_o) table of the 2-D FD Laplacian —
+    assembled straight into the grid kernel's storage (a flat device
+    intermediate at n=2.25e8 cost two extra 4.5 GB copies and OOM'd)."""
+    mc_o = _ceil_to(m, 128)
+    mr_pad = _ceil_to(m, 64)
+    s = dtype((m + 1.0) ** 2 * scale)
+    G = np.zeros((5, mr_pad, mc_o), dtype=dtype)
+    pairs = ((-1, 0), (0, -1), (0, 0), (0, 1), (1, 0))
+    G[2, :m, :m] = 4.0 * s
+    G[0, 1:m, :m] = -s          # north: x[r-1, c] exists for r >= 1
+    G[4, :m - 1, :m] = -s       # south
+    G[1, :m, 1:m] = -s          # west
+    G[3, :m, :m - 1] = -s       # east
+    return G, pairs
+
+
 def run_spmv(ms, emit):
     import jax
     jax.config.update("jax_compilation_cache_dir", "/tmp/pst_jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     import jax.numpy as jnp
-    from pysolvers_tpu.ops import matvec
     from pysolvers_tpu.ops.grid_spmv import GridDiaMatrix
-    from pysolvers_tpu.sparse.device import DiaMatrix
     from pysolvers_tpu.utils.platform import warmup_device
 
     warmup_device()
     for m in ms:
         n = m * m
-        diags, offsets = analytic_lap2d_diags(m, n, dtype=np.float32)
-        # keep iterates bounded for the timing chain
-        diags *= np.float32(1.0 / (8.0 * (m + 1.0) ** 2))
-        A32 = DiaMatrix(jnp.asarray(diags), offsets, (n, n))
-        del diags
-        G = GridDiaMatrix.from_dia_device(A32, (m, m))
+        # boundedness scale baked in so chained f32 iterates stay finite
+        Gh, pairs = analytic_lap2d_grid(
+            m, scale=1.0 / (8.0 * (m + 1.0) ** 2))
+        G = GridDiaMatrix(jnp.asarray(Gh), pairs, (m, m), (n, n))
+        del Gh
         jax.block_until_ready(G.diags)
-        del A32
         x = jnp.asarray(np.random.default_rng(0).random(n).astype(
             np.float32))
         rate, per = _chain_rate(G, x, 5 * n)

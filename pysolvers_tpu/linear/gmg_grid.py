@@ -323,7 +323,16 @@ def _probe_coarse_dia(A_f: DiaMatrix, ndim: int, m_f: int,
         combs = jnp.stack(
             [((ar % s == px)[:, None] * (ar % s == py)[None, :])
              .astype(dtype).reshape(-1) for px, py in phases], axis=0)
-        Y = pipeline_batch(combs)
+        if m_f ** ndim > (1 << 23):
+            # huge grids: one batch of all s^2 combs materializes
+            # (n_f, s^2) temps — padded ~6 GB each at n=1e8, OOM.
+            # lax.map over s-sized chunks SEQUENCES the pipeline (a
+            # Python-loop chunking leaves XLA free to overlap the
+            # chunks and the peak comes right back).
+            Y = jax.lax.map(pipeline_batch,
+                            combs.reshape(s, s, -1)).reshape(s * s, -1)
+        else:
+            Y = pipeline_batch(combs)
         Yps = Y.reshape(s, s, m_c, m_c)                    # (px, py, a, b)
         offsets, diags = [], []
         for da in deltas:
@@ -499,7 +508,7 @@ def build_grid_hierarchy_device(A_dev: DiaMatrix, num_levels: int,
         # seconds) — retry each dispatch a few times before giving up.
         def _retry(fn, *a):
             last = None
-            for attempt in range(3):
+            for attempt in range(6):
                 try:
                     return fn(*a)
                 except Exception as e:          # jax runtime INTERNAL
@@ -507,7 +516,10 @@ def build_grid_hierarchy_device(A_dev: DiaMatrix, num_levels: int,
                         raise
                     last = e
                     import time as _t
-                    _t.sleep(3.0 * (attempt + 1))
+                    # n >= 1e8 probes crash the helper more persistently
+                    # (observed 3 consecutive failures then success) —
+                    # longer exponential-ish backoff gives it room
+                    _t.sleep(5.0 * (attempt + 1))
             raise last
 
         out_levels = []

@@ -20,6 +20,7 @@
 #include <cstring>
 #include <cctype>
 #include <queue>
+#include <thread>
 #include <vector>
 
 extern "C" {
@@ -55,17 +56,18 @@ void csr_result_copy(void* h, int64_t* indptr, int32_t* indices,
 // SpGEMM: C = A * B  (Gustavson, dense accumulator)
 // ---------------------------------------------------------------------------
 
-void spgemm(int64_t n, int64_t m, int64_t k, const int64_t* a_indptr,
-            const int32_t* a_indices, const double* a_data,
-            const int64_t* b_indptr, const int32_t* b_indices,
-            const double* b_data, void* out) {
-  auto* r = static_cast<CsrResult*>(out);
-  r->indptr.assign(1, 0);
+static void spgemm_rows(int64_t i0, int64_t i1, int64_t k,
+                        const int64_t* a_indptr, const int32_t* a_indices,
+                        const double* a_data, const int64_t* b_indptr,
+                        const int32_t* b_indices, const double* b_data,
+                        std::vector<int64_t>& row_nnz,
+                        std::vector<int32_t>& out_idx,
+                        std::vector<double>& out_val) {
   std::vector<double> acc(k, 0.0);
   std::vector<int64_t> mark(k, -1);
   std::vector<int32_t> cols;
   cols.reserve(64);
-  for (int64_t i = 0; i < n; ++i) {
+  for (int64_t i = i0; i < i1; ++i) {
     cols.clear();
     for (int64_t p = a_indptr[i]; p < a_indptr[i + 1]; ++p) {
       const int32_t a_col = a_indices[p];
@@ -82,10 +84,64 @@ void spgemm(int64_t n, int64_t m, int64_t k, const int64_t* a_indptr,
     }
     std::sort(cols.begin(), cols.end());
     for (int32_t c : cols) {
-      r->indices.push_back(c);
-      r->data.push_back(acc[c]);
+      out_idx.push_back(c);
+      out_val.push_back(acc[c]);
     }
-    r->indptr.push_back(static_cast<int64_t>(r->indices.size()));
+    row_nnz[i - i0] = static_cast<int64_t>(cols.size());
+  }
+}
+
+// Parallel Gustavson: contiguous row ranges per thread, each with its
+// own dense accumulator/mark table and output buffers, stitched in row
+// order afterwards.  The SA-AMG triple products R·(A·P) are the setup
+// wall at n >= 1e6 (SURVEY §2.1 "scipy SpGEMM"); Gustavson is
+// embarrassingly row-parallel.
+void spgemm(int64_t n, int64_t m, int64_t k, const int64_t* a_indptr,
+            const int32_t* a_indices, const double* a_data,
+            const int64_t* b_indptr, const int32_t* b_indices,
+            const double* b_data, void* out) {
+  auto* r = static_cast<CsrResult*>(out);
+  const int64_t flops_hint = a_indptr[n];
+  unsigned hw = std::thread::hardware_concurrency();
+  int nt = (flops_hint > 200000 && hw > 1)
+               ? static_cast<int>(std::min<unsigned>(hw, 8))
+               : 1;
+  if (nt > 1 && n < nt * 64) nt = 1;
+
+  std::vector<std::vector<int64_t>> rn(nt);
+  std::vector<std::vector<int32_t>> oi(nt);
+  std::vector<std::vector<double>> ov(nt);
+  std::vector<std::thread> ts;
+  const int64_t chunk = (n + nt - 1) / nt;
+  for (int t = 0; t < nt; ++t) {
+    const int64_t i0 = t * chunk;
+    const int64_t i1 = std::min<int64_t>(n, i0 + chunk);
+    rn[t].assign(std::max<int64_t>(i1 - i0, 0), 0);
+    if (i0 >= i1) continue;
+    if (nt == 1) {
+      spgemm_rows(i0, i1, k, a_indptr, a_indices, a_data, b_indptr,
+                  b_indices, b_data, rn[t], oi[t], ov[t]);
+    } else {
+      ts.emplace_back(spgemm_rows, i0, i1, k, a_indptr, a_indices,
+                      a_data, b_indptr, b_indices, b_data,
+                      std::ref(rn[t]), std::ref(oi[t]), std::ref(ov[t]));
+    }
+  }
+  for (auto& th : ts) th.join();
+
+  int64_t total = 0;
+  for (int t = 0; t < nt; ++t)
+    total += static_cast<int64_t>(oi[t].size());
+  r->indptr.clear();
+  r->indptr.reserve(n + 1);
+  r->indptr.push_back(0);
+  r->indices.reserve(total);
+  r->data.reserve(total);
+  for (int t = 0; t < nt; ++t) {
+    for (int64_t c : rn[t])
+      r->indptr.push_back(r->indptr.back() + c);
+    r->indices.insert(r->indices.end(), oi[t].begin(), oi[t].end());
+    r->data.insert(r->data.end(), ov[t].begin(), ov[t].end());
   }
   (void)m;
 }

@@ -206,7 +206,7 @@ def _cached_inner_pair(apply_fn, method, inner_maxiter, restart, chain=1):
 
 
 def _cached_dd_chain(apply_fn, method, inner_maxiter, restart, chain,
-                     first_tau, hi_matvec=False):
+                     first_tau, hi_matvec=False, replace_every=None):
     """One-dispatch refinement chain: ``chain`` f32 inner corrections, each
     against an ACCURATE f64 residual computed in-graph.
 
@@ -240,7 +240,7 @@ def _cached_dd_chain(apply_fn, method, inner_maxiter, restart, chain,
     apply_fn, precond_lo = apply_fn
     rr = method == "cg" and _rr_enabled()
     key = ("ddchain", id(apply_fn), id(precond_lo), method, inner_maxiter,
-           restart, chain, first_tau, rr, hi_matvec)
+           restart, chain, first_tau, rr, hi_matvec, replace_every)
     ent = _INNER_CACHE.get(key)
     if ent is not None and ent[0] is apply_fn and ent[2] is precond_lo:
         return ent[1]
@@ -321,10 +321,12 @@ def _cached_dd_chain(apply_fn, method, inner_maxiter, restart, chain,
                     # reduction, so a longer window only skips no-op
                     # verifications (drift/window ~ eps32·reduction)
                     unprec = apply_fn is None and precond_lo is None
+                    re_eff = (replace_every if replace_every is not None
+                              else (48 if unprec else 6))
                     d64, st, _ = cg_solve_rr(
                         mv, r / scale, mv_hi=lambda v: mv_hi(A64, v),
                         maxiter=inner_maxiter, tau=tau_k, precond=papply,
-                        replace_every=48 if unprec else 6,
+                        replace_every=re_eff,
                         hi_matvec=hi_matvec)
                     return scale * d64, st.k
                 if hi_matvec:
@@ -395,7 +397,8 @@ def _cached_dd_chain(apply_fn, method, inner_maxiter, restart, chain,
 def ir_solve_dd(mv_hi_host, b, *, A_lo, A64, tau=1e-10, inner_tau=1e-6,
                 inner_maxiter=500, method="cg", precond_pair=None,
                 precond_lo=None, restart=None, chain=4, max_outer=20,
-                first_tau=1e-4, overshoot=0.25, hi_matvec=None):
+                first_tau=1e-4, overshoot=0.25, hi_matvec=None,
+                replace_every=None):
     """Host-driven refinement where each dispatch runs a ``chain``-step
     f64-residual correction chain fully on device (``_cached_dd_chain``).
 
@@ -413,6 +416,13 @@ def ir_solve_dd(mv_hi_host, b, *, A_lo, A64, tau=1e-10, inner_tau=1e-6,
     moves ~50× with the final residual's spectral direction, so only a
     deeper ‖r‖ bounds it (costs 2-5 extra inner iterations at the
     preconditioned rates).
+
+    ``replace_every``: residual-replacement cadence override (None =
+    auto: 6 preconditioned / 48 unpreconditioned).  WEAK symmetric
+    preconditioners (block-Jacobi on a 2.1M-row vector Laplacian: 1793
+    iterations) want the long cadence too — each f64 replacement matvec
+    costs ~15x an f32 step there and the auto "preconditioned" cadence
+    spent 40% of the solve on verification.
 
     ``hi_matvec``: run the inner recurrence matvec in emulated f64
     (krylov.cg_solve_rr(hi_matvec=True) for CG; f64 FGMRES/Richardson
@@ -436,7 +446,7 @@ def ir_solve_dd(mv_hi_host, b, *, A_lo, A64, tau=1e-10, inner_tau=1e-6,
                             else (None, None))
     run = _cached_dd_chain((apply_fn, precond_lo), method, inner_maxiter,
                            restart, chain, float(first_tau),
-                           hi_matvec=hi_matvec)
+                           hi_matvec=hi_matvec, replace_every=replace_every)
 
     b_h = np.asarray(b, dtype=np.float64)
     b_norm = float(np.linalg.norm(b_h))

@@ -379,11 +379,98 @@ def bdia_spmv(A, x: jax.Array) -> jax.Array:
     return _bdia_xla(A, xb)[:, :nb].reshape(b * nb)
 
 
+def _bdia_spmm_kernel(planes_ref, xw_ref, o_ref, *, offsets, b, k, tile,
+                      pad_lo):
+    # planes_ref: (D·b, b, tile); xw_ref: (1, k, b, wlen);
+    # o_ref: (1, k, b, tile).  acc[c, p, i] += planes[d·b+q, p, i] ·
+    # x[c, q, i+off] — broadcasts on the leading/sublane axes only.
+    acc = jnp.zeros((k, b, tile), dtype=planes_ref.dtype)
+    for d, off in enumerate(offsets):
+        for q in range(b):
+            xs = xw_ref[0, :, q, off + pad_lo: off + pad_lo + tile]
+            acc = acc + planes_ref[d * b + q][None] * xs[:, None, :]
+    o_ref[0] = acc
+
+
+def bdia_spmm_pallas(A, X: jax.Array, tile: int = 4096,
+                     interpret: bool = None) -> jax.Array:
+    """Lockstep planar block-DIA SpMM on the Pallas kernel: ONE pass over
+    the block planes serves all k columns — the arithmetic-intensity win
+    blocked multi-RHS exists for.  (The XLA shift-and-FMA fallback
+    materializes a (b, nb, k) slice per block offset; measured 29 ms per
+    lockstep iteration at n=2.1M, k=8 — 0.38x "amortization".  This
+    kernel streams the 210 MB plane table once: ~1 ms.)"""
+    b, nb = A.b, A.nb
+    nb_pad = A.nb_pad
+    k = X.shape[1]
+    offsets = A.offsets
+    pad_lo = max(0, -min(offsets))
+    pad_hi = max(0, max(offsets))
+    D = len(offsets)
+
+    vmem_budget = 13 * 1024 * 1024
+    tile_cap = max((vmem_budget // 4) // (2 * b * (D * b + 2 * k)) //
+                   128 * 128, 128)
+    tile = max(128, min(tile, tile_cap, _ceil_to(nb_pad, 128)))
+    t = 128
+    while t * 2 <= tile:
+        t *= 2
+    tile = t
+    npad2 = _ceil_to(nb_pad, tile)
+    n_tiles = npad2 // tile
+    planes = A.planes
+    if planes.shape[-1] != npad2:
+        planes = jnp.pad(planes,
+                         ((0, 0), (0, 0), (0, npad2 - planes.shape[-1])))
+
+    wlen = _ceil_to(tile + pad_lo + pad_hi, 128)
+    # (n, k) planar -> (k, b, L) with halo margins; windows via shifted
+    # reshapes (k_pieces fused copies, not n_tiles slices)
+    Xp = jnp.transpose(X.astype(A.dtype).reshape(b, nb, k), (2, 0, 1))
+    k_pieces = -(-wlen // tile)
+    L = npad2 + k_pieces * tile
+    Xpad = jnp.zeros((k, b, L), dtype=A.dtype)
+    Xpad = Xpad.at[:, :, pad_lo: pad_lo + nb].set(Xp)
+    XW = jnp.concatenate(
+        [jax.lax.slice(Xpad, (0, 0, j * tile),
+                       (k, b, j * tile + npad2))
+         .reshape(k, b, n_tiles, tile)
+         for j in range(k_pieces)], axis=3)[:, :, :, :wlen]
+    XW = jnp.transpose(XW, (2, 0, 1, 3))          # (n_tiles, k, b, wlen)
+
+    if interpret is None:
+        interpret = _interpret_mode()
+    with jax.enable_x64(False):
+        out = pl.pallas_call(
+            functools.partial(_bdia_spmm_kernel, offsets=offsets, b=b,
+                              k=k, tile=tile, pad_lo=pad_lo),
+            grid=(n_tiles,),
+            interpret=interpret,
+            in_specs=[
+                pl.BlockSpec((D * b, b, tile), lambda i: (0, 0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, k, b, wlen), lambda i: (i, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, k, b, tile), lambda i: (i, 0, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((n_tiles, k, b, tile), A.dtype),
+        )(planes, XW)
+    # (n_tiles, k, b, tile) -> planar (b·nb, k)
+    Y = jnp.transpose(out, (2, 0, 3, 1)).reshape(b, npad2, k)
+    return Y[:, :nb, :].reshape(b * nb, k)
+
+
 def bdia_spmm(A, X: jax.Array) -> jax.Array:
     """Blocked multi-RHS planar block-DIA SpMM: (n, k) -> (n, k), one
-    pass over the block streams for all k columns (planar-ordered)."""
+    pass over the block streams for all k columns (planar-ordered).
+    f32 on TPU rides the Pallas lockstep kernel; other dtypes/backends
+    use the XLA shift-and-FMA."""
     b, nb = A.b, A.nb
     k = X.shape[1]
+    if (A.dtype == jnp.float32 and X.dtype == jnp.float32
+            and 1 <= k <= 16 and not _interpret_mode()):
+        return bdia_spmm_pallas(A, X)
     xb = jnp.zeros((b, A.nb_pad, k),
                    dtype=jnp.result_type(A.dtype, X.dtype))
     xb = xb.at[:, :nb, :].set(X.astype(xb.dtype).reshape(b, nb, k))

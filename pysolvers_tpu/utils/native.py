@@ -34,7 +34,8 @@ def _build() -> Optional[str]:
         # into the final .so — a corrupt file with a fresh mtime would
         # suppress every future rebuild
         tmp = f"{so}.build.{os.getpid()}"
-        subprocess.run(["g++", "-O3", "-std=c++17", "-shared", "-fPIC",
+        subprocess.run(["g++", "-O3", "-std=c++17", "-pthread",
+                        "-shared", "-fPIC",
                         "-o", tmp, src], check=True, capture_output=True)
         os.replace(tmp, so)
         return so

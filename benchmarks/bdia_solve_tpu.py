@@ -83,26 +83,29 @@ def main():
               # reflect the planar kernel, not a fallback path
               implied_gnnzs_per_pass=round(nnz / per_it / 1e9, 2)))
 
-    # --- multi-RHS amortization (native f32 lockstep) ------------------
+    # --- multi-RHS amortization (native f32 lockstep, ROW layout) ------
     from pysolvers_tpu.linear.block_precond import (
         BlockJacobiBdiaPreconditionerType)
-    from pysolvers_tpu.linear.krylov import cg_solve_multi
-    from pysolvers_tpu.ops import matmat
+    from pysolvers_tpu.linear.krylov import cg_solve_multi_rows
+    from pysolvers_tpu.ops.spmv import bdia_spmm_rows
 
     A32 = Ad.astype(jnp.float32)
     prec = BlockJacobiBdiaPreconditionerType().form(A_dev=A32)
-    papply = jax.vmap(prec.apply_any, in_axes=1, out_axes=1)
+    papply = jax.vmap(prec.apply_any, in_axes=0, out_axes=0)
     X = rng.random((n, k)).astype(np.float32)
     B = np.stack([H.matvec(X[:, j]) for j in range(k)], axis=1)
 
     def timed_multi(kk, reps=3):
-        Bp = A32.to_planar(jnp.asarray(B[:, :kk], dtype=jnp.float32))
+        nb, bb = A32.nb, A32.b
+        Bp = jnp.asarray(B[:, :kk].T.reshape(kk, nb, bb)
+                         .transpose(0, 2, 1).reshape(kk, n),
+                         dtype=jnp.float32)
 
         @jax.jit
         def run(A, Bp):
-            X, st, _ = cg_solve_multi(lambda V: matmat(A, V), Bp,
-                                      maxiter=600, tau=1e-5,
-                                      precond=papply)
+            X, st, _ = cg_solve_multi_rows(
+                lambda V: bdia_spmm_rows(A, V), Bp, maxiter=600,
+                tau=1e-5, precond=papply)
             return X, st.k
 
         Xs, ks = run(A32, Bp)

@@ -257,6 +257,73 @@ def cg_solve_multi(matvec: Callable, B: jax.Array,
     return final.X, KrylovState(final.k, final.resid, final.reason), None
 
 
+def cg_solve_multi_rows(matmat_rows: Callable, B: jax.Array, *,
+                        maxiter: int = 100, tau: float = 1e-8,
+                        precond: Optional[Callable] = None):
+    """Lockstep multi-RHS CG in ROW layout: ``B`` is (k_rhs, n), one RHS
+    per ROW; ``matmat_rows``/``precond`` map (k, n) -> (k, n).
+
+    Why a second layout: XLA's TPU tiling pads the MINOR dimension to
+    128 lanes, so the column layout's (n, k<=16) blocks are physically
+    128/k times their data — every axpy/dot in `cg_solve_multi` moves
+    16x the bytes at k=8.  With the RHS index on the second-minor axis
+    the padding granularity is 8 rows (free at k=8), and row-layout
+    SpMM kernels (ops.spmv.bdia_spmm_rows) keep the one-operator-pass
+    amortization without any k-minor intermediate.  Semantics per row
+    match ``cg_solve_multi`` per column (freezing, breakdowns,
+    ||r_j|| <= tau·||b_j||).
+    """
+    M = precond or (lambda V: V)
+    dot = lambda a, c: jnp.sum(a * c, axis=1)        # per-row
+    norm = lambda V: jnp.sqrt(dot(V, V))
+
+    tols = tau * norm(B)
+    R0 = B
+    U0 = M(R0)
+    udr0 = dot(U0, R0)
+    resid0 = norm(R0)
+    zero = jnp.zeros((), dtype=B.dtype)
+
+    def cond(c: _CGMultiCarry):
+        return jnp.any(c.reason == StopReason.RUNNING)
+
+    def body(c: _CGMultiCarry):
+        running = c.reason == StopReason.RUNNING
+        AP = matmat_rows(c.P)
+        pAp = dot(c.P, AP)
+        breakdown_pap = pAp == zero
+        alpha = jnp.where(running & ~breakdown_pap, c.u_dot_r / pAp, 0.0)
+        X = c.X + alpha[:, None] * c.P
+        R = c.R - alpha[:, None] * AP
+        resid = jnp.where(running, norm(R), c.resid)
+        U = M(R)
+        udr_new = dot(U, R)
+        breakdown_udr = udr_new == zero
+        beta = jnp.where(running & (c.u_dot_r != 0),
+                         udr_new / c.u_dot_r, 0.0)
+        P = jnp.where(running[:, None], U + beta[:, None] * c.P, c.P)
+        k = c.k + running.astype(jnp.int32)
+        reason = jnp.where(
+            ~running, c.reason,
+            jnp.where(resid <= tols, StopReason.CONVERGED,
+                      jnp.where(breakdown_pap | breakdown_udr,
+                                StopReason.BREAKDOWN,
+                                jnp.where(k >= maxiter, StopReason.MAXITER,
+                                          StopReason.RUNNING)))
+        ).astype(jnp.int32)
+        return _CGMultiCarry(k, X, R, P, udr_new, resid, reason)
+
+    init_reason = jnp.where(
+        resid0 <= tols, StopReason.CONVERGED,
+        jnp.where(udr0 == 0, StopReason.BREAKDOWN,
+                  StopReason.RUNNING)).astype(jnp.int32)
+    init = _CGMultiCarry(jnp.zeros(B.shape[0], jnp.int32),
+                         jnp.zeros_like(B), R0, U0, udr0, resid0,
+                         init_reason)
+    final = jax.lax.while_loop(cond, body, init)
+    return final.X, KrylovState(final.k, final.resid, final.reason), None
+
+
 class _CGRRCarry(NamedTuple):
     k: jax.Array
     x64: jax.Array        # f64 accumulated correction

@@ -301,8 +301,18 @@ def bdia_spmv_pallas(A, x: jax.Array, tile: int = 16384,
     pad_hi = max(0, max(offsets))
     D = len(offsets)
 
-    vmem_budget = 16 * 1024 * 1024
-    tile_cap = max((vmem_budget // (4 * b * (D * b + 2))) // 128 * 128, 128)
+    # the pipeline DOUBLE-buffers the streamed planes block (2·D·b tile-
+    # rows of b), and inside solver loops XLA places the kernel's FULL
+    # (b, nb_pad) output in VMEM (S(1) — the loop residency that speeds
+    # the DIA path), which counts against the same 16 MB scoped limit.
+    # Reserve for it explicitly: the old (D·b + 2) model ignored both
+    # and compiles died with 17-25 MB scoped allocations (b=5, D=5,
+    # nb=420k).  XLA only attempts the residency when the output fits,
+    # so the reserve is capped.
+    out_resident = min(b * nb_pad * 4, 9 * 1024 * 1024)
+    vmem_budget = max(15 * 1024 * 1024 - out_resident, 3 * 1024 * 1024)
+    tile_cap = max(
+        (vmem_budget // (4 * b * (2 * D * b + 4))) // 128 * 128, 128)
     tile = max(128, min(tile, tile_cap, _ceil_to(nb_pad, 128)))
     # power-of-two tile <= 16384 divides the pack-time nb_pad grid
     # (sparse/bdia.py) — keeps the alignment pad below a no-op
@@ -379,39 +389,61 @@ def bdia_spmv(A, x: jax.Array) -> jax.Array:
     return _bdia_xla(A, xb)[:, :nb].reshape(b * nb)
 
 
-def _bdia_spmm_kernel(planes_ref, xw_ref, o_ref, *, offsets, b, k, tile,
-                      pad_lo):
-    # planes_ref: (D·b, b, tile); xw_ref: (1, k, b, wlen);
-    # o_ref: (1, k, b, tile).  acc[c, p, i] += planes[d·b+q, p, i] ·
-    # x[c, q, i+off] — broadcasts on the leading/sublane axes only.
-    acc = jnp.zeros((k, b, tile), dtype=planes_ref.dtype)
-    for d, off in enumerate(offsets):
-        for q in range(b):
-            xs = xw_ref[0, :, q, off + pad_lo: off + pad_lo + tile]
-            acc = acc + planes_ref[d * b + q][None] * xs[:, None, :]
-    o_ref[0] = acc
+def _bdia_spmm_kernel(planes_ref, xm_ref, xc_ref, xp_ref, o_ref, *,
+                      offsets, b, k, tile, pad_lo, pad_hi):
+    # planes_ref: (D·b, b, tile); xm/xc/xp: (1, b, k, tile) — the
+    # PREVIOUS / CURRENT / NEXT x tiles (overlapping windows cannot be
+    # expressed by one BlockSpec; materializing them in HBM cost ~10 ms
+    # of XLA slice/concat per SpMM — assembling in VMEM is free).
+    # o_ref: (1, b, k, tile).  The RHS index k lives in the SUBLANE dim:
+    # every FMA is a full-vreg 2-D (k, tile) op with the plane row
+    # sublane-broadcast — the DIA kernel's fast pattern.  The planes
+    # block is read from HBM once per grid step and reused k times from
+    # VMEM (that reuse IS the lockstep amortization).
+    xw = jnp.concatenate(
+        [xm_ref[0, :, :, tile - pad_lo:], xc_ref[0],
+         xp_ref[0, :, :, : pad_hi]], axis=-1)      # (b, k, pad+tile+pad)
+    for p in range(b):
+        acc = jnp.zeros((k, tile), dtype=planes_ref.dtype)
+        for d, off in enumerate(offsets):
+            for q in range(b):
+                xs = xw[q, :, off + pad_lo: off + pad_lo + tile]
+                acc = acc + planes_ref[d * b + q, p][None, :] * xs
+        o_ref[0, p] = acc
 
 
 def bdia_spmm_pallas(A, X: jax.Array, tile: int = 4096,
                      interpret: bool = None) -> jax.Array:
-    """Lockstep planar block-DIA SpMM on the Pallas kernel: ONE pass over
-    the block planes serves all k columns — the arithmetic-intensity win
-    blocked multi-RHS exists for.  (The XLA shift-and-FMA fallback
-    materializes a (b, nb, k) slice per block offset; measured 29 ms per
-    lockstep iteration at n=2.1M, k=8 — 0.38x "amortization".  This
-    kernel streams the 210 MB plane table once: ~1 ms.)"""
+    """Column-layout (n, k) wrapper over ``bdia_spmm_rows`` — ONE pass
+    over the block planes serves all k columns.  The boundary
+    transposes pay the k-minor layout tax once; solvers that stay in
+    lockstep should use the ROW layout throughout
+    (linear/krylov.py::cg_solve_multi_rows)."""
+    return bdia_spmm_rows(A, X.T, interpret=interpret).T
+
+
+def bdia_spmm_rows(A, V: jax.Array, interpret: bool = None) -> jax.Array:
+    """Lockstep planar block-DIA SpMM in ROW layout: V is (k, n) with
+    one RHS per ROW.  Returns (k, n).
+
+    Why rows: XLA's TPU tiling pads the MINOR dim to 128, so a column
+    block (n, k<=16) is physically 128/k times larger than its data —
+    every axpy/dot in a column-layout lockstep solver moves 16x the
+    bytes at k=8 (and the k=1 "baseline" 128x!).  With k on the
+    second-minor axis the padding is 8-row granular, i.e. free at k=8.
+    """
     b, nb = A.b, A.nb
     nb_pad = A.nb_pad
-    k = X.shape[1]
+    k = V.shape[0]
     offsets = A.offsets
     pad_lo = max(0, -min(offsets))
     pad_hi = max(0, max(offsets))
     D = len(offsets)
 
-    vmem_budget = 13 * 1024 * 1024
-    tile_cap = max((vmem_budget // 4) // (2 * b * (D * b + 2 * k)) //
-                   128 * 128, 128)
-    tile = max(128, min(tile, tile_cap, _ceil_to(nb_pad, 128)))
+    vmem_budget = 11 * 1024 * 1024
+    per_tile = 4 * (2 * b * (D * b + 2 * k) + D * b * k * b)
+    tile_cap = max((vmem_budget // per_tile) // 128 * 128, 128)
+    tile = max(128, min(4096, tile_cap, _ceil_to(nb_pad, 128)))
     t = 128
     while t * 2 <= tile:
         t *= 2
@@ -422,43 +454,47 @@ def bdia_spmm_pallas(A, X: jax.Array, tile: int = 4096,
     if planes.shape[-1] != npad2:
         planes = jnp.pad(planes,
                          ((0, 0), (0, 0), (0, npad2 - planes.shape[-1])))
+    if max(pad_lo, pad_hi) > tile:
+        xb = jnp.zeros((b, A.nb_pad, k),
+                       dtype=jnp.result_type(A.dtype, V.dtype))
+        xb = xb.at[:, :nb, :].set(
+            V.astype(xb.dtype).reshape(k, b, nb).transpose(1, 2, 0))
+        y = _bdia_xla(A, xb)[:, :nb, :]            # (b, nb, k)
+        return y.transpose(2, 0, 1).reshape(k, b * nb)
 
-    wlen = _ceil_to(tile + pad_lo + pad_hi, 128)
-    # (n, k) planar -> (k, b, L) with halo margins; windows via shifted
-    # reshapes (k_pieces fused copies, not n_tiles slices)
-    Xp = jnp.transpose(X.astype(A.dtype).reshape(b, nb, k), (2, 0, 1))
-    k_pieces = -(-wlen // tile)
-    L = npad2 + k_pieces * tile
-    Xpad = jnp.zeros((k, b, L), dtype=A.dtype)
-    Xpad = Xpad.at[:, :, pad_lo: pad_lo + nb].set(Xp)
-    XW = jnp.concatenate(
-        [jax.lax.slice(Xpad, (0, 0, j * tile),
-                       (k, b, j * tile + npad2))
-         .reshape(k, b, n_tiles, tile)
-         for j in range(k_pieces)], axis=3)[:, :, :, :wlen]
-    XW = jnp.transpose(XW, (2, 0, 1, 3))          # (n_tiles, k, b, wlen)
+    # (k, n) -> (n_tiles+2, b, k, tile): free reshapes + ONE transpose
+    # whose trailing dim stays `tile` (tile-granular block moves — the
+    # k-minor intermediates of the column layout cost ~10 ms here)
+    Vp = jnp.pad(V.astype(A.dtype).reshape(k, b, nb),
+                 ((0, 0), (0, 0), (tile, npad2 - nb + tile)))
+    X4 = jnp.transpose(Vp.reshape(k, b, n_tiles + 2, tile), (2, 1, 0, 3))
 
     if interpret is None:
         interpret = _interpret_mode()
     with jax.enable_x64(False):
         out = pl.pallas_call(
             functools.partial(_bdia_spmm_kernel, offsets=offsets, b=b,
-                              k=k, tile=tile, pad_lo=pad_lo),
+                              k=k, tile=tile, pad_lo=pad_lo,
+                              pad_hi=pad_hi),
             grid=(n_tiles,),
             interpret=interpret,
             in_specs=[
                 pl.BlockSpec((D * b, b, tile), lambda i: (0, 0, i),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, k, b, wlen), lambda i: (i, 0, 0, 0),
+                pl.BlockSpec((1, b, k, tile), lambda i: (i, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, b, k, tile), lambda i: (i + 1, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, b, k, tile), lambda i: (i + 2, 0, 0, 0),
                              memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((1, k, b, tile), lambda i: (i, 0, 0, 0),
+            out_specs=pl.BlockSpec((1, b, k, tile), lambda i: (i, 0, 0, 0),
                                    memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((n_tiles, k, b, tile), A.dtype),
-        )(planes, XW)
-    # (n_tiles, k, b, tile) -> planar (b·nb, k)
-    Y = jnp.transpose(out, (2, 0, 3, 1)).reshape(b, npad2, k)
-    return Y[:, :nb, :].reshape(b * nb, k)
+            out_shape=jax.ShapeDtypeStruct((n_tiles, b, k, tile), A.dtype),
+        )(planes, X4, X4, X4)
+    # (n_tiles, b, k, tile) -> (k, b·nb)
+    Y = jnp.transpose(out, (2, 1, 0, 3)).reshape(k, b, npad2)
+    return Y[:, :, :nb].reshape(k, b * nb)
 
 
 def bdia_spmm(A, X: jax.Array) -> jax.Array:

@@ -254,20 +254,33 @@ def _solve_bdia(A, b, *, tau, maxiter, method, precond="auto",
         return make_status(A.from_planar(x), st, control, history=None)
 
     papply, _ = _bdia_precond(A, precond)
-    bp = A.to_planar(jnp.asarray(b_np, dtype=A.dtype))
     if multi:
         import jax
+
+        from .linear.krylov import KrylovState, cg_solve_multi_rows
+        from .ops.spmv import bdia_spmm_rows
+
+        # ROW layout (k, n_planar): the RHS index on the second-minor
+        # axis — column blocks (n, k<=16) are physically padded to 128
+        # lanes by XLA (16x the bytes at k=8; see cg_solve_multi_rows)
+        k = b_np.shape[1]
+        Bp_rows = jnp.asarray(
+            b_np.T.reshape(k, A.nb, A.b).transpose(0, 2, 1)
+            .reshape(k, A.b * A.nb), dtype=A.dtype)
         pmulti = (None if papply is None
-                  else jax.vmap(papply, in_axes=1, out_axes=1))
-        X, st, hist = cg_solve_multi(lambda V: op_matmat(A, V), bp,
-                                     maxiter=maxiter, tau=tau,
-                                     precond=pmulti)
-        from .linear.krylov import KrylovState
+                  else jax.vmap(papply, in_axes=0, out_axes=0))
+        X, st, hist = cg_solve_multi_rows(
+            lambda V: bdia_spmm_rows(A, V), Bp_rows, maxiter=maxiter,
+            tau=tau, precond=pmulti)
         worst = int(np.asarray(st.reason).max())
         st = KrylovState(jnp.int32(int(np.asarray(st.k).max())),
                          jnp.asarray(float(np.asarray(st.resid).max())),
                          jnp.int32(worst))
-        return make_status(A.from_planar(X), st, control, history=hist)
+        # (k, b·nb) rows -> natural (n, k)
+        Xn = jnp.transpose(
+            X.reshape(k, A.b, A.nb), (2, 1, 0)).reshape(A.nb * A.b, k)
+        return make_status(Xn, st, control, history=hist)
+    bp = A.to_planar(jnp.asarray(b_np, dtype=A.dtype))
     if method == "cg":
         x, st, hist = cg_solve(lambda v: op_matvec(A, v), bp,
                                maxiter=maxiter, tau=tau, precond=papply)

@@ -454,7 +454,9 @@ def bdia_spmm_rows(A, V: jax.Array, interpret: bool = None) -> jax.Array:
     if planes.shape[-1] != npad2:
         planes = jnp.pad(planes,
                          ((0, 0), (0, 0), (0, npad2 - planes.shape[-1])))
-    if max(pad_lo, pad_hi) > tile:
+    if A.dtype != jnp.float32 or max(pad_lo, pad_hi) > tile:
+        # XLA shift-and-FMA fallback: the Pallas kernel is f32-only
+        # (f64 solves — x64 test runs, hi-precision oracles — land here).
         xb = jnp.zeros((b, A.nb_pad, k),
                        dtype=jnp.result_type(A.dtype, V.dtype))
         xb = xb.at[:, :nb, :].set(

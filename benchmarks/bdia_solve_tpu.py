@@ -83,15 +83,17 @@ def main():
               # reflect the planar kernel, not a fallback path
               implied_gnnzs_per_pass=round(nnz / per_it / 1e9, 2)))
 
-    # --- multi-RHS amortization (native f32 lockstep, ROW layout) ------
-    from pysolvers_tpu.linear.block_precond import (
-        BlockJacobiBdiaPreconditionerType)
-    from pysolvers_tpu.linear.krylov import cg_solve_multi_rows
-    from pysolvers_tpu.ops.spmv import bdia_spmm_rows
+    # --- multi-RHS amortization (native f32 lockstep, kernel-resident
+    # tiles layout: both the operator pass and the block-Jacobi apply
+    # are BDIA Pallas SpMMs on the 4-D layout — zero per-iteration
+    # layout moves; solve(BdiaMatrix, B) rides the same route) ---------
+    from pysolvers_tpu.linear.block_precond import block_jacobi_bdia_matrix
+    from pysolvers_tpu.linear.krylov import cg_solve_multi_tiles
+    from pysolvers_tpu.ops.spmv import (bdia_rows_to_tiles,
+                                        bdia_spmm_tiles, bdia_tile_size)
 
     A32 = Ad.astype(jnp.float32)
-    prec = BlockJacobiBdiaPreconditionerType().form(A_dev=A32)
-    papply = jax.vmap(prec.apply_any, in_axes=0, out_axes=0)
+    M32 = block_jacobi_bdia_matrix(A32)
     X = rng.random((n, k)).astype(np.float32)
     B = np.stack([H.matvec(X[:, j]) for j in range(k)], axis=1)
 
@@ -100,20 +102,22 @@ def main():
         Bp = jnp.asarray(B[:, :kk].T.reshape(kk, nb, bb)
                          .transpose(0, 2, 1).reshape(kk, n),
                          dtype=jnp.float32)
+        tile = bdia_tile_size(A32, kk)
+        B4 = bdia_rows_to_tiles(A32, Bp, tile)
 
         @jax.jit
-        def run(A, Bp):
-            X, st, _ = cg_solve_multi_rows(
-                lambda V: bdia_spmm_rows(A, V), Bp, maxiter=600,
-                tau=1e-5, precond=papply)
+        def run(A, M, B4):
+            X, st, _ = cg_solve_multi_tiles(
+                lambda V4: bdia_spmm_tiles(A, V4), B4, maxiter=600,
+                tau=1e-5, precond=lambda V4: bdia_spmm_tiles(M, V4))
             return X, st.k
 
-        Xs, ks = run(A32, Bp)
+        Xs, ks = run(A32, M32, B4)
         jax.block_until_ready(Xs)
         best = float("inf")
         for _ in range(reps):
             t0 = time.perf_counter()
-            Xs, ks = run(A32, Bp)
+            Xs, ks = run(A32, M32, B4)
             jax.block_until_ready(Xs)
             best = min(best, time.perf_counter() - t0)
         return best, int(np.asarray(ks).max())

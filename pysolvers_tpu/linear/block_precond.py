@@ -65,6 +65,24 @@ def _block_apply(Binv_pl: jax.Array, v: jax.Array) -> jax.Array:
                       v.reshape(b, nb, k)).reshape(b * nb, k)
 
 
+def block_jacobi_bdia_matrix(A: BdiaMatrix) -> BdiaMatrix:
+    """blockdiag(D_i)^{-1} AS a BdiaMatrix (offsets=(0,)).
+
+    The lockstep tiles path applies block-Jacobi through the same Pallas
+    SpMM kernel as the operator: the jnp einsum form of the apply runs at
+    ~12 GB/s on TPU (15 ms/iteration at n=2.1M, k=8 — XLA picks a
+    dot_general layout the VPU can't stream), while the D=1 block-DIA
+    kernel is HBM-bandwidth-bound like every other plane kernel."""
+    Binv = batched_inverse(A.diag_blocks())           # (nb, b, b)
+    # planes[q, p, i] = (D_i^{-1})[p, q]  (BdiaMatrix plane convention)
+    planes = jnp.transpose(Binv, (2, 1, 0)).astype(A.dtype)
+    nb_pad = A.nb_pad
+    if planes.shape[-1] != nb_pad:
+        planes = jnp.pad(planes,
+                         ((0, 0), (0, 0), (0, nb_pad - planes.shape[-1])))
+    return BdiaMatrix(planes=planes, offsets=(0,), shape=A.shape, b=A.b)
+
+
 class BlockJacobiBdiaPreconditionerType(PreconditionerType):
     """M = blockdiag(D_i) for a BdiaMatrix — the planar-native analog of
     point Jacobi; setup is one device dispatch (batched Gauss-Jordan)."""

@@ -389,20 +389,33 @@ def bdia_spmv(A, x: jax.Array) -> jax.Array:
     return _bdia_xla(A, xb)[:, :nb].reshape(b * nb)
 
 
-def _bdia_spmm_kernel(planes_ref, xm_ref, xc_ref, xp_ref, o_ref, *,
-                      offsets, b, k, tile, pad_lo, pad_hi):
-    # planes_ref: (D·b, b, tile); xm/xc/xp: (1, b, k, tile) — the
+def _bdia_spmm_kernel(planes_ref, *refs, offsets, b, k, tile, pad_lo,
+                      pad_hi):
+    # planes_ref: (D·b, b, tile); refs: ([xm,] xc, [xp,] o) — the
     # PREVIOUS / CURRENT / NEXT x tiles (overlapping windows cannot be
     # expressed by one BlockSpec; materializing them in HBM cost ~10 ms
-    # of XLA slice/concat per SpMM — assembling in VMEM is free).
-    # o_ref: (1, b, k, tile).  The RHS index k lives in the SUBLANE dim:
-    # every FMA is a full-vreg 2-D (k, tile) op with the plane row
-    # sublane-broadcast — the DIA kernel's fast pattern.  The planes
-    # block is read from HBM once per grid step and reused k times from
-    # VMEM (that reuse IS the lockstep amortization).
-    xw = jnp.concatenate(
-        [xm_ref[0, :, :, tile - pad_lo:], xc_ref[0],
-         xp_ref[0, :, :, : pad_hi]], axis=-1)      # (b, k, pad+tile+pad)
+    # of XLA slice/concat per SpMM — assembling in VMEM is free).  The
+    # neighbor blocks exist only when the offsets reach that way: a
+    # D=1 offset-0 matrix (block-Jacobi inverse) reads ONLY xc — no
+    # wasted neighbor DMAs.  o: (1, b, k, tile).  The RHS index k lives
+    # in the SUBLANE dim: every FMA is a full-vreg 2-D (k, tile) op with
+    # the plane row sublane-broadcast — the DIA kernel's fast pattern.
+    # The planes block is read from HBM once per grid step and reused k
+    # times from VMEM (that reuse IS the lockstep amortization).
+    o_ref = refs[-1]
+    xs_refs = refs[:-1]
+    idx = 0
+    parts = []
+    if pad_lo:
+        parts.append(xs_refs[idx][0, :, :, tile - pad_lo:])
+        idx += 1
+    xc_ref = xs_refs[idx]
+    idx += 1
+    parts.append(xc_ref[0])
+    if pad_hi:
+        parts.append(xs_refs[idx][0, :, :, : pad_hi])
+    xw = (jnp.concatenate(parts, axis=-1) if len(parts) > 1
+          else xc_ref[0])                          # (b, k, pad+tile+pad)
     for p in range(b):
         acc = jnp.zeros((k, tile), dtype=planes_ref.dtype)
         for d, off in enumerate(offsets):
@@ -422,6 +435,113 @@ def bdia_spmm_pallas(A, X: jax.Array, tile: int = 4096,
     return bdia_spmm_rows(A, X.T, interpret=interpret).T
 
 
+def bdia_tile_size(A, k: int) -> int:
+    """Pallas row tile for the lockstep BDIA SpMM at RHS width ``k``:
+    power of two, VMEM-budgeted (planes block + 3 x blocks + output +
+    double-buffering + unrolled temporaries)."""
+    b = A.b
+    D = len(A.offsets)
+    vmem_budget = 11 * 1024 * 1024
+    per_tile = 4 * (2 * b * (D * b + 2 * k) + D * b * k * b)
+    tile_cap = max((vmem_budget // per_tile) // 128 * 128, 128)
+    tile = max(128, min(4096, tile_cap, _ceil_to(A.nb_pad, 128)))
+    t = 128
+    while t * 2 <= tile:
+        t *= 2
+    return t
+
+
+def bdia_tiles_eligible(A, k: int) -> bool:
+    """True when the kernel-resident tiles layout can carry a lockstep
+    solve on this operator (f32 Pallas path, halos fit one tile)."""
+    if A.dtype != jnp.float32 or not (1 <= k <= 16):
+        return False
+    pad = max(max(0, max(A.offsets)), max(0, -min(A.offsets)))
+    return pad <= bdia_tile_size(A, k)
+
+
+def bdia_rows_to_tiles(A, V: jax.Array, tile: int) -> jax.Array:
+    """(k, n) planar ROW-layout block -> the kernel-resident
+    (n_tiles+2, b, k, tile) layout with zero halo tiles at both ends.
+    One transpose, paid once per solve (not per iteration)."""
+    b, nb = A.b, A.nb
+    k = V.shape[0]
+    npad2 = _ceil_to(A.nb_pad, tile)
+    n_tiles = npad2 // tile
+    Vp = jnp.pad(V.astype(A.dtype).reshape(k, b, nb),
+                 ((0, 0), (0, 0), (tile, npad2 - nb + tile)))
+    return jnp.transpose(Vp.reshape(k, b, n_tiles + 2, tile), (2, 1, 0, 3))
+
+
+def bdia_tiles_to_rows(A, X4: jax.Array) -> jax.Array:
+    """Inverse of ``bdia_rows_to_tiles``: drop the halo tiles and the
+    alignment pad, back to (k, n) planar rows."""
+    b, nb = A.b, A.nb
+    k = X4.shape[2]
+    Y = jnp.transpose(X4[1:-1], (2, 1, 0, 3)).reshape(k, b, -1)
+    return Y[:, :, :nb].reshape(k, b * nb)
+
+
+def bdia_spmm_tiles(A, X4: jax.Array, interpret: bool = None) -> jax.Array:
+    """Lockstep BDIA SpMM on KERNEL-RESIDENT operands: X4 and the result
+    are both (n_tiles+2, b, k, tile) with zero halo tiles.
+
+    Why a third entry point: the per-call pad/reshape/transpose in
+    ``bdia_spmm_rows`` is 7.2 of its 8.1 ms/iteration at k=8, n=2.1M
+    (the Pallas kernel itself is ~0.9 ms) — a solver that keeps its
+    whole Krylov state in this layout (linear/krylov.py::
+    cg_solve_multi_tiles) pays the layout moves once per SOLVE instead
+    of twice per iteration.  The only per-call layout cost left is the
+    halo re-pad of the output (one tile-granular contiguous copy).
+    f32-only; callers gate on ``bdia_tiles_eligible``."""
+    b = A.b
+    n_tiles = X4.shape[0] - 2
+    k = X4.shape[2]
+    tile = X4.shape[3]
+    offsets = A.offsets
+    pad_lo = max(0, -min(offsets))
+    pad_hi = max(0, max(offsets))
+    D = len(offsets)
+    npad2 = n_tiles * tile
+    planes = A.planes
+    if planes.shape[-1] != npad2:
+        # loop-invariant for an in-loop A: XLA hoists it out of while
+        planes = jnp.pad(planes,
+                         ((0, 0), (0, 0), (0, npad2 - planes.shape[-1])))
+    if interpret is None:
+        interpret = _interpret_mode()
+    in_specs = [pl.BlockSpec((D * b, b, tile), lambda i: (0, 0, i),
+                             memory_space=pltpu.VMEM)]
+    operands = [planes]
+    if pad_lo:
+        in_specs.append(pl.BlockSpec((1, b, k, tile),
+                                     lambda i: (i, 0, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        operands.append(X4)
+    in_specs.append(pl.BlockSpec((1, b, k, tile),
+                                 lambda i: (i + 1, 0, 0, 0),
+                                 memory_space=pltpu.VMEM))
+    operands.append(X4)
+    if pad_hi:
+        in_specs.append(pl.BlockSpec((1, b, k, tile),
+                                     lambda i: (i + 2, 0, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        operands.append(X4)
+    with jax.enable_x64(False):
+        out = pl.pallas_call(
+            functools.partial(_bdia_spmm_kernel, offsets=offsets, b=b,
+                              k=k, tile=tile, pad_lo=pad_lo,
+                              pad_hi=pad_hi),
+            grid=(n_tiles,),
+            interpret=interpret,
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((1, b, k, tile), lambda i: (i, 0, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((n_tiles, b, k, tile), A.dtype),
+        )(*operands)
+    return jnp.pad(out, ((1, 1), (0, 0), (0, 0), (0, 0)))
+
+
 def bdia_spmm_rows(A, V: jax.Array, interpret: bool = None) -> jax.Array:
     """Lockstep planar block-DIA SpMM in ROW layout: V is (k, n) with
     one RHS per ROW.  Returns (k, n).
@@ -438,22 +558,9 @@ def bdia_spmm_rows(A, V: jax.Array, interpret: bool = None) -> jax.Array:
     offsets = A.offsets
     pad_lo = max(0, -min(offsets))
     pad_hi = max(0, max(offsets))
-    D = len(offsets)
 
-    vmem_budget = 11 * 1024 * 1024
-    per_tile = 4 * (2 * b * (D * b + 2 * k) + D * b * k * b)
-    tile_cap = max((vmem_budget // per_tile) // 128 * 128, 128)
-    tile = max(128, min(4096, tile_cap, _ceil_to(nb_pad, 128)))
-    t = 128
-    while t * 2 <= tile:
-        t *= 2
-    tile = t
+    tile = bdia_tile_size(A, k)
     npad2 = _ceil_to(nb_pad, tile)
-    n_tiles = npad2 // tile
-    planes = A.planes
-    if planes.shape[-1] != npad2:
-        planes = jnp.pad(planes,
-                         ((0, 0), (0, 0), (0, npad2 - planes.shape[-1])))
     if A.dtype != jnp.float32 or max(pad_lo, pad_hi) > tile:
         # XLA shift-and-FMA fallback: the Pallas kernel is f32-only
         # (f64 solves — x64 test runs, hi-precision oracles — land here).
@@ -467,35 +574,10 @@ def bdia_spmm_rows(A, V: jax.Array, interpret: bool = None) -> jax.Array:
     # (k, n) -> (n_tiles+2, b, k, tile): free reshapes + ONE transpose
     # whose trailing dim stays `tile` (tile-granular block moves — the
     # k-minor intermediates of the column layout cost ~10 ms here)
-    Vp = jnp.pad(V.astype(A.dtype).reshape(k, b, nb),
-                 ((0, 0), (0, 0), (tile, npad2 - nb + tile)))
-    X4 = jnp.transpose(Vp.reshape(k, b, n_tiles + 2, tile), (2, 1, 0, 3))
-
-    if interpret is None:
-        interpret = _interpret_mode()
-    with jax.enable_x64(False):
-        out = pl.pallas_call(
-            functools.partial(_bdia_spmm_kernel, offsets=offsets, b=b,
-                              k=k, tile=tile, pad_lo=pad_lo,
-                              pad_hi=pad_hi),
-            grid=(n_tiles,),
-            interpret=interpret,
-            in_specs=[
-                pl.BlockSpec((D * b, b, tile), lambda i: (0, 0, i),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, b, k, tile), lambda i: (i, 0, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, b, k, tile), lambda i: (i + 1, 0, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, b, k, tile), lambda i: (i + 2, 0, 0, 0),
-                             memory_space=pltpu.VMEM),
-            ],
-            out_specs=pl.BlockSpec((1, b, k, tile), lambda i: (i, 0, 0, 0),
-                                   memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((n_tiles, b, k, tile), A.dtype),
-        )(planes, X4, X4, X4)
-    # (n_tiles, b, k, tile) -> (k, b·nb)
-    Y = jnp.transpose(out, (2, 1, 0, 3)).reshape(k, b, npad2)
+    X4 = bdia_rows_to_tiles(A, V, tile)
+    out = bdia_spmm_tiles(A, X4, interpret=interpret)
+    # (n_tiles+2, b, k, tile) -> (k, b·nb)
+    Y = jnp.transpose(out[1:-1], (2, 1, 0, 3)).reshape(k, b, npad2)
     return Y[:, :, :nb].reshape(k, b * nb)
 
 

@@ -253,12 +253,14 @@ def _solve_bdia(A, b, *, tau, maxiter, method, precond="auto",
             replace_every=48 if weak else None)
         return make_status(A.from_planar(x), st, control, history=None)
 
-    papply, _ = _bdia_precond(A, precond)
     if multi:
         import jax
 
-        from .linear.krylov import KrylovState, cg_solve_multi_rows
-        from .ops.spmv import bdia_spmm_rows
+        from .linear.krylov import (KrylovState, cg_solve_multi_rows,
+                                    cg_solve_multi_tiles)
+        from .ops.spmv import (bdia_rows_to_tiles, bdia_spmm_rows,
+                               bdia_spmm_tiles, bdia_tile_size,
+                               bdia_tiles_eligible, bdia_tiles_to_rows)
 
         # ROW layout (k, n_planar): the RHS index on the second-minor
         # axis — column blocks (n, k<=16) are physically padded to 128
@@ -267,11 +269,30 @@ def _solve_bdia(A, b, *, tau, maxiter, method, precond="auto",
         Bp_rows = jnp.asarray(
             b_np.T.reshape(k, A.nb, A.b).transpose(0, 2, 1)
             .reshape(k, A.b * A.nb), dtype=A.dtype)
-        pmulti = (None if papply is None
-                  else jax.vmap(papply, in_axes=0, out_axes=0))
-        X, st, hist = cg_solve_multi_rows(
-            lambda V: bdia_spmm_rows(A, V), Bp_rows, maxiter=maxiter,
-            tau=tau, precond=pmulti)
+        if bdia_tiles_eligible(A, k) and precond in ("auto", "none",
+                                                     "bjacobi"):
+            # kernel-resident Krylov state: both the operator pass and
+            # the block-Jacobi apply are BDIA Pallas SpMMs on the 4-D
+            # tiles layout — no per-iteration layout moves (the rows
+            # boundary is 7.2 of 8.1 ms/iter at k=8, n=2.1M)
+            tile = bdia_tile_size(A, k)
+            B4 = bdia_rows_to_tiles(A, Bp_rows, tile)
+            ptiles = None
+            if precond in ("auto", "bjacobi"):
+                from .linear.block_precond import block_jacobi_bdia_matrix
+                M = block_jacobi_bdia_matrix(A)
+                ptiles = lambda X4: bdia_spmm_tiles(M, X4)
+            X4, st, hist = cg_solve_multi_tiles(
+                lambda X4: bdia_spmm_tiles(A, X4), B4, maxiter=maxiter,
+                tau=tau, precond=ptiles)
+            X = bdia_tiles_to_rows(A, X4)
+        else:
+            papply, _ = _bdia_precond(A, precond)
+            pmulti = (None if papply is None
+                      else jax.vmap(papply, in_axes=0, out_axes=0))
+            X, st, hist = cg_solve_multi_rows(
+                lambda V: bdia_spmm_rows(A, V), Bp_rows, maxiter=maxiter,
+                tau=tau, precond=pmulti)
         worst = int(np.asarray(st.reason).max())
         st = KrylovState(jnp.int32(int(np.asarray(st.k).max())),
                          jnp.asarray(float(np.asarray(st.resid).max())),
@@ -280,6 +301,7 @@ def _solve_bdia(A, b, *, tau, maxiter, method, precond="auto",
         Xn = jnp.transpose(
             X.reshape(k, A.b, A.nb), (2, 1, 0)).reshape(A.nb * A.b, k)
         return make_status(Xn, st, control, history=hist)
+    papply, _ = _bdia_precond(A, precond)
     bp = A.to_planar(jnp.asarray(b_np, dtype=A.dtype))
     if method == "cg":
         x, st, hist = cg_solve(lambda v: op_matvec(A, v), bp,

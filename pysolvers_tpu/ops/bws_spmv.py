@@ -42,16 +42,36 @@ def _lane_gather32(x, idx):
         return jnp.take_along_axis(x, idx.astype(jnp.int32), axis=1)
 
 
-def _bws_kernel(base_ref, delta_ref, data_ref, lidx_ref, x2_ref, o_ref, *,
+def _tile_xwin(base_ref, t, x_refs, W: int, W_pad: int):
+    """The tile's (W, 128) x window.
+
+    Resident mode (W_pad=0): one whole-vector VMEM ref, aligned dynamic
+    sublane slice at the tile base.  Windowed mode: two W_pad-aligned
+    blocks DMA'd per tile (BlockSpec index maps read the prefetched
+    base), window sliced from their concatenation — removes the
+    whole-vector VMEM residency that caps n at ~3.5M f32 (measured:
+    scoped-vmem OOM 18.11M vs the 16M limit at n=4.2M)."""
+    if not W_pad:
+        row0 = pl.multiple_of(base_ref[t], 8)
+        return x_refs[0][pl.ds(row0, W), :]
+    # base and W_pad are both 8-aligned, so base % W_pad is too
+    row0 = base_ref[t] % W_pad
+    xcat = jnp.concatenate([x_refs[0][...], x_refs[1][...]], axis=0)
+    # dynamic-start slice of a VALUE doesn't lower on this Mosaic
+    # backend (only ref pl.ds does); dynamic sublane rotate does
+    return pltpu.roll(xcat, -row0, 0)[:W, :]
+
+
+def _bws_kernel(base_ref, delta_ref, data_ref, lidx_ref, *rest,
                 S: int, W: int, group_rows: int, interpret: bool,
-                fast_select: bool = False, gt: int = GT):
+                fast_select: bool = False, gt: int = GT, W_pad: int = 0):
     with jax.enable_x64(False):
+        o_ref = rest[-1]
         slots = 128 // group_rows
         t = pl.program_id(0)
         # per-tile window base (scalar-prefetched, 8-aligned at pack time;
         # deltas were packed against it)
-        row0 = pl.multiple_of(base_ref[t], 8)
-        xwin = x2_ref[pl.ds(row0, W), :]                     # (W, 128)
+        xwin = _tile_xwin(base_ref, t, rest[:-1], W, W_pad)  # (W, 128)
         acc = jnp.zeros((gt, 128), dtype=data_ref.dtype)
         wids = jax.lax.broadcasted_iota(jnp.int32, (gt, W), 1)
         # one-hot dots: exact by default (the TPU bf16 default loses 8
@@ -78,15 +98,16 @@ def _bws_kernel(base_ref, delta_ref, data_ref, lidx_ref, x2_ref, o_ref, *,
 
 
 def _bws_kernel_cls(ids_ref, base_ref, delta_ref, data_ref, lidx_ref,
-                    x2_ref, o_ref,
-                    *, S: int, W: int, group_rows: int, interpret: bool,
-                    fast_select: bool = False, gt: int = GT):
+                    *rest,
+                    S: int, W: int, group_rows: int, interpret: bool,
+                    fast_select: bool = False, gt: int = GT,
+                    W_pad: int = 0):
     """Tile-class variant: the tile id comes from the scalar-prefetched
     id list, everything else matches _bws_kernel."""
+    o_ref = rest[-1]
     slots = 128 // group_rows
     t = ids_ref[pl.program_id(0)]
-    row0 = pl.multiple_of(base_ref[t], 8)
-    xwin = x2_ref[pl.ds(row0, W), :]
+    xwin = _tile_xwin(base_ref, t, rest[:-1], W, W_pad)
     acc = jnp.zeros((gt, 128), dtype=data_ref.dtype)
     wids = jax.lax.broadcasted_iota(jnp.int32, (gt, W), 1)
     prec = (jax.lax.Precision.DEFAULT if fast_select
@@ -105,6 +126,22 @@ def _bws_kernel_cls(ids_ref, base_ref, delta_ref, data_ref, lidx_ref,
                        preferred_element_type=acc.dtype)
 
 
+# whole-source-vector VMEM residency is the fast mode (one DMA, reused
+# by every tile) but caps n_cols near 3.5M f32 against the 16 MB scoped
+# limit; above this budget the kernels switch to per-tile x windows
+X2_RESIDENT_BYTES = 12 * 1024 * 1024
+
+
+def _x_window_mode(x2, W: int):
+    """(x2_padded, W_pad): W_pad=0 keeps x2 VMEM-resident; otherwise x2
+    is padded so every tile's two W_pad-aligned blocks are in range."""
+    if x2.shape[0] * 128 * x2.dtype.itemsize <= X2_RESIDENT_BYTES:
+        return x2, 0
+    W_pad = _ceil_to(max(W, 8), 8)
+    rows_pad = _ceil_to(x2.shape[0], W_pad) + W_pad
+    return jnp.pad(x2, ((0, rows_pad - x2.shape[0]), (0, 0))), W_pad
+
+
 def _bws_call_classes(A, x2, n_groups, interpret):
     """One pallas call per segment class over its (scalar-prefetched) tile
     id list; tiles write compact outputs that are scattered back by tile."""
@@ -112,6 +149,7 @@ def _bws_call_classes(A, x2, n_groups, interpret):
     W = A.win_blocks
     gt = A.gt
     n_tiles = n_groups // gt
+    x2, W_pad = _x_window_mode(x2, W)
     y = jnp.zeros((n_tiles, gt, group_rows), dtype=A.dtype)
     for S_c, ids in A.s_classes:
         ids_arr = jnp.asarray(ids, dtype=jnp.int32)
@@ -123,6 +161,17 @@ def _bws_call_classes(A, x2, n_groups, interpret):
         delta_c = A.delta[:, :S_c]
         data_c = A.data[:, :S_c, :]
         lidx_c = A.lidx[:, :S_c, :]
+        if W_pad:
+            x_specs = [
+                pl.BlockSpec((W_pad, 128), lambda i, ids_ref, b:
+                             (b[ids_ref[i]] // W_pad, 0)),
+                pl.BlockSpec((W_pad, 128), lambda i, ids_ref, b:
+                             (b[ids_ref[i]] // W_pad + 1, 0)),
+            ]
+            x_ops = [x2, x2]
+        else:
+            x_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)]
+            x_ops = [x2]
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(nt,),
@@ -133,19 +182,19 @@ def _bws_call_classes(A, x2, n_groups, interpret):
                              lambda i, ids_ref, b: (ids_ref[i], 0, 0)),
                 pl.BlockSpec((gt, S_c, 128),
                              lambda i, ids_ref, b: (ids_ref[i], 0, 0)),
-                pl.BlockSpec(memory_space=pltpu.VMEM),
-            ],
+            ] + x_specs,
             out_specs=pl.BlockSpec((1, gt, group_rows),
                                    lambda i, ids_ref, b: (i, 0, 0)),
         )
         out = pl.pallas_call(
             functools.partial(_bws_kernel_cls, S=S_c, W=W,
                               group_rows=group_rows, interpret=interpret,
-                              fast_select=A.fast_select, gt=gt),
+                              fast_select=A.fast_select, gt=gt,
+                              W_pad=W_pad),
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((nt, gt, group_rows), A.dtype),
             interpret=interpret,
-        )(ids_arr, A.base, delta_c, data_c, lidx_c, x2)
+        )(ids_arr, A.base, delta_c, data_c, lidx_c, *x_ops)
         y = y.at[ids_arr].set(out)
     return y.reshape(-1)
 
@@ -202,6 +251,16 @@ def bws_spmv(A: BwsMatrix, x: jax.Array, interpret: bool = None
 
 def _bws_call(grid, S, W, group_rows, interpret, A, x2, n_groups):
     gt = A.gt
+    x2, W_pad = _x_window_mode(x2, W)
+    if W_pad:
+        x_specs = [
+            pl.BlockSpec((W_pad, 128), lambda i, b: (b[i] // W_pad, 0)),
+            pl.BlockSpec((W_pad, 128), lambda i, b: (b[i] // W_pad + 1, 0)),
+        ]
+        x_ops = [x2, x2]
+    else:
+        x_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)]   # x2 resident
+        x_ops = [x2]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(grid,),
@@ -209,18 +268,17 @@ def _bws_call(grid, S, W, group_rows, interpret, A, x2, n_groups):
             pl.BlockSpec((gt, S), lambda i, b: (i, 0)),
             pl.BlockSpec((gt, S, 128), lambda i, b: (i, 0, 0)),
             pl.BlockSpec((gt, S, 128), lambda i, b: (i, 0, 0)),
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # x2 resident
-        ],
+        ] + x_specs,
         out_specs=pl.BlockSpec((gt, group_rows), lambda i, b: (i, 0)),
     )
     out = pl.pallas_call(
         functools.partial(_bws_kernel, S=S, W=W, group_rows=group_rows,
                           interpret=interpret,
-                          fast_select=A.fast_select, gt=gt),
+                          fast_select=A.fast_select, gt=gt, W_pad=W_pad),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_groups, group_rows), A.dtype),
         interpret=interpret,
-    )(A.base, A.delta, A.data, A.lidx, x2)
+    )(A.base, A.delta, A.data, A.lidx, *x_ops)
     return out
 
 

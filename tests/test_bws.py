@@ -141,3 +141,68 @@ class TestTileClasses:
         y_one = bws_spmv(dataclasses.replace(A, s_classes=()), x,
                          interpret=True)
         np.testing.assert_array_equal(np.asarray(y_cls), np.asarray(y_one))
+
+
+class TestWindowedX:
+    """Above X2_RESIDENT_BYTES the kernels fetch two W_pad-aligned x
+    blocks per tile instead of keeping the whole vector VMEM-resident
+    (the residency mode scoped-vmem-OOMs at n=4.2M: 18.11M vs the 16M
+    limit).  Forcing a tiny budget must not change a single bit."""
+
+    def _force(self, monkeypatch, budget):
+        from pysolvers_tpu.ops import bws_spmv as mod
+        monkeypatch.setattr(mod, "X2_RESIDENT_BYTES", budget)
+
+    def test_windowed_matches_resident(self, monkeypatch):
+        from pysolvers_tpu.ops.bws_spmv import bws_spmv
+        H, _, _ = dh_test_problem(12)
+        A = BwsMatrix.from_host_csr(H, dtype=np.float32)
+        x = jnp.asarray(np.random.default_rng(1).random(
+            H.shape[0]).astype(np.float32))
+        y_res = np.asarray(bws_spmv(A, x, interpret=True))
+        self._force(monkeypatch, 0)
+        y_win = np.asarray(bws_spmv(A, x, interpret=True))
+        np.testing.assert_array_equal(y_win, y_res)
+
+    def test_windowed_class_path(self, monkeypatch):
+        import dataclasses
+        from pysolvers_tpu.ops.bws_spmv import bws_spmv
+        H, _, _ = dh_test_problem(12)
+        A = BwsMatrix.from_host_csr(H, dtype=np.float32, group_rows=32,
+                                    gt=32)
+        assert len(A.s_classes) >= 2
+        x = jnp.asarray(np.random.default_rng(2).random(
+            H.shape[0]).astype(np.float32))
+        y_res = np.asarray(bws_spmv(A, x, interpret=True))
+        self._force(monkeypatch, 0)
+        y_win = np.asarray(bws_spmv(A, x, interpret=True))
+        np.testing.assert_array_equal(y_win, y_res)
+        # and the single-call fallback under the same budget
+        y_one = np.asarray(bws_spmv(dataclasses.replace(A, s_classes=()),
+                                    x, interpret=True))
+        np.testing.assert_array_equal(y_one, y_res)
+
+    def test_windowed_rect_transfer(self, monkeypatch):
+        """Rectangular packs (AMG transfers) ride the same windows."""
+        from pysolvers_tpu.ops.bws_spmv import bws_spmv
+        rng = np.random.default_rng(3)
+        n_rows, n_cols, per_row = 300, 900, 5
+        rows = np.repeat(np.arange(n_rows), per_row)
+        cols = rng.integers(0, n_cols, size=rows.size)
+        vals = rng.random(rows.size)
+        order = np.lexsort((cols, rows))
+        rows, cols, vals = rows[order], cols[order], vals[order]
+        keep = np.ones(len(rows), dtype=bool)
+        keep[1:] = (rows[1:] != rows[:-1]) | (cols[1:] != cols[:-1])
+        rows, cols, vals = rows[keep], cols[keep], vals[keep]
+        indptr = np.zeros(n_rows + 1, dtype=np.int64)
+        np.add.at(indptr, rows + 1, 1)
+        indptr = np.cumsum(indptr)
+        H = HostCSR(indptr, cols.astype(np.int64), vals,
+                    (n_rows, n_cols))
+        A = BwsMatrix.from_host_csr(H, dtype=np.float32, use_rcm=False)
+        x = jnp.asarray(rng.random(n_cols).astype(np.float32))
+        y_res = np.asarray(bws_spmv(A, x, interpret=True))
+        self._force(monkeypatch, 0)
+        y_win = np.asarray(bws_spmv(A, x, interpret=True))
+        np.testing.assert_array_equal(y_win, y_res)

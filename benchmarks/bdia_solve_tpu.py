@@ -103,21 +103,24 @@ def main():
                          .transpose(0, 2, 1).reshape(kk, n),
                          dtype=jnp.float32)
         tile = bdia_tile_size(A32, kk)
-        B4 = bdia_rows_to_tiles(A32, Bp, tile)
 
+        # the rows->tiles layout move runs INSIDE the timed jit: solve()
+        # pays it once per solve, so the reported t_k must include it
+        # (ADVICE r4)
         @jax.jit
-        def run(A, M, B4):
+        def run(A, M, Bp):
+            B4 = bdia_rows_to_tiles(A, Bp, tile)
             X, st, _ = cg_solve_multi_tiles(
                 lambda V4: bdia_spmm_tiles(A, V4), B4, maxiter=600,
                 tau=1e-5, precond=lambda V4: bdia_spmm_tiles(M, V4))
             return X, st.k
 
-        Xs, ks = run(A32, M32, B4)
+        Xs, ks = run(A32, M32, Bp)
         jax.block_until_ready(Xs)
         best = float("inf")
         for _ in range(reps):
             t0 = time.perf_counter()
-            Xs, ks = run(A32, M32, B4)
+            Xs, ks = run(A32, M32, Bp)
             jax.block_until_ready(Xs)
             best = min(best, time.perf_counter() - t0)
         return best, int(np.asarray(ks).max())

@@ -58,8 +58,12 @@ def _tile_xwin(base_ref, t, x_refs, W: int, W_pad: int):
     row0 = base_ref[t] % W_pad
     xcat = jnp.concatenate([x_refs[0][...], x_refs[1][...]], axis=0)
     # dynamic-start slice of a VALUE doesn't lower on this Mosaic
-    # backend (only ref pl.ds does); dynamic sublane rotate does
-    return pltpu.roll(xcat, -row0, 0)[:W, :]
+    # backend (only ref pl.ds does); dynamic sublane rotate does.
+    # The shift must be spelled POSITIVE: a dynamic negative shift
+    # miscompiles on this backend (probe: roll(x, -8) compiled leaves
+    # the data unrotated while interpret mode rotates — found by
+    # tests/test_tpu_compiled.py; 2*W_pad - row0 is the same rotation)
+    return pltpu.roll(xcat, 2 * W_pad - row0, 0)[:W, :]
 
 
 def _bws_kernel(base_ref, delta_ref, data_ref, lidx_ref, *rest,

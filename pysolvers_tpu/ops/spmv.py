@@ -501,6 +501,14 @@ def bdia_spmm_tiles(A, X4: jax.Array, interpret: bool = None) -> jax.Array:
     offsets = A.offsets
     pad_lo = max(0, -min(offsets))
     pad_hi = max(0, max(offsets))
+    if max(pad_lo, pad_hi) > tile:
+        # the kernel reads halos from exactly ONE neighbor tile; a wider
+        # band would silently slice the wrong window (solve.py gates on
+        # bdia_tiles_eligible, but direct callers must be refused too)
+        raise ValueError(
+            f"block-diagonal offset reach {max(pad_lo, pad_hi)} exceeds "
+            f"the tile size {tile}; use bdia_spmm_rows (XLA halos) or a "
+            "larger tile")
     D = len(offsets)
     npad2 = n_tiles * tile
     planes = A.planes

@@ -202,66 +202,93 @@ def main():
                                              / t_single, 3)))
 
         if "solve" in paths:
-            # WHOLE-SOLVE weak scaling (VERDICT r3 item 4): distributed
-            # PCG + AMG V-cycle preconditioner (host-SpGEMM hierarchy,
-            # fine level row-sharded over the mesh, coarse levels
-            # replicated) vs the same solve on one device.  Same total
+            # WHOLE-SOLVE weak scaling (VERDICT r3 item 4, REBUILT for
+            # r4 item 1): distributed PCG + the partition-local AMG
+            # hierarchy (parallel/amg_dist.py — per-shard aggregation,
+            # sharded coarse levels, ONE all_gather into a replicated
+            # tail) vs the same solve on one device.  Same total
             # problem per d, so dist_overhead is directly comparable to
             # the SpMV rows; efficiency uses rows/s per device.
-            from pysolvers_tpu.linear.amg import (build_sa_hierarchy,
-                                                  build_device_hierarchy,
-                                                  v_cycle)
+            #
+            # Decomposition rows (per-CYCLE, marginal over a fixed-
+            # length chain): collective share (comm=False skips every
+            # ppermute/all_gather) and coarse/tail share (tail_on=False
+            # skips the gather + replicated-tail work).
             from pysolvers_tpu.linear.krylov import cg_solve
-            from pysolvers_tpu.ops import matvec as op_matvec
-            from jax.sharding import NamedSharding, PartitionSpec as PS
-            from pysolvers_tpu.parallel.mesh import ROW_AXIS
+            from pysolvers_tpu.parallel.amg_dist import (
+                build_partition_hierarchy, ph_matvec, ph_pad_vector,
+                pv_cycle)
 
-            mlh = build_sa_hierarchy(
-                pst.HostCSR(H.indptr, H.indices,
-                            H.data.astype(np.float32), H.shape),
-                num_levels=3)
             b_host = H.matvec(xh.astype(np.float64)).astype(np.float32)
 
-            def run_solve(mesh_arg):
-                h = build_device_hierarchy(mlh, smoother="jacobi",
-                                           dtype=np.float32,
-                                           mesh=mesh_arg)
-                A_top = h.levels[-1].A_dev
-                n_pad_s = A_top.shape[0]
-                bq = jnp.zeros((n_pad_s,), jnp.float32).at[: m * m].set(
-                    jnp.asarray(b_host))
-                if mesh_arg is not None:
-                    bq = jax.device_put(
-                        bq, NamedSharding(mesh_arg, PS(ROW_AXIS)))
+            def run_solve(dd):
+                mesh_d = make_mesh(dd)
+                ph = build_partition_hierarchy(
+                    H, mesh_d, num_levels=4, crossover=1024)
+                bq = ph_pad_vector(ph, b_host)
 
                 @jax.jit
-                def slv(hh, b):
+                def slv(b):
                     x, st, _ = cg_solve(
-                        lambda v: op_matvec(hh.levels[-1].A_dev, v), b,
+                        lambda v: ph_matvec(ph, v), b,
                         maxiter=400, tau=1e-5,
-                        precond=lambda r: v_cycle(hh, r,
-                                                  jnp.zeros_like(r)))
+                        precond=lambda r: pv_cycle(ph, r,
+                                                   jnp.zeros_like(r)))
                     return x, st.k, st.reason
 
-                xs, k, reason = slv(h, bq)     # compile + converge check
+                xs, k, reason = slv(bq)      # compile + converge check
                 jax.block_until_ready(xs)
                 best = float("inf")
                 for _ in range(3):
                     t0 = time.perf_counter()
-                    xs, k, reason = slv(h, bq)
+                    xs, k, reason = slv(bq)
                     jax.block_until_ready(xs)
                     best = min(best, time.perf_counter() - t0)
-                return best, int(k), int(reason)
 
-            t_dsolve, k_d, reason_d = run_solve(make_mesh(d))
-            t_1solve, k_1, reason_1 = run_solve(None)
+                # per-cycle decomposition chains (fixed 20 cycles)
+                def cycle_chain(comm, tail_on):
+                    @jax.jit
+                    def ch(v):
+                        def body(_, v):
+                            return pv_cycle(ph, v, jnp.zeros_like(v),
+                                            comm=comm, tail_on=tail_on)
+                        return jax.lax.fori_loop(0, 20, body, v)
+                    y = ch(bq)
+                    jax.block_until_ready(y)
+                    tb = float("inf")
+                    for _ in range(3):
+                        t0 = time.perf_counter()
+                        y = ch(y)
+                        jax.block_until_ready(y)
+                        tb = min(tb, (time.perf_counter() - t0) / 20)
+                    return tb
+
+                t_cyc = cycle_chain(True, True)
+                t_cyc_nc = cycle_chain(False, True)
+                t_cyc_nt = cycle_chain(False, False)
+                return (best, int(k), int(reason), t_cyc, t_cyc_nc,
+                        t_cyc_nt, ph.collectives_per_cycle,
+                        len(ph.sharded))
+
+            (t_dsolve, k_d, reason_d, tc_d, tc_nc_d, tc_nt_d, budget,
+             n_sh) = run_solve(d)
+            (t_1solve, k_1, reason_1, tc_1, _, _, _, _) = run_solve(1)
             gr = (m * m * k_d) / t_dsolve / 1e6
             rec = dict(path="solve_pcg_amg", devices=d, n=m * m,
-                       iters=k_d, converged=reason_d == 1,
+                       iters=k_d, iters_single=k_1,
+                       converged=reason_d == 1,
                        t_dist_solve_s=round(t_dsolve, 4),
                        t_single_solve_s=round(t_1solve, 4),
                        dist_overhead=round(t_dsolve / t_1solve, 3),
-                       mrows_iters_per_s=round(gr, 2))
+                       mrows_iters_per_s=round(gr, 2),
+                       sharded_levels=n_sh,
+                       collectives_per_cycle=budget,
+                       cycle_us=round(tc_d * 1e6, 1),
+                       cycle_us_single=round(tc_1 * 1e6, 1),
+                       collective_share=round((tc_d - tc_nc_d) / tc_d,
+                                              3),
+                       coarse_tail_share=round(
+                           (tc_nc_d - tc_nt_d) / tc_d, 3))
             per_dev = gr / d
             if "solve" not in base:
                 base["solve"] = per_dev

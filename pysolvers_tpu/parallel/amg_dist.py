@@ -1,0 +1,460 @@
+"""Distributed AMG with a coarse-level gathering/replication policy.
+
+The r4 whole-solve weak-scaling measurement showed WHY the naive
+"shard the fine level, replicate everything below" layout collapses
+(6.83x overhead at 8 devices): the fine-level transfers R (nc x n) and
+P (n x nc) and every coarse smoothing sweep are O(n) work executed
+REPLICATED on all d devices, and GSPMD re-shards vectors at each level
+boundary.  Total work grows with d at fixed rows/device — structural,
+not a constant to tune away.
+
+This module is the policy the SURVEY (§7.2 item 8) calls for, built so
+that per-cycle work is O(n/d) per device and the per-cycle collective
+count is a small static constant:
+
+* **Partition-local aggregation.**  Each shard aggregates only its own
+  row slab (the strength graph restricted to the diagonal block), so
+  every aggregate — hence every tentative-prolongator column — lives in
+  exactly one shard.  This is the standard decoupled-aggregation policy
+  of production AMG (ML/Trilinos, hypre): a mildly degraded coarse
+  space in exchange for transfers that are local by construction.
+* **Sharded coarse levels.**  Prolongator smoothing spreads P's support
+  one matrix-band across the boundary, so A_c, R and P couple only
+  NEIGHBOR shards.  Every level above the crossover stores its
+  operator, restriction and prolongation as local-id ELL slabs whose
+  halos are exchanged with two ``ppermute``s (ICI neighbor links) — no
+  all-gather, no replicated O(n) work.
+* **Replicated tail.**  Below ``crossover`` rows/device the level no
+  longer fills the machine: the residual is ``all_gather``-ed ONCE per
+  cycle and the whole remaining hierarchy (host-SA levels + dense
+  coarse inverse) runs redundantly and identically on every device —
+  zero further communication; the correction is sliced locally (the
+  gathered vector is already replicated, no broadcast needed).
+
+Per-cycle collective budget (static, verifiable in the compiled HLO):
+with s sharded levels and nu = nu_pre + nu_post sweeps,
+  ppermutes = s·(2·(nu+1) + 4)   [halo pairs: smooth+residual matvecs,
+                                  R-apply, P-apply]
+  all_gathers = 1                [crossover boundary]
+independent of depth below the crossover and of device count.
+
+The whole V-cycle executes inside ONE ``shard_map`` (manual SPMD): no
+GSPMD resharding surprises between levels.  Reference analog: the
+V-cycle recursion this policy wraps (VCycleManager.py:31-62); the
+reference itself has no distribution anywhere (SURVEY §2.3).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+try:
+    from jax import shard_map as _shard_map
+except ImportError:  # older jax
+    from jax.experimental.shard_map import shard_map as _shard_map
+
+
+def shard_map(f, **kw):
+    """shard_map with check_vma disabled: the replicated tail may run
+    Pallas kernels (interpret mode on CPU) whose out_shape carries no
+    varying-mesh-axes annotation — newer JAX rejects that under the
+    default check; the cycle's specs are all explicit so the check adds
+    nothing."""
+    try:
+        return _shard_map(f, check_vma=False, **kw)
+    except TypeError:       # older jax: no check_vma kwarg
+        return _shard_map(f, **kw)
+
+from ..linear.amg import (DeviceHierarchy, build_aggregates,
+                          build_device_hierarchy, build_sa_hierarchy,
+                          filtered_matrix, make_restriction,
+                          smooth_prolongator, tentative_prolongator,
+                          v_cycle)
+from ..sparse.host import HostCSR
+from .amg_setup import pad_csr_identity
+from .mesh import ROW_AXIS, row_sharding
+
+
+def _ceil_to(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+# ---------------------------------------------------------------------------
+# Host-side packing: local-id ELL slabs
+# ---------------------------------------------------------------------------
+
+def _pack_local_ell(H: HostCSR, s_tgt: int, s_src: int, d: int,
+                    dtype) -> tuple:
+    """Pack a (d·s_tgt, d·s_src) CSR into per-target-shard ELL with LOCAL
+    source ids into the [halo | s_src | halo] window of the owning shard.
+
+    Returns (data (d·s_tgt, k), lcols (d·s_tgt, k) int32, halo).  Raises
+    when any entry reaches beyond the one-hop halo (halo > s_src)."""
+    n_tgt = d * s_tgt
+    rows, cols, vals = H.to_coo()
+    if len(rows) == 0:
+        return (np.zeros((n_tgt, 1), dtype=dtype),
+                np.zeros((n_tgt, 1), dtype=np.int32), 0)
+    shard = rows // s_tgt
+    rel = cols - shard * s_src
+    halo = int(max(0, -rel.min(), rel.max() - s_src + 1))
+    halo = _ceil_to(halo, 8) if halo else 0
+    if halo > s_src:
+        raise ValueError(
+            f"cross-shard reach {halo} exceeds the source slab {s_src}; "
+            "one-hop halos don't cover this operator — lower the sharded "
+            "depth (raise crossover) or repartition")
+    lcols = (rel + halo).astype(np.int64)
+    order = np.argsort(rows, kind="stable")
+    rows_o, lcols_o, vals_o = rows[order], lcols[order], vals[order]
+    counts = np.bincount(rows_o, minlength=n_tgt)
+    k = max(int(counts.max()), 1)
+    starts = np.searchsorted(rows_o, np.arange(n_tgt))
+    slot = np.arange(len(rows_o)) - starts[rows_o]
+    data = np.zeros((n_tgt, k), dtype=dtype)
+    lc = np.zeros((n_tgt, k), dtype=np.int32)   # pad points at window 0
+    data[rows_o, slot] = vals_o
+    lc[rows_o, slot] = lcols_o
+    # zero-valued pads at lcol 0 read a real (halo) slot — harmless: 0*x
+    return data, lc, halo
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class ShardedAmgLevel:
+    """One sharded level: operator + transfers INTO the next-coarser
+    level, all as local-id ELL slabs (rows sharded on axis 0)."""
+
+    a_data: jax.Array        # (d·slab, kA)
+    a_lcols: jax.Array       # fine-window ids [haloA | slab | haloA]
+    dinv: jax.Array          # (d·slab,)
+    r_data: jax.Array        # (d·slab_c, kR) — restriction rows
+    r_lcols: jax.Array       # fine-window ids [haloR | slab | haloR]
+    p_data: jax.Array        # (d·slab, kP) — prolongator rows
+    p_lcols: jax.Array       # coarse-window ids [haloP | slab_c | haloP]
+    slab: int = dataclasses.field(metadata=dict(static=True))
+    slab_c: int = dataclasses.field(metadata=dict(static=True))
+    halo_a: int = dataclasses.field(metadata=dict(static=True))
+    halo_r: int = dataclasses.field(metadata=dict(static=True))
+    halo_p: int = dataclasses.field(metadata=dict(static=True))
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class PartitionHierarchy:
+    """Sharded levels (fine→coarse) + replicated tail hierarchy."""
+
+    sharded: List[ShardedAmgLevel]
+    tail: DeviceHierarchy            # replicated below the crossover
+    mesh: Mesh = dataclasses.field(metadata=dict(static=True))
+    nu_pre: int = dataclasses.field(metadata=dict(static=True))
+    nu_post: int = dataclasses.field(metadata=dict(static=True))
+    n: int = dataclasses.field(metadata=dict(static=True))   # true rows
+
+    @property
+    def n_pad(self):
+        if self.sharded:
+            return self.sharded[0].a_data.shape[0]
+        return self.tail.levels[-1].A_dev.shape[0]   # tail-only fallback
+
+    @property
+    def collectives_per_cycle(self):
+        """Static per-cycle collective budget (pairs of ppermutes count
+        as 2): documented in the module docstring, checked by tests."""
+        nu = self.nu_pre + self.nu_post
+        pp = 0
+        for lev in self.sharded:
+            pp += 2 * (nu + 1) * (1 if lev.halo_a else 0)
+            pp += 2 * (1 if lev.halo_r else 0)
+            pp += 2 * (1 if lev.halo_p else 0)
+        return dict(ppermute=pp, all_gather=1)
+
+
+def build_partition_hierarchy(A_host: HostCSR, mesh: Mesh, *,
+                              num_levels: int = 3,
+                              crossover: int = 1024,
+                              base_tol: float = 0.08,
+                              omega: float = 2.0 / 3.0,
+                              nu_pre: int = 2, nu_post: int = 2,
+                              tail_levels: Optional[int] = None,
+                              dtype=np.float32) -> PartitionHierarchy:
+    """Build the partition-local hierarchy (module docstring).
+
+    ``num_levels`` counts every level including the fine one (reference
+    VCycleSolver numLevels semantics); levels whose rows/device drop
+    below ``crossover`` — and all levels past ``num_levels`` — live in
+    the replicated tail.  ``tail_levels`` overrides how many SA levels
+    the tail itself uses (default: whatever of ``num_levels`` remains,
+    at least 2 when the tail fine level is large)."""
+    d = int(mesh.devices.size)
+    n = A_host.shape[0]
+    slab = _ceil_to(max((n + d - 1) // d, 8), 8)
+    A_pad = pad_csr_identity(A_host, slab * d)
+
+    sharded: List[ShardedAmgLevel] = []
+    A_cur, slab_cur = A_pad, slab
+    levels_used = 1
+    while levels_used < num_levels and slab_cur // 3 >= crossover:
+        tol = base_tol * (0.5 ** (levels_used - 1))
+        rows, cols, vals = A_cur.to_coo()
+        # --- decoupled aggregation: each shard aggregates its slab ----
+        agg_global = np.zeros(d * slab_cur, dtype=np.int64)
+        nc_per = np.zeros(d, dtype=np.int64)
+        for i in range(d):
+            lo, hi = i * slab_cur, (i + 1) * slab_cur
+            keep = (rows >= lo) & (rows < hi) & (cols >= lo) & (cols < hi)
+            Ab = HostCSR.from_coo(rows[keep] - lo, cols[keep] - lo,
+                                  vals[keep], (slab_cur, slab_cur),
+                                  sum_duplicates=False)
+            agg_i = build_aggregates(Ab, tol)
+            nc_per[i] = int(agg_i.max()) + 1 if len(agg_i) else 0
+            agg_global[lo:hi] = agg_i
+        slab_c = _ceil_to(max(int(nc_per.max()), 8), 8)
+        if slab_c >= slab_cur:
+            break                     # coarsening stalled
+        agg_ids = agg_global + np.repeat(np.arange(d), slab_cur) * slab_c
+        # --- transfers (host CSR algebra, C++ SpGEMM underneath) ------
+        P_hat = HostCSR.from_coo(np.arange(d * slab_cur), agg_ids,
+                                 np.ones(d * slab_cur, dtype=vals.dtype),
+                                 (d * slab_cur, d * slab_c),
+                                 sum_duplicates=False)
+        A_f = filtered_matrix(A_cur, tol)
+        P_sm = smooth_prolongator(A_f, P_hat, omega)
+        R_sm = make_restriction(P_sm)
+        A_c = R_sm.matmat(A_cur.matmat(P_sm))
+        # unused coarse slots (slab padding) must carry a unit diagonal:
+        # the tail's dense inverse and smoother diagonals would otherwise
+        # see singular zero rows
+        used = np.zeros(d * slab_c, dtype=bool)
+        used[agg_ids] = True
+        missing = np.flatnonzero(~used)
+        if len(missing):
+            A_c = A_c.add(HostCSR.from_coo(
+                missing, missing, np.ones(len(missing), vals.dtype),
+                (d * slab_c, d * slab_c)))
+        # --- device packs ---------------------------------------------
+        a_data, a_lcols, halo_a = _pack_local_ell(A_cur, slab_cur,
+                                                  slab_cur, d, dtype)
+        r_data, r_lcols, halo_r = _pack_local_ell(R_sm, slab_c, slab_cur,
+                                                  d, dtype)
+        p_data, p_lcols, halo_p = _pack_local_ell(P_sm, slab_cur, slab_c,
+                                                  d, dtype)
+        diag = A_cur.diagonal()
+        diag = np.where(diag == 0, 1.0, diag)
+        sh2 = NamedSharding(mesh, P(ROW_AXIS, None))
+        sh1 = row_sharding(mesh)
+        sharded.append(ShardedAmgLevel(
+            jax.device_put(jnp.asarray(a_data), sh2),
+            jax.device_put(jnp.asarray(a_lcols), sh2),
+            jax.device_put(jnp.asarray((1.0 / diag).astype(dtype)), sh1),
+            jax.device_put(jnp.asarray(r_data), sh2),
+            jax.device_put(jnp.asarray(r_lcols), sh2),
+            jax.device_put(jnp.asarray(p_data), sh2),
+            jax.device_put(jnp.asarray(p_lcols), sh2),
+            slab_cur, slab_c, halo_a, halo_r, halo_p))
+        A_cur, slab_cur = A_c, slab_c
+        levels_used += 1
+
+    # --- replicated tail: host SA + device lowering, no mesh ----------
+    n_tail = A_cur.shape[0]
+    if tail_levels is None:
+        tail_levels = max(num_levels - levels_used + 1,
+                          2 if n_tail > 512 else 1)
+    mlh = build_sa_hierarchy(
+        HostCSR(A_cur.indptr, A_cur.indices, A_cur.data.astype(dtype),
+                A_cur.shape),
+        num_levels=tail_levels,
+        base_tol=base_tol * (0.5 ** max(levels_used - 1, 0)))
+    tail = build_device_hierarchy(mlh, smoother="jacobi",
+                                  nu_pre=nu_pre, nu_post=nu_post,
+                                  dtype=dtype)
+    return PartitionHierarchy(sharded, tail, mesh, nu_pre, nu_post, n)
+
+
+# ---------------------------------------------------------------------------
+# SPMD cycle executor (one shard_map over the whole V-cycle)
+# ---------------------------------------------------------------------------
+
+def _halo_window(x_s, halo, comm):
+    """[halo | slab | halo] window of a local slab: two neighbor
+    ppermutes (zeroed at the global edges), or zero halos in the
+    ``comm=False`` diagnostic mode (same arithmetic, no collectives —
+    used by the weak-scaling decomposition ONLY, results are wrong near
+    boundaries)."""
+    if halo == 0:
+        return x_s
+    axis_size = jax.lax.axis_size(ROW_AXIS)
+    if comm and axis_size > 1:
+        slab = x_s.shape[0]
+        perm_fwd = [(i, (i + 1) % axis_size) for i in range(axis_size)]
+        perm_bwd = [(i, (i - 1) % axis_size) for i in range(axis_size)]
+        lo = jax.lax.ppermute(x_s[slab - halo:], ROW_AXIS, perm_fwd)
+        hi = jax.lax.ppermute(x_s[:halo], ROW_AXIS, perm_bwd)
+        idx = jax.lax.axis_index(ROW_AXIS)
+        lo = jnp.where(idx == 0, jnp.zeros_like(lo), lo)
+        hi = jnp.where(idx == axis_size - 1, jnp.zeros_like(hi), hi)
+    else:
+        lo = jnp.zeros((halo,), x_s.dtype)
+        hi = jnp.zeros((halo,), x_s.dtype)
+    return jnp.concatenate([lo, x_s, hi])
+
+
+def _local_apply(data_s, lcols_s, xw):
+    g = jnp.take(xw, lcols_s, axis=0)
+    return jnp.sum(data_s * g, axis=1)
+
+
+def _cycle_local(ph: PartitionHierarchy, comm: bool, tail_on: bool,
+                 f_loc, x_loc, levels_loc, tail):
+    """The per-device V-cycle body (runs inside shard_map)."""
+    d = int(ph.mesh.devices.size)
+
+    def a_matvec(lev_l, lev, x):
+        xw = _halo_window(x, lev.halo_a, comm)
+        return _local_apply(lev_l[0], lev_l[1], xw)
+
+    def smooth(lev_l, lev, x, f, sweeps):
+        for _ in range(sweeps):
+            r = f - a_matvec(lev_l, lev, x)
+            x = x + (2.0 / 3.0) * lev_l[2] * r
+        return x
+
+    def run(l, f, x):
+        if l == len(ph.sharded):
+            if not tail_on:
+                # DIAGNOSTIC: skip the gather + replicated tail so the
+                # weak-scaling harness can attribute the coarse share
+                # (wrong correction — never use in a solve)
+                return jnp.zeros_like(f)
+            # crossover: gather ONCE, replicated tail, local slice
+            if comm and d > 1:
+                fg = jax.lax.all_gather(f, ROW_AXIS, tiled=True)
+            else:
+                slab = f.shape[0]
+                fg = jnp.zeros((slab * d,), f.dtype)
+                idx = jax.lax.axis_index(ROW_AXIS)
+                fg = jax.lax.dynamic_update_slice(fg, f, (idx * slab,))
+            xg = v_cycle(tail, fg, jnp.zeros_like(fg))
+            idx = jax.lax.axis_index(ROW_AXIS)
+            return jax.lax.dynamic_slice(xg, (idx * f.shape[0],),
+                                         (f.shape[0],))
+        lev = ph.sharded[l]
+        lev_l = levels_loc[l]
+        x = smooth(lev_l, lev, x, f, ph.nu_pre)
+        r = f - a_matvec(lev_l, lev, x)
+        rw = _halo_window(r, lev.halo_r, comm)
+        f_c = _local_apply(lev_l[3], lev_l[4], rw)
+        x_c = run(l + 1, f_c, jnp.zeros_like(f_c))
+        xw_c = _halo_window(x_c, lev.halo_p, comm)
+        x = x + _local_apply(lev_l[5], lev_l[6], xw_c)
+        x = smooth(lev_l, lev, x, f, ph.nu_post)
+        return x
+
+    return run(0, f_loc, x_loc)
+
+
+def _flat_levels(ph: PartitionHierarchy):
+    args, specs = [], []
+    for lev in ph.sharded:
+        args.append((lev.a_data, lev.a_lcols, lev.dinv,
+                     lev.r_data, lev.r_lcols, lev.p_data, lev.p_lcols))
+        specs.append((P(ROW_AXIS, None), P(ROW_AXIS, None), P(ROW_AXIS),
+                      P(ROW_AXIS, None), P(ROW_AXIS, None),
+                      P(ROW_AXIS, None), P(ROW_AXIS, None)))
+    return tuple(args), tuple(specs)
+
+
+def _tail_specs(tail):
+    return jax.tree_util.tree_map(lambda _: P(), tail)
+
+
+def pv_cycle(ph: PartitionHierarchy, f: jax.Array, x: jax.Array, *,
+             comm: bool = True, tail_on: bool = True) -> jax.Array:
+    """One V-cycle on GLOBAL row-sharded vectors (length ph.n_pad).
+    Jittable; the whole cycle is one shard_map (module docstring).
+    ``comm=False`` / ``tail_on=False`` are weak-scaling DIAGNOSTIC modes
+    (collectives skipped / tail skipped — wrong results)."""
+    args, specs = _flat_levels(ph)
+
+    def body(f_l, x_l, levels_l, tail_l):
+        return _cycle_local(ph, comm, tail_on, f_l, x_l, levels_l,
+                            tail_l)
+
+    fn = shard_map(body, mesh=ph.mesh,
+                   in_specs=(P(ROW_AXIS), P(ROW_AXIS), specs,
+                             _tail_specs(ph.tail)),
+                   out_specs=P(ROW_AXIS))
+    return fn(f, x, args, ph.tail)
+
+
+def ph_matvec(ph: PartitionHierarchy, v: jax.Array, *,
+              comm: bool = True) -> jax.Array:
+    """Fine-level y = A @ v on global row-sharded vectors — the outer
+    Krylov loop's operator apply (2 ppermutes)."""
+    lev = ph.sharded[0]
+
+    def body(a_d, a_c, v_l):
+        xw = _halo_window(v_l, lev.halo_a, comm)
+        return _local_apply(a_d, a_c, xw)
+
+    fn = shard_map(body, mesh=ph.mesh,
+                   in_specs=(P(ROW_AXIS, None), P(ROW_AXIS, None),
+                             P(ROW_AXIS)),
+                   out_specs=P(ROW_AXIS))
+    return fn(lev.a_data, lev.a_lcols, v)
+
+
+def ph_pad_vector(ph: PartitionHierarchy, v: np.ndarray) -> jax.Array:
+    vp = np.zeros(ph.n_pad, dtype=v.dtype)
+    vp[: len(v)] = v
+    return jax.device_put(jnp.asarray(vp), row_sharding(ph.mesh))
+
+
+# ---------------------------------------------------------------------------
+# Preconditioner shell (factory-style, reference PreconditionerType.form)
+# ---------------------------------------------------------------------------
+
+from ..linear.preconditioner import PreconditionerType
+
+
+class PartitionAMGPreconditionerType(PreconditionerType):
+    """AMG-as-preconditioner over a mesh with the coarse gathering/
+    replication policy.  ``form(A)`` builds the partition hierarchy;
+    ``apply`` runs ``num_iters`` V-cycles (reference
+    AMGPreconditioner.py:8-51 semantics — fixed inner iterations)."""
+
+    def __init__(self, mesh: Mesh, num_iters: int = 2,
+                 num_levels: int = 3, crossover: int = 1024,
+                 nu_pre: int = 2, nu_post: int = 2,
+                 base_tol: float = 0.08, dtype=np.float32):
+        self.mesh = mesh
+        self.num_iters = num_iters
+        self.num_levels = num_levels
+        self.crossover = crossover
+        self.nu_pre = nu_pre
+        self.nu_post = nu_post
+        self.base_tol = base_tol
+        self.dtype = dtype
+        self.side = "both"
+
+    def form(self, A_host: HostCSR, A_dev=None):
+        ph = build_partition_hierarchy(
+            A_host, self.mesh, num_levels=self.num_levels,
+            crossover=self.crossover, base_tol=self.base_tol,
+            nu_pre=self.nu_pre, nu_post=self.nu_post, dtype=self.dtype)
+        num_iters = self.num_iters
+
+        def apply(v):
+            x = jnp.zeros_like(v)
+            for _ in range(num_iters):
+                x = pv_cycle(ph, v, x)
+            return x
+
+        prec = self._wrap(apply)
+        prec.hierarchy = ph
+        return prec

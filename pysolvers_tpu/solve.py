@@ -221,13 +221,14 @@ def _solve_bdia(A, b, *, tau, maxiter, method, precond="auto",
 
     if precision == "mixed":
         if multi:
-            # shared-setup column loop (the HostCSR mixed route's policy)
-            cols = [_solve_bdia(A, b_np[:, j], tau=tau, maxiter=maxiter,
-                                method=method, precond=precond,
-                                precision="mixed") for j in
-                    range(b_np.shape[1])]
-            from .api import _aggregate_multi
-            return _aggregate_multi(cols, control)
+            # blocked lockstep refinement (VERDICT r4 item 2): per-pass
+            # f64 residual block on the XLA BDIA SpMM, f32 lockstep
+            # corrections on the kernel-resident tiles layout (or rows)
+            # — no column loop
+            return _solve_bdia_multi_mixed(A, b_np, tau=tau,
+                                           maxiter=maxiter,
+                                           precond=precond,
+                                           control=control)
         from .linear.refine import ir_solve_dd
         A32 = A if A.dtype == jnp.float32 else A.astype(jnp.float32)
         A64 = A if A.dtype == jnp.float64 else A.astype(jnp.float64)
@@ -314,6 +315,76 @@ def _solve_bdia(A, b, *, tau, maxiter, method, precond="auto",
     return make_status(A.from_planar(x), st, control, history=hist)
 
 
+def _solve_bdia_multi_mixed(A, B_np, *, tau, maxiter, precond, control):
+    """Blocked mixed multi-RHS on a BdiaMatrix: f64 residual block per
+    refinement pass (bdia_spmm_rows XLA fallback), f32 lockstep CG on
+    the kernel-resident tiles layout when eligible (rows otherwise).
+    The two flagship TPU stories — f64-grade accuracy and the k×
+    lockstep amortization — in one dispatch (VERDICT r4 item 2)."""
+    import jax
+    import jax.numpy as jnp
+
+    from .core import make_status
+    from .linear.krylov import (KrylovState, cg_solve_multi_rows,
+                                cg_solve_multi_tiles)
+    from .linear.refine import ir_solve_multi
+    from .ops.spmv import (bdia_rows_to_tiles, bdia_spmm_rows,
+                           bdia_spmm_tiles, bdia_tile_size,
+                           bdia_tiles_eligible, bdia_tiles_to_rows)
+
+    k = B_np.shape[1]
+    A32 = A if A.dtype == jnp.float32 else A.astype(jnp.float32)
+    A64 = A if A.dtype == jnp.float64 else A.astype(jnp.float64)
+    # natural (n, k) -> planar rows (k, n) in f64 (numpy: exact
+    # regardless of the x64 flag)
+    B_rows = np.ascontiguousarray(
+        np.asarray(B_np, dtype=np.float64).T
+        .reshape(k, A.nb, A.b).transpose(0, 2, 1).reshape(k, A.b * A.nb))
+
+    tiles_ok = bdia_tiles_eligible(A32, k) and precond in (
+        "auto", "none", "bjacobi")
+    if tiles_ok:
+        tile = bdia_tile_size(A32, k)
+        ptiles = None
+        if precond in ("auto", "bjacobi"):
+            from .linear.block_precond import block_jacobi_bdia_matrix
+            M = block_jacobi_bdia_matrix(A32)
+            ptiles = lambda X4: bdia_spmm_tiles(M, X4)
+
+        def inner_solve(R32, tau32):
+            R4 = bdia_rows_to_tiles(A32, R32, tile)
+            D4, st, _ = cg_solve_multi_tiles(
+                lambda X4: bdia_spmm_tiles(A32, X4), R4,
+                maxiter=maxiter, tau=tau32, precond=ptiles)
+            return bdia_tiles_to_rows(A32, D4), st.k
+    else:
+        papply, _ = _bdia_precond(A32, precond)
+        pmulti = (None if papply is None
+                  else jax.vmap(papply, in_axes=0, out_axes=0))
+
+        def inner_solve(R32, tau32):
+            D, st, _ = cg_solve_multi_rows(
+                lambda V: bdia_spmm_rows(A32, V), R32,
+                maxiter=maxiter, tau=tau32, precond=pmulti)
+            return D, st.k
+
+    X, st, _ = ir_solve_multi(
+        lambda X: bdia_spmm_rows(A64, X),
+        jnp.asarray(B_rows),
+        inner_solve=inner_solve,
+        col_norm=lambda V: jnp.sqrt(jnp.sum(V * V, axis=1)),
+        bc=lambda s: s[:, None],
+        tau=tau, inner_tau=max(min(tau, 0.5), 1e-6))
+    worst = int(np.asarray(st.reason).max())
+    agg = KrylovState(jnp.int32(int(np.asarray(st.k).max())),
+                      jnp.asarray(float(np.asarray(st.resid).max())),
+                      jnp.int32(worst))
+    # (k, b·nb) planar rows -> natural (n, k)
+    Xn = jnp.transpose(
+        X.reshape(k, A.b, A.nb), (2, 1, 0)).reshape(A.nb * A.b, k)
+    return make_status(Xn, agg, control)
+
+
 def _solve_bdia_mesh(A, b, *, tau, maxiter, method, precond, precision,
                      mesh, control):
     """Distributed BDIA solve: planes sharded on the block-row axis,
@@ -390,6 +461,11 @@ def _solve_multi(A: HostCSR, B: np.ndarray, *, tau, maxiter, method,
 
     from .core import StopReason, make_status
 
+    if method in ("cg", "gmres") and precision == "mixed":
+        return _solve_multi_mixed(A, B, tau=tau, maxiter=maxiter,
+                                  method=method, precond=precond,
+                                  **solver_kwargs)
+
     if method in ("cg", "gmres") and precision == "native":
         import jax
 
@@ -445,6 +521,69 @@ def _solve_multi(A: HostCSR, B: np.ndarray, *, tau, maxiter, method,
     return _solve_multi_column_loop(A, B, tau=tau, maxiter=maxiter,
                                     method=method, precond=precond,
                                     precision=precision, **solver_kwargs)
+
+
+def _solve_multi_mixed(A: HostCSR, B: np.ndarray, *, tau, maxiter,
+                       method, precond, **solver_kwargs) -> SolveStatus:
+    """Blocked mixed-precision multi-RHS (VERDICT r4 item 2): ONE
+    lockstep f32 inner solve per refinement pass for all k columns
+    (cg_solve_multi / gmres_solve_multi), per-column f64 residuals and
+    termination in ``refine.ir_solve_multi`` — f64-grade accuracy AND
+    the k× SpMM amortization in the same dispatch, no column loop.
+    Per-column semantics match the single-RHS mixed route (reference
+    bar: per-column PCG, PCGSolver.py:109-138)."""
+    import jax
+    import jax.numpy as jnp
+
+    from .api import as_device_matrix
+    from .core import make_status
+    from .linear.krylov import cg_solve_multi, gmres_solve_multi
+    from .linear.refine import ir_solve_multi
+    from .ops import matmat, prep_operator
+
+    A32_h = HostCSR(A.indptr, A.indices, A.data.astype(np.float32),
+                    A.shape)
+    A64_h = HostCSR(A.indptr, A.indices, A.data.astype(np.float64),
+                    A.shape)
+    _, A32 = as_device_matrix(A32_h, dtype=np.float32)
+    _, A64 = as_device_matrix(A64_h, dtype=np.float64)
+    A32 = prep_operator(A32)
+    A64 = prep_operator(A64)
+
+    prec_type = _precond_type(precond, method, A.shape[0])
+    papply = None
+    if prec_type is not None:
+        prec = prec_type.form(A32_h, A32)
+        if not prec.is_identity:
+            papply = jax.vmap(prec.apply_any, in_axes=1, out_axes=1)
+
+    restart = solver_kwargs.get("restart")
+
+    def inner_solve(R32, tau32):
+        if method == "cg":
+            D, st, _ = cg_solve_multi(lambda V: matmat(A32, V), R32,
+                                      maxiter=maxiter, tau=tau32,
+                                      precond=papply)
+        else:
+            D, st, _ = gmres_solve_multi(lambda V: matmat(A32, V), R32,
+                                         maxiter=maxiter, tau=tau32,
+                                         precond=papply, restart=restart)
+        return D, st.k
+
+    B64 = jnp.asarray(np.asarray(B, dtype=np.float64))
+    X, st, _ = ir_solve_multi(
+        lambda X: matmat(A64, X), B64,
+        inner_solve=inner_solve,
+        col_norm=lambda V: jnp.sqrt(jnp.sum(V * V, axis=0)),
+        bc=lambda s: s[None, :],
+        tau=tau, inner_tau=max(min(tau, 0.5), 1e-6))
+    from .linear.krylov import KrylovState
+    worst = int(np.asarray(st.reason).max())
+    agg = KrylovState(jnp.int32(int(np.asarray(st.k).max())),
+                      jnp.asarray(float(np.asarray(st.resid).max())),
+                      jnp.int32(worst))
+    control = CommonSolverArgs(maxiter=maxiter, tau=tau)
+    return make_status(X, agg, control)
 
 
 def _solve_multi_column_loop(A, B, *, tau, maxiter, method, precond,

@@ -147,7 +147,7 @@ def solve(A, b, *, tau: float = 1e-8, maxiter: int = 1000,
     return factory.make_solver().solve(A, b)
 
 
-_BDIA_PRECONDS = ("auto", "none", "bjacobi", "bcheb", "ic")
+_BDIA_PRECONDS = ("auto", "none", "bjacobi", "bcheb", "bmg", "ic")
 
 
 def _bdia_precond(A, precond: str):
@@ -168,6 +168,12 @@ def _bdia_precond(A, precond: str):
             BlockChebyshevBdiaPreconditionerType)
         prec = BlockChebyshevBdiaPreconditionerType().form(A_dev=A)
         return prec.apply_any, None
+    if precond == "bmg":
+        # STRONG planar option: dof-decoupled multigrid, zero per-apply
+        # transposes (block_precond.BlockMGBdiaPreconditionerType)
+        from .linear.block_precond import BlockMGBdiaPreconditionerType
+        prec = BlockMGBdiaPreconditionerType().form(A_dev=A)
+        return prec.apply_any, prec.traced
     # scalar IC(t) via the host CSR view: factor in node-major order,
     # apply with planar<->node transposes per application — the parity
     # option (a full-vector transpose costs ~8x on a bandwidth-bound

@@ -15,7 +15,7 @@ import time
 import numpy as np
 
 
-def bench_tpu_spmv(m=1448, reps=4):
+def bench_tpu_spmv(m_resident=1448, m_hbm=2047, reps=4):
     """Marginal-cost timing: two in-jit SpMV chains of different lengths,
     per-iteration time = (t_long - t_short) / (n_long - n_short).
 
@@ -28,25 +28,22 @@ def bench_tpu_spmv(m=1448, reps=4):
     pack-time grid alignment matters (sparse/device.py): a baked-constant
     operator would hide the per-matvec alignment-pad copy the solver pays.
 
-    Also measures the chip's streaming peak in the same child (a triad
-    a + 0.5·b over 64M floats, same marginal method) so the headline can
-    report achieved bandwidth as a fraction of the MEASURED roofline —
-    not a datasheet number the tunnel may never reach.
+    TWO sizes are measured (VERDICT r4 item 7 — the two are different
+    regimes and must be reported as separate first-class records):
+      * ``m_resident`` — the 42 MB diagonal table stays on-chip across
+        the loop, so HBM-roofline percentages do not apply to it;
+      * ``m_hbm`` — an 84 MB working set that must stream from HBM; its
+        achieved bandwidth IS comparable to the measured triad peak
+        (the BASELINE.json metric).
+    The chip's streaming peak (triad a + 0.5·b over 64M floats, same
+    marginal method, same child) anchors the HBM-bound percentage to a
+    MEASURED roofline, not a datasheet number the tunnel may never reach.
     """
     import jax
     jax.config.update("jax_compilation_cache_dir", "/tmp/pst_jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     import jax.numpy as jnp
     import pysolvers_tpu as pst
-
-    H = pst.problems.fd_laplacian_2d(m, dtype=np.float32)
-    nnz = H.nnz
-    # bake the boundedness scale into the matrix values ONCE (abs row sums
-    # become ~1, so chained f32 iterates stay finite) — both sides then
-    # time a bare SpMV per iteration with no extra elementwise pass
-    H.data *= np.float32(1.0 / (8.0 * (m + 1.0) ** 2))
-    A = pst.DiaMatrix.from_host_csr(H)
-    x = jnp.asarray(np.random.default_rng(0).random(m * m).astype(np.float32))
 
     def marginal(make_chain, v0, n_short, n_long, *args):
         c_short, c_long = make_chain(n_short), make_chain(n_long)
@@ -76,7 +73,31 @@ def bench_tpu_spmv(m=1448, reps=4):
                                      lambda _, v: pst.matvec(A, v), v)
         return chain
 
-    per_iter = marginal(make_spmv_chain, x, 50, 250, A)
+    def spmv_rate(m):
+        H = pst.problems.fd_laplacian_2d(m, dtype=np.float32)
+        # bake the boundedness scale into the matrix values ONCE (abs row
+        # sums become ~1, so chained f32 iterates stay finite) — both
+        # sides then time a bare SpMV per iteration, no elementwise pass
+        H.data *= np.float32(1.0 / (8.0 * (m + 1.0) ** 2))
+        A = pst.DiaMatrix.from_host_csr(H)
+        x = jnp.asarray(np.random.default_rng(0).random(m * m)
+                        .astype(np.float32))
+        per_iter = marginal(make_spmv_chain, x, 50, 250, A)
+        # two traffic models for one DIA SpMV:
+        #  * stream model (diags + x + y) — what a cache-less pass moves;
+        #  * matrix-only (diags) — the GUARANTEED-streamed bytes when the
+        #    table exceeds VMEM (x and y, 2n·4 B, may stay resident), a
+        #    strict lower bound on achieved bandwidth.  The roofline
+        #    percentage uses the lower bound so it can never overcount
+        #    (VERDICT r4 item 7: no >100% claims from model slack).
+        n = m * m
+        D = len(A.offsets)
+        gbs_stream = (D * n + 2 * n) * 4 / per_iter / 1e9
+        gbs_matrix = D * n * 4 / per_iter / 1e9
+        return H.nnz / per_iter, gbs_stream, gbs_matrix
+
+    resident_nnzs, _, _ = spmv_rate(m_resident)
+    hbm_nnzs, hbm_gbs, hbm_gbs_min = spmv_rate(m_hbm)
 
     # measured streaming roofline: triad (2 reads + 1 write)
     import numpy as _np
@@ -96,14 +117,9 @@ def bench_tpu_spmv(m=1448, reps=4):
     per_triad = marginal(make_triad_chain, big, 5, 25, big2)
     peak_gbs = nb * 4 * 3 / per_triad / 1e9
 
-    # minimal HBM traffic of one DIA SpMV: diags (D·n) + x + y
-    n = m * m
-    D = len(A.offsets)
-    traffic = (D * n + 2 * n) * 4
-    achieved_gbs = traffic / per_iter / 1e9
-    return dict(tpu_nnzs=nnz / per_iter, nnz=nnz, per_iter=per_iter,
-                achieved_gbs=achieved_gbs, hbm_peak_gbs=peak_gbs,
-                roofline_pct=100.0 * achieved_gbs / peak_gbs)
+    return dict(tpu_nnzs=resident_nnzs, hbm_nnzs=hbm_nnzs,
+                hbm_gbs=hbm_gbs, hbm_gbs_min=hbm_gbs_min,
+                hbm_peak_gbs=peak_gbs)
 
 
 def bench_scipy_spmv(m=1448, iters=20):
@@ -133,8 +149,8 @@ def _child():
     the round with no number at all.  The parent enforces a timeout."""
     rec = bench_tpu_spmv()
     print(json.dumps({k: rec[k] for k in
-                      ("tpu_nnzs", "achieved_gbs", "hbm_peak_gbs",
-                       "roofline_pct")}), flush=True)
+                      ("tpu_nnzs", "hbm_nnzs", "hbm_gbs", "hbm_gbs_min",
+                       "hbm_peak_gbs")}), flush=True)
 
 
 def main():
@@ -182,7 +198,9 @@ def main():
         }))
         return
     rates = [s["tpu_nnzs"] for s in samples]
+    hbm_rates = [s["hbm_nnzs"] for s in samples]
     med = sorted(samples, key=lambda s: s["tpu_nnzs"])[len(samples) // 2]
+    med_h = sorted(samples, key=lambda s: s["hbm_nnzs"])[len(samples) // 2]
     print(json.dumps({
         "metric": "spmv_nnz_per_s_per_chip_fd_laplacian2d",
         "value": round(med["tpu_nnzs"] / 1e9, 4),
@@ -191,18 +209,31 @@ def main():
         "runs": len(samples),
         "range_gnnzs": [round(min(rates) / 1e9, 4),
                         round(max(rates) / 1e9, 4)],
-        # effective bandwidth on the SpMV's full streaming-traffic model
-        # (diags + x + y) against the MEASURED streaming roofline (triad
-        # over 64M floats in the same child) — the BASELINE.json metric.
-        # Values over 100% are real, not an error: at this m the 42 MB
-        # diagonal table fits VMEM and stays ON-CHIP across the solver
-        # loop (ops.prep_operator layout + loop-invariant operand), so
-        # the kernel no longer re-streams the matrix from HBM at all.
-        # HBM-bound sizes measure at ~roofline (m=2047, 84 MB: 129.5
-        # Gnnz/s = 724 GB/s effective = ~1.0x measured peak).
-        "effective_gbs_stream_model": round(med["achieved_gbs"], 1),
-        "hbm_peak_gbs_measured": round(med["hbm_peak_gbs"], 1),
-        "roofline_pct_stream_model": round(med["roofline_pct"], 1),
+        # the headline size (m=1448, 42 MB diagonal table) runs with the
+        # operator ON-CHIP across the solver loop (ops.prep_operator
+        # layout + loop-invariant operand) — a streaming-roofline
+        # percentage does not apply to it and is deliberately not
+        # reported (VERDICT r4 item 7).
+        "operand_residency": "vmem_resident",
+        # the HBM-bound record (m=2047, 84 MB working set) is the
+        # BASELINE.json metric: effective bandwidth on the streaming
+        # traffic model (diags + x + y) as a % of the triad peak
+        # MEASURED in the same child.
+        # effective_gbs_stream_model counts diags+x+y (what a cache-less
+        # pass would move); the roofline % uses only the diagonal-table
+        # bytes that CANNOT be on-chip at this size — a strict lower
+        # bound on achieved bandwidth, immune to model slack.
+        "hbm_bound": {
+            "m": 2047,
+            "gnnzs": round(med_h["hbm_nnzs"] / 1e9, 4),
+            "range_gnnzs": [round(min(hbm_rates) / 1e9, 4),
+                            round(max(hbm_rates) / 1e9, 4)],
+            "effective_gbs_stream_model": round(med_h["hbm_gbs"], 1),
+            "matrix_stream_gbs": round(med_h["hbm_gbs_min"], 1),
+            "pct_of_measured_triad_peak_lower_bound": round(
+                100.0 * med_h["hbm_gbs_min"] / med_h["hbm_peak_gbs"], 1),
+        },
+        "hbm_peak_gbs_measured": round(med_h["hbm_peak_gbs"], 1),
     }))
 
 

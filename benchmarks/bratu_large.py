@@ -96,7 +96,7 @@ def run_reference(args, emit):
     sys.path.insert(0, "/root/reference")
     import scipy.sparse as sp
     from PySolvers import CommonSolverArgs
-    from PySolvers.Linear import PCG, AMG
+    from PySolvers.Linear import PCG, AMG, RightIC
     from PySolvers.Nonlinear import NewtonSolver
 
     import pysolvers_tpu as pst
@@ -119,17 +119,34 @@ def run_reference(args, emit):
             J.setdiag(S.diagonal() + alpha * np.exp(-u))
             return J
 
+    # --ref-inner: the FDBratu2D driver's own config is PCG+AMG(5)
+    # (FDBratu2D.py:36-48) — measured here to STALL at m>=255 (PCG
+    # relative residual 0.041 -> 0.035 over ~400 iterations; the
+    # 5-iteration nonsymmetric V-cycle preconditioner breaks CG).  "ic"
+    # swaps the inner preconditioner for RightIC (the reference's
+    # PCGExample_IC config), which converges — the anchor datum for the
+    # scaling fit (VERDICT r4 item 6).
+    if args.ref_inner == "amg":
+        inner = PCG(control=CommonSolverArgs(tau=1e-12,
+                                             maxiter=args.ref_maxiter),
+                    precond=AMG(numIters=5))
+        cfg = f"Bratu{m}+Newton+PCG+AMG5(reference)"
+    else:
+        inner = PCG(control=CommonSolverArgs(tau=1e-12,
+                                             maxiter=args.ref_maxiter),
+                    precond=RightIC())
+        cfg = f"Bratu{m}+Newton+PCG+IC(reference)"
     t0 = time.perf_counter()
     solver = NewtonSolver(
         control=CommonSolverArgs(tau=1e-12, maxiter=30),
-        solver=PCG(control=CommonSolverArgs(tau=1e-12, maxiter=400),
-                   precond=AMG(numIters=5)),
+        solver=inner,
         fixLinTol=False, minLinTol=1e-6, freezePrec=True)
     stat = solver.solve(Func(), np.ones(m * m))
     wall = time.perf_counter() - t0
     x = stat.soln()
-    Fn = float(np.linalg.norm(S @ x - alpha * np.exp(-x)))
-    emit(dict(config=f"Bratu{m}+Newton+PCG+AMG5(reference)",
+    Fn = (float(np.linalg.norm(S @ x - alpha * np.exp(-x)))
+          if x is not None else float("nan"))
+    emit(dict(config=cfg,
               side="reference", n=m * m, time_s=round(wall, 3),
               newton_iters=int(stat.iters()), final_Fnorm=Fn,
               success=bool(stat.success())))
@@ -141,6 +158,8 @@ def main():
                     default="ours")
     ap.add_argument("--m", type=int, default=1023)
     ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument("--ref-inner", choices=["amg", "ic"], default="ic")
+    ap.add_argument("--ref-maxiter", type=int, default=2000)
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 

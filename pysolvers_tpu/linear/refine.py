@@ -497,6 +497,7 @@ def ir_solve_dd(mv_hi_host, b, *, A_lo, A64, tau=1e-10, inner_tau=1e-6,
 
 
 def ir_solve_multi(mm_hi, B64, *, inner_solve, col_norm, bc,
+                   inner_ops=None,
                    tau: float = 1e-10, max_outer: int = 20,
                    inner_tau: float = 1e-6, overshoot: float = 0.25):
     """Blocked mixed-precision refinement: the lockstep analog of
@@ -523,42 +524,63 @@ def ir_solve_multi(mm_hi, B64, *, inner_solve, col_norm, bc,
     PCGSolver.py:109-138.
 
     Returns (X64, KrylovState of per-column vectors, None).
+
+    ``mm_hi`` may be a plain callable ``X -> A@X`` or a pair
+    ``(fn, Aop)`` with ``fn(Aop, X) -> A@X``: the pair form passes the
+    operator (and B64) through jit as TRACED arguments instead of
+    closed-over constants — a closure bakes the f64 operand tables into
+    the compile payload, which at HBM scale exceeds the axon remote
+    compiler's request-size limit (measured: HTTP 413 at n=2.1M, k=8,
+    where planes+B64 constants total ~0.5 GB).  ``inner_ops`` does the
+    same for the inner solve's f32 operands: when given,
+    ``inner_solve(inner_ops, R32, tau32)`` is called with the pytree
+    passed through jit.
     """
     import numpy as np
+
+    if isinstance(mm_hi, tuple):
+        mm_fn, Aop = mm_hi
+    else:
+        mm_fn, Aop = (lambda _, X: mm_hi(X)), None
+    if inner_ops is None:
+        inner_fn = lambda _, R32, tau32: inner_solve(R32, tau32)
+    else:
+        inner_fn = inner_solve
 
     b_norms = col_norm(B64)
     tols = tau * b_norms
     tol_int = overshoot * tols
 
     @jax.jit
-    def one_pass(X, done, tau32):
-        R = B64 - mm_hi(X)
+    def one_pass(Aop, iops, B64, X, done, tau32):
+        R = B64 - mm_fn(Aop, X)
         rn = col_norm(R)
         run = (~done) & (rn > tol_int)
         scale = jnp.where(rn > 0, rn, 1.0)
         R32 = jnp.where(bc(run), (R / bc(scale)),
                         jnp.zeros_like(R)).astype(jnp.float32)
-        D32, k_arr = inner_solve(R32, tau32)
+        D32, k_arr = inner_fn(iops, R32, tau32)
         X = X + bc(scale) * D32.astype(jnp.float64)
         return X, rn, k_arr
 
     @jax.jit
-    def final_resid(X):
-        return col_norm(B64 - mm_hi(X))
+    def final_resid(Aop, B64, X):
+        return col_norm(B64 - mm_fn(Aop, X))
 
     X = jnp.zeros_like(B64)
     k_tot = np.zeros(b_norms.shape[0], dtype=np.int64)
     rn_prev = np.full(b_norms.shape[0], np.inf)
     tau32 = jnp.float32(inner_tau)
     stalled = np.zeros(b_norms.shape[0], dtype=bool)
-    rn_h = np.asarray(final_resid(X))
+    rn_h = np.asarray(final_resid(Aop, B64, X))
     for _ in range(max_outer):
         done_h = (rn_h <= np.asarray(tols)) | stalled
         if done_h.all():
             break
-        X, rn, k_arr = one_pass(X, jnp.asarray(done_h), tau32)
+        X, rn, k_arr = one_pass(Aop, inner_ops, B64, X,
+                                jnp.asarray(done_h), tau32)
         k_tot += np.asarray(k_arr, dtype=np.int64) * (~done_h)
-        rn_h = np.asarray(final_resid(X))
+        rn_h = np.asarray(final_resid(Aop, B64, X))
         newly_stalled = (~done_h) & (rn_h >= rn_prev * 0.5) \
             & (rn_h > np.asarray(tols))
         stalled |= newly_stalled

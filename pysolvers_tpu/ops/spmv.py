@@ -572,11 +572,15 @@ def bdia_spmm_rows(A, V: jax.Array, interpret: bool = None) -> jax.Array:
     if A.dtype != jnp.float32 or max(pad_lo, pad_hi) > tile:
         # XLA shift-and-FMA fallback: the Pallas kernel is f32-only
         # (f64 solves — x64 test runs, hi-precision oracles — land here).
-        xb = jnp.zeros((b, A.nb_pad, k),
-                       dtype=jnp.result_type(A.dtype, V.dtype))
-        xb = xb.at[:, :nb, :].set(
-            V.astype(xb.dtype).reshape(k, b, nb).transpose(1, 2, 0))
-        y = _bdia_xla(A, xb)[:, :nb, :]            # (b, nb, k)
+        # Scatter the zero-pad BEFORE the k-minor transpose: on the axon
+        # TPU backend the fused transpose->dynamic_update_slice->
+        # dynamic_slice chain with an f64 k-minor operand MISCOMPILES
+        # (probe-isolated: identical graph, wrong values; scatter-then-
+        # transpose compiles correctly and is the same data movement).
+        dt = jnp.result_type(A.dtype, V.dtype)
+        xb0 = jnp.zeros((k, b, A.nb_pad), dtype=dt).at[:, :, :nb].set(
+            V.astype(dt).reshape(k, b, nb))
+        y = _bdia_xla(A, xb0.transpose(1, 2, 0))[:, :nb, :]   # (b, nb, k)
         return y.transpose(2, 0, 1).reshape(k, b * nb)
 
     # (k, n) -> (n_tiles+2, b, k, tile): free reshapes + ONE transpose

@@ -68,7 +68,8 @@ def _precond_type(precond: str, method: str, n: int):
 
 def solve(A, b, *, tau: float = 1e-8, maxiter: int = 1000,
           method: str = "auto", precond: str = "auto",
-          precision: str = "native", **solver_kwargs) -> SolveStatus:
+          precision: str = "native", detect_blocks: bool = True,
+          **solver_kwargs) -> SolveStatus:
     """Solve A x = b.  Returns a SolveStatus.
 
     ``b`` may be (n,) or (n, k) — a 2-D right-hand side solves all k
@@ -81,6 +82,11 @@ def solve(A, b, *, tau: float = 1e-8, maxiter: int = 1000,
     inner Krylov in f32 on the device kernels with f64 residual
     refinement on host — the TPU route to 1e-10 accuracy (f64 device
     arithmetic is XLA-emulated there).
+    ``detect_blocks``: on an all-"auto" CG call over a large HostCSR
+    with detectable b×b block structure (constant partition, dense
+    blocks — ``sparse.bdia.detect_block_size``), convert to BdiaMatrix
+    and ride the planar block kernels (kernel-resident lockstep for 2-D
+    b) instead of the scalar route.  Pass False to force scalar.
     Extra kwargs are forwarded to the solver factory.
     """
     if isinstance(A, np.ndarray) and A.ndim == 2:
@@ -114,6 +120,22 @@ def solve(A, b, *, tau: float = 1e-8, maxiter: int = 1000,
             method = "direct"
         else:
             method = "cg" if _is_symmetric(A) else "gmres"
+
+    if (detect_blocks and method == "cg" and precond == "auto"
+            and n >= 10_000 and "mesh" not in solver_kwargs):
+        # VERDICT r4 item 8: CSR holders whose matrix is b×b
+        # block-structured reach the BDIA fast lane (planar kernels;
+        # kernel-resident tiles lockstep for 2-D b — the measured 2.47×
+        # amortization) without hand-building a BdiaMatrix.  The layout
+        # plan is structure-cached (sparse/bdia._BDIA_PLAN_CACHE), so
+        # repeat solves pay only the value scatter.
+        from .sparse.bdia import BdiaMatrix, detect_block_size
+        bsz = detect_block_size(A)
+        if bsz is not None:
+            return _solve_bdia(BdiaMatrix.from_host_csr(A, bsz), b,
+                               tau=tau, maxiter=maxiter, method="cg",
+                               precond="auto", precision=precision,
+                               **solver_kwargs)
 
     if b.ndim == 2:
         if b.shape[1] == 0:
@@ -149,9 +171,42 @@ def solve(A, b, *, tau: float = 1e-8, maxiter: int = 1000,
 
 _BDIA_PRECONDS = ("auto", "none", "bjacobi", "bcheb", "bmg", "ic")
 
+# repeat-solve cache for BDIA operators: dtype casts and formed
+# preconditioners keyed on the planes array's identity (jax arrays are
+# immutable, and the entry holds a strong reference, so an id can never
+# be serving a different array).  Without this every solve() re-paid the
+# astype AND the full preconditioner setup — for 'bmg' that is b SA
+# hierarchy builds, ~25 s at n=2.1M against a ~1 s solve.
+_BDIA_SOLVE_CACHE: dict = {}
+
+
+def _bdia_cache_entry(A) -> dict:
+    key = id(A.planes)
+    ent = _BDIA_SOLVE_CACHE.get(key)
+    if ent is None or ent["planes"] is not A.planes:
+        if len(_BDIA_SOLVE_CACHE) > 8:
+            _BDIA_SOLVE_CACHE.pop(next(iter(_BDIA_SOLVE_CACHE)))
+        ent = {"planes": A.planes}
+        _BDIA_SOLVE_CACHE[key] = ent
+    return ent
+
+
+def _bdia_cast(A, dtype_name: str):
+    """astype with identity caching (dtype_name: 'f32' | 'f64')."""
+    import jax.numpy as jnp
+    dt = jnp.float32 if dtype_name == "f32" else jnp.float64
+    if A.dtype == dt:
+        return A
+    ent = _bdia_cache_entry(A)
+    got = ent.get(dtype_name)
+    if got is None:
+        got = ent[dtype_name] = A.astype(dt)
+    return got
+
 
 def _bdia_precond(A, precond: str):
-    """(apply, traced_pair) planar preconditioner for a BdiaMatrix."""
+    """(apply, traced_pair) planar preconditioner for a BdiaMatrix.
+    Formed preconditioners are identity-cached on (planes, name)."""
     if precond not in _BDIA_PRECONDS:
         raise ValueError(f"unknown BDIA precond {precond!r}; expected "
                          f"one of {_BDIA_PRECONDS}")
@@ -159,6 +214,16 @@ def _bdia_precond(A, precond: str):
         precond = "bjacobi"
     if precond == "none":
         return None, None
+    ent = _bdia_cache_entry(A)
+    got = ent.get(("prec", precond))
+    if got is not None:
+        return got
+    got = _bdia_precond_form(A, precond)
+    ent[("prec", precond)] = got
+    return got
+
+
+def _bdia_precond_form(A, precond: str):
     if precond == "bjacobi":
         from .linear.block_precond import BlockJacobiBdiaPreconditionerType
         prec = BlockJacobiBdiaPreconditionerType().form(A_dev=A)
@@ -236,8 +301,8 @@ def _solve_bdia(A, b, *, tau, maxiter, method, precond="auto",
                                            precond=precond,
                                            control=control)
         from .linear.refine import ir_solve_dd
-        A32 = A if A.dtype == jnp.float32 else A.astype(jnp.float32)
-        A64 = A if A.dtype == jnp.float64 else A.astype(jnp.float64)
+        A32 = _bdia_cast(A, "f32")
+        A64 = _bdia_cast(A, "f64")
         papply, traced = _bdia_precond(A32, precond)
         # planar reorder on host (numpy): keeps f64 exact regardless of
         # the x64 flag and avoids a device round trip
@@ -339,45 +404,53 @@ def _solve_bdia_multi_mixed(A, B_np, *, tau, maxiter, precond, control):
                            bdia_tiles_eligible, bdia_tiles_to_rows)
 
     k = B_np.shape[1]
-    A32 = A if A.dtype == jnp.float32 else A.astype(jnp.float32)
-    A64 = A if A.dtype == jnp.float64 else A.astype(jnp.float64)
+    A32 = _bdia_cast(A, "f32")
+    A64 = _bdia_cast(A, "f64")
     # natural (n, k) -> planar rows (k, n) in f64 (numpy: exact
     # regardless of the x64 flag)
     B_rows = np.ascontiguousarray(
         np.asarray(B_np, dtype=np.float64).T
         .reshape(k, A.nb, A.b).transpose(0, 2, 1).reshape(k, A.b * A.nb))
 
+    # operator tables ride through jit as TRACED arguments (mm_hi pair
+    # + inner_ops) — closures would bake the f64/f32 planes into the
+    # compile payload, which exceeds the axon remote compiler's request
+    # limit at HBM scale (refine.ir_solve_multi docstring)
     tiles_ok = bdia_tiles_eligible(A32, k) and precond in (
         "auto", "none", "bjacobi")
     if tiles_ok:
         tile = bdia_tile_size(A32, k)
-        ptiles = None
+        M = None
         if precond in ("auto", "bjacobi"):
             from .linear.block_precond import block_jacobi_bdia_matrix
             M = block_jacobi_bdia_matrix(A32)
-            ptiles = lambda X4: bdia_spmm_tiles(M, X4)
+        inner_ops = (A32, M)
 
-        def inner_solve(R32, tau32):
-            R4 = bdia_rows_to_tiles(A32, R32, tile)
+        def inner_solve(iops, R32, tau32):
+            Ai, Mi = iops
+            R4 = bdia_rows_to_tiles(Ai, R32, tile)
+            ptiles = (None if Mi is None
+                      else (lambda X4: bdia_spmm_tiles(Mi, X4)))
             D4, st, _ = cg_solve_multi_tiles(
-                lambda X4: bdia_spmm_tiles(A32, X4), R4,
+                lambda X4: bdia_spmm_tiles(Ai, X4), R4,
                 maxiter=maxiter, tau=tau32, precond=ptiles)
-            return bdia_tiles_to_rows(A32, D4), st.k
+            return bdia_tiles_to_rows(Ai, D4), st.k
     else:
         papply, _ = _bdia_precond(A32, precond)
         pmulti = (None if papply is None
                   else jax.vmap(papply, in_axes=0, out_axes=0))
+        inner_ops = (A32, None)
 
-        def inner_solve(R32, tau32):
+        def inner_solve(iops, R32, tau32):
             D, st, _ = cg_solve_multi_rows(
-                lambda V: bdia_spmm_rows(A32, V), R32,
+                lambda V: bdia_spmm_rows(iops[0], V), R32,
                 maxiter=maxiter, tau=tau32, precond=pmulti)
             return D, st.k
 
     X, st, _ = ir_solve_multi(
-        lambda X: bdia_spmm_rows(A64, X),
+        (lambda Ah, X: bdia_spmm_rows(Ah, X), A64),
         jnp.asarray(B_rows),
-        inner_solve=inner_solve,
+        inner_solve=inner_solve, inner_ops=inner_ops,
         col_norm=lambda V: jnp.sqrt(jnp.sum(V * V, axis=1)),
         bc=lambda s: s[:, None],
         tau=tau, inner_tau=max(min(tau, 0.5), 1e-6))
@@ -413,8 +486,8 @@ def _solve_bdia_mesh(A, b, *, tau, maxiter, method, precond, precision,
         raise ValueError("mesh= BDIA solves take a single RHS")
 
     if precision == "mixed":
-        A32 = A if A.dtype == jnp.float32 else A.astype(jnp.float32)
-        A64 = A if A.dtype == jnp.float64 else A.astype(jnp.float64)
+        A32 = _bdia_cast(A, "f32")
+        A64 = _bdia_cast(A, "f64")
         S32, S64 = shard_bdia(A32, mesh), shard_bdia(A64, mesh)
         papply = None
         if precond != "none":
@@ -565,21 +638,23 @@ def _solve_multi_mixed(A: HostCSR, B: np.ndarray, *, tau, maxiter,
 
     restart = solver_kwargs.get("restart")
 
-    def inner_solve(R32, tau32):
+    def inner_solve(Ai, R32, tau32):
         if method == "cg":
-            D, st, _ = cg_solve_multi(lambda V: matmat(A32, V), R32,
+            D, st, _ = cg_solve_multi(lambda V: matmat(Ai, V), R32,
                                       maxiter=maxiter, tau=tau32,
                                       precond=papply)
         else:
-            D, st, _ = gmres_solve_multi(lambda V: matmat(A32, V), R32,
+            D, st, _ = gmres_solve_multi(lambda V: matmat(Ai, V), R32,
                                          maxiter=maxiter, tau=tau32,
                                          precond=papply, restart=restart)
         return D, st.k
 
     B64 = jnp.asarray(np.asarray(B, dtype=np.float64))
+    # operators as traced jit args, not closure constants (refine.
+    # ir_solve_multi docstring — axon compile-payload limit)
     X, st, _ = ir_solve_multi(
-        lambda X: matmat(A64, X), B64,
-        inner_solve=inner_solve,
+        (lambda Ah, X: matmat(Ah, X), A64), B64,
+        inner_solve=inner_solve, inner_ops=A32,
         col_norm=lambda V: jnp.sqrt(jnp.sum(V * V, axis=0)),
         bc=lambda s: s[None, :],
         tau=tau, inner_tau=max(min(tau, 0.5), 1e-6))

@@ -216,3 +216,40 @@ class BdiaMatrix:
     def astype(self, dtype) -> "BdiaMatrix":
         return BdiaMatrix(self.planes.astype(dtype), self.offsets,
                           self.shape, self.b)
+
+
+def detect_block_size(A: HostCSR, candidates=(8, 7, 6, 5, 4, 3, 2),
+                      max_boffs: int = 32, min_density: float = 0.7):
+    """Largest candidate b for which ``A`` has genuine b×b block-DIA
+    structure, or None.
+
+    Two tests per candidate: few distinct BLOCK offsets (block-banded),
+    and block DENSITY ≥ ``min_density`` — the fraction of dense-block
+    storage positions that hold a structural nonzero.  Density is the
+    discriminator that storage-ratio alone is not: a scalar 5-point
+    stencil at b=2 stores 10n positions for ~5n nonzeros (density 0.5,
+    rejected — and its ``solve()`` auto path keeps the scalar AMG route,
+    which a silent b=2 conversion would have swapped for weak
+    block-Jacobi), while a multi-dof discretization with dense blocks
+    sits near 1.0.  Cost is one COO view + one unique per candidate,
+    O(nnz·|candidates|) on host — negligible against the conversion it
+    gates.
+
+    Feeds ``solve()``'s auto-conversion (solve.py): CSR holders reach
+    the kernel-resident BDIA lockstep route without hand-building a
+    BdiaMatrix (reference analog: ``mvmult``'s dispatch-on-type idea,
+    IterativeLinearSolver.py:94-106).
+    """
+    n, m = A.shape
+    if n != m or A.nnz == 0:
+        return None
+    rows, cols, _ = A.to_coo()
+    for b in candidates:
+        if n % b:
+            continue
+        boffs = np.unique(cols // b - rows // b)
+        if len(boffs) > max_boffs:
+            continue
+        if A.nnz >= min_density * len(boffs) * b * b * (n // b):
+            return b
+    return None

@@ -97,3 +97,77 @@ class TestTilesLayout:
             np.testing.assert_allclose(np.asarray(st.soln[:, j]),
                                        np.asarray(st0.soln),
                                        rtol=2e-4, atol=2e-5)
+
+
+class TestRowsF64Fallback:
+    def test_f64_rows_jit_matches_host_oracle(self):
+        """The non-f32 XLA fallback, compiled as ONE jit unit, against
+        the f64 host oracle (the original fused transpose->scatter->
+        slice graph miscompiled on the axon TPU backend; the compiled-
+        on-TPU pin lives in test_tpu_compiled.py)."""
+        import jax
+        A = fd_vector_laplacian_2d(12, b=3, coupling=0.25,
+                                   dtype=np.float64)
+        Ad = BdiaMatrix.from_host_csr(A, b=3)
+        rng = np.random.default_rng(1)
+        V = rng.random((5, A.shape[0]))
+        ref = np.stack([Ad.host_matvec_planar(V[j]) for j in range(5)])
+        out = np.asarray(jax.jit(
+            lambda v: bdia_spmm_rows(Ad, v))(jnp.asarray(V)))
+        np.testing.assert_allclose(out, ref, rtol=1e-13, atol=1e-10)
+
+
+class TestBlockDetect:
+    def test_detects_true_blocks_rejects_scalar(self):
+        from pysolvers_tpu.sparse.bdia import detect_block_size
+        A = fd_vector_laplacian_2d(20, b=5, coupling=0.2)
+        assert detect_block_size(A) == 5
+        S = pst.problems.fd_laplacian_2d(40)     # scalar, n even
+        assert detect_block_size(S) is None
+
+    def test_solve_autoroutes_detected_blocks(self, monkeypatch):
+        """solve(HostCSR with b=5 blocks, B) rides the same BDIA route
+        as a hand-built BdiaMatrix (VERDICT r4 item 8) — and
+        detect_blocks=False keeps the scalar route."""
+        calls = {"bdia": 0}
+        import sys
+        smod = sys.modules["pysolvers_tpu.solve"]
+        real = smod._solve_bdia
+
+        def spy(*a, **kw):
+            calls["bdia"] += 1
+            return real(*a, **kw)
+
+        monkeypatch.setattr(smod, "_solve_bdia", spy)
+        monkeypatch.setattr(smod, "_solve_multi",
+                            lambda *a, **kw: (_ for _ in ()).throw(
+                                AssertionError("scalar multi route")))
+        A = fd_vector_laplacian_2d(46, b=5, coupling=0.2,
+                                   dtype=np.float64)      # n=10580
+        assert A.shape[0] >= 10_000
+        rng = np.random.default_rng(3)
+        B = rng.random((A.shape[0], 3))
+        st = pst.solve(A, B, tau=1e-8, maxiter=4000)
+        assert calls["bdia"] == 1 and st.success
+        X = np.asarray(st.soln)
+        for j in range(3):
+            r = (np.linalg.norm(B[:, j] - A.matvec(X[:, j]))
+                 / np.linalg.norm(B[:, j]))
+            assert r < 1e-7
+        Ab = BdiaMatrix.from_host_csr(A, 5)
+        st_hand = pst.solve(Ab, B, tau=1e-8, maxiter=4000)
+        np.testing.assert_allclose(X, np.asarray(st_hand.soln),
+                                   rtol=0, atol=1e-10)
+
+    def test_detect_blocks_false_keeps_scalar(self, monkeypatch):
+        import sys
+        smod = sys.modules["pysolvers_tpu.solve"]
+        monkeypatch.setattr(smod, "_solve_bdia",
+                            lambda *a, **kw: (_ for _ in ()).throw(
+                                AssertionError("bdia route")))
+        A = fd_vector_laplacian_2d(46, b=5, coupling=0.2,
+                                   dtype=np.float64)
+        rng = np.random.default_rng(3)
+        b = rng.random(A.shape[0])
+        st = pst.solve(A, b, tau=1e-8, maxiter=4000, detect_blocks=False)
+        assert st.success

@@ -68,3 +68,62 @@ def test_windowed_bws_compiled_on_tpu():
         pytest.skip("no TPU backend available in subprocess")
     assert r.returncode == 0, f"{r.stdout}\n{r.stderr}"
     assert "OK" in r.stdout
+
+
+_SCRIPT_BDIA_F64 = r"""
+import numpy as np
+import jax
+if jax.default_backend() not in ("tpu", "axon"):
+    print("NO_TPU")
+    raise SystemExit(0)
+jax.config.update("jax_enable_x64", True)
+import jax.numpy as jnp
+from pysolvers_tpu.sparse.bdia import BdiaMatrix
+from pysolvers_tpu.ops.spmv import bdia_spmm_rows
+from pysolvers_tpu.problems import fd_vector_laplacian_2d
+
+# regression: the f64 XLA fallback's original transpose->scatter->slice
+# graph MISCOMPILED on the axon backend when compiled as one jit unit
+# (wrong values, no error); the scatter-before-transpose form is pinned
+# here against the host oracle, compiled on the real chip.
+H = fd_vector_laplacian_2d(30, b=5, coupling=0.2, dtype=np.float64)
+A = BdiaMatrix.from_host_csr(H, 5)
+rng = np.random.default_rng(0)
+V = rng.random((4, H.shape[0]))
+ref = np.stack([A.host_matvec_planar(V[j]) for j in range(4)])
+out = np.asarray(jax.jit(lambda v: bdia_spmm_rows(A, v))(jnp.asarray(V)))
+rel = np.abs(out - ref).max() / np.abs(ref).max()
+assert rel < 1e-12, rel
+# and inside a fori_loop (the solver-loop shape of the same graph)
+@jax.jit
+def chain(V):
+    def body(_, V):
+        Y = bdia_spmm_rows(A, V)
+        return Y / jnp.max(jnp.abs(Y))
+    return jax.lax.fori_loop(0, 3, body, V)
+out = np.asarray(chain(jnp.asarray(V)))
+Vh = V.copy()
+for _ in range(3):
+    Y = np.stack([A.host_matvec_planar(Vh[j]) for j in range(4)])
+    Vh = Y / np.abs(Y).max()
+assert np.abs(out - Vh).max() < 1e-12
+print("OK")
+"""
+
+
+@pytest.mark.skipif(not _have_tpu_env(), reason="no TPU tunnel configured")
+def test_bdia_f64_rows_fallback_compiled_on_tpu():
+    env = dict(os.environ)
+    env["PYTHONPATH"] = _ROOT + os.pathsep + env.get("PYTHONPATH", "")
+    env.pop("JAX_PLATFORMS", None)
+    env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/pst_jax_cache")
+    try:
+        r = subprocess.run([sys.executable, "-c", _SCRIPT_BDIA_F64],
+                           capture_output=True, text=True, timeout=420,
+                           env=env)
+    except subprocess.TimeoutExpired:
+        pytest.skip("TPU tunnel unresponsive")
+    if "NO_TPU" in r.stdout:
+        pytest.skip("no TPU backend available in subprocess")
+    assert r.returncode == 0, f"{r.stdout}\n{r.stderr}"
+    assert "OK" in r.stdout

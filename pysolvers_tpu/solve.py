@@ -315,13 +315,20 @@ def _solve_bdia(A, b, *, tau, maxiter, method, precond="auto",
         # 0.3 ms kernel passes at n=2.1M).  Scalar IC keeps the strong-
         # preconditioner auto behavior.
         weak = precond in ("auto", "bjacobi", "bcheb", "none")
+        # 'bmg' is strong (O(10) iterations) but its iterations are
+        # CHEAP (one f32 kernel pass + b scalar V-cycles) — the
+        # emulated-f64 recurrence matvec the auto strong config buys
+        # costs more than the extra iterations it saves; the drop-
+        # triggered f32 recurrence + frequent replacement handles
+        # strong-preconditioner drift (cg_solve_rr docstring, DH-11+IC)
+        hi_mv = False if (weak or precond == "bmg") else None
         x, st, _ = ir_solve_dd(
             A64.host_matvec_planar, bp, A_lo=A32, A64=A64, tau=tau,
             inner_tau=max(min(tau, 0.5), 1e-6), inner_maxiter=maxiter,
             method=method, restart=solver_kwargs.get("restart"),
             precond_pair=traced,
             precond_lo=None if traced is not None else papply,
-            hi_matvec=False if weak else None,
+            hi_matvec=hi_mv,
             replace_every=48 if weak else None)
         return make_status(A.from_planar(x), st, control, history=None)
 

@@ -646,19 +646,20 @@ def _solve_multi(A: HostCSR, B: np.ndarray, *, tau, maxiter, method,
 
 def _solve_multi_mixed(A: HostCSR, B: np.ndarray, *, tau, maxiter,
                        method, precond, **solver_kwargs) -> SolveStatus:
-    """Blocked mixed-precision multi-RHS (VERDICT r4 item 2): ONE
-    lockstep f32 inner solve per refinement pass for all k columns
-    (cg_solve_multi / gmres_solve_multi), per-column f64 residuals and
-    termination in ``refine.ir_solve_multi`` — f64-grade accuracy AND
-    the k× SpMM amortization in the same dispatch, no column loop.
-    Per-column semantics match the single-RHS mixed route (reference
-    bar: per-column PCG, PCGSolver.py:109-138)."""
+    """Blocked mixed-precision multi-RHS (VERDICT r4 item 2): f64-grade
+    accuracy AND the k× SpMM amortization in one dispatch, no column
+    loop.  CG runs ONE continuous lockstep pass with per-column f64
+    residual replacement (krylov.cg_lockstep_rr, columns layout);
+    GMRES runs lockstep inners under per-column blocked refinement
+    (refine.ir_solve_multi).  Per-column semantics match the single-RHS
+    mixed route (reference bar: per-column PCG, PCGSolver.py:109-138).
+    """
     import jax
     import jax.numpy as jnp
 
     from .api import as_device_matrix
     from .core import make_status
-    from .linear.krylov import cg_solve_multi, gmres_solve_multi
+    from .linear.krylov import gmres_solve_multi
     from .linear.refine import ir_solve_multi
     from .ops import matmat, prep_operator
 
@@ -686,26 +687,42 @@ def _solve_multi_mixed(A: HostCSR, B: np.ndarray, *, tau, maxiter,
 
     restart = solver_kwargs.get("restart")
 
-    def inner_solve(Ai, R32, tau32):
-        if method == "cg":
-            D, st, _ = cg_solve_multi(lambda V: matmat(Ai, V), R32,
-                                      maxiter=maxiter, tau=tau32,
-                                      precond=papply)
-        else:
+    B64 = jnp.asarray(np.asarray(B, dtype=np.float64))
+    if method == "cg":
+        # ONE continuous lockstep pass with per-column f64 residual
+        # replacement (krylov.cg_lockstep_rr, columns layout) — the
+        # outer-restart composition re-spends ~2x the iterations
+        # rebuilding search spaces (see _solve_bdia_multi_mixed)
+        from .linear.krylov import cg_lockstep_rr
+
+        @jax.jit
+        def run_rr(A32, A64, B64):
+            X, st, _ = cg_lockstep_rr(
+                lambda V: matmat(A32, V), B64,
+                mm_hi=lambda V: matmat(A64, V),
+                maxiter=maxiter, tau=tau, precond=papply,
+                replace_every=48,
+                dot=lambda a, c: jnp.sum(a * c, axis=0),
+                bc=lambda s: s[None, :], n_rhs=B64.shape[1])
+            return X, st
+
+        X, st = run_rr(A32, A64, B64)
+    else:
+        def inner_solve(Ai, R32, tau32):
             D, st, _ = gmres_solve_multi(lambda V: matmat(Ai, V), R32,
                                          maxiter=maxiter, tau=tau32,
-                                         precond=papply, restart=restart)
-        return D, st.k
+                                         precond=papply,
+                                         restart=restart)
+            return D, st.k
 
-    B64 = jnp.asarray(np.asarray(B, dtype=np.float64))
-    # operators as traced jit args, not closure constants (refine.
-    # ir_solve_multi docstring — axon compile-payload limit)
-    X, st, _ = ir_solve_multi(
-        (lambda Ah, X: matmat(Ah, X), A64), B64,
-        inner_solve=inner_solve, inner_ops=A32,
-        col_norm=lambda V: jnp.sqrt(jnp.sum(V * V, axis=0)),
-        bc=lambda s: s[None, :],
-        tau=tau, inner_tau=max(min(tau, 0.5), 1e-6))
+        # operators as traced jit args, not closure constants (refine.
+        # ir_solve_multi docstring — axon compile-payload limit)
+        X, st, _ = ir_solve_multi(
+            (lambda Ah, X: matmat(Ah, X), A64), B64,
+            inner_solve=inner_solve, inner_ops=A32,
+            col_norm=lambda V: jnp.sqrt(jnp.sum(V * V, axis=0)),
+            bc=lambda s: s[None, :],
+            tau=tau, inner_tau=max(min(tau, 0.5), 1e-6))
     from .linear.krylov import KrylovState
     worst = int(np.asarray(st.reason).max())
     agg = KrylovState(jnp.int32(int(np.asarray(st.k).max())),

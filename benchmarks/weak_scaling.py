@@ -7,8 +7,12 @@ Runs on any device set — the virtual 8-device CPU mesh (default in tests)
 or a real TPU slice.
 
 Paths (--paths): "dia" (ppermute neighbor halos), "ell_halo"
-(neighbor-halo ELL — vector never replicated), "ell2d" (2-D pr×pc grid:
-all-gather expand + psum_scatter fold).
+(neighbor-halo ELL — vector never replicated), "solve" (whole-solve
+PCG + partition-local AMG).  The "ell2d" 2-D grid path was retired in
+round 5 — its shard-local ELL gather measures 39x the DIA kernel on
+the real TPU chip (our_results/ell2d_decision_r5.jsonl), intrinsic to
+gather-based local formats, not the CPU-backend artifact the r4
+decomposition hypothesized.
 
 Overhead decomposition (VERDICT r2 item 5), dia path: every record
 carries the same-total-problem timings
@@ -51,7 +55,7 @@ def main():
     ap.add_argument("--rows-per-shard", type=int, default=65536)
     ap.add_argument("--iters", type=int, default=50)
     ap.add_argument("--max-devices", type=int, default=None)
-    ap.add_argument("--paths", default="dia,ell_halo,ell2d")
+    ap.add_argument("--paths", default="dia,ell_halo,solve")
     ap.add_argument("--cpu-devices", type=int, default=0,
                     help="force a virtual CPU mesh of this many devices "
                          "(env vars are latched by this image's "
@@ -69,9 +73,7 @@ def main():
     from pysolvers_tpu.parallel import (make_mesh, shard_dia, dist_dia_spmv,
                                         pad_vector_dia, shard_ell_halo,
                                         dist_ell_halo_spmv,
-                                        pad_vector_ell_halo, make_mesh_2d,
-                                        shard_ell_2d, dist_ell_2d_spmv,
-                                        pad_vector_2d)
+                                        pad_vector_ell_halo)
     from pysolvers_tpu.sparse.device import DiaMatrix
     from pysolvers_tpu.ops.spmv import dia_spmv_xla
 
@@ -163,43 +165,6 @@ def main():
                 shardmap_share=round((t_nocomm - t_single) / t_single, 3),
                 collective_share=round((t_dist - t_nocomm) / t_single,
                                        3)))
-
-        if "ell2d" in paths and d >= 2:
-            pr = 2 ** (int(d).bit_length() - 1)
-            while d % pr:
-                pr //= 2
-            pc = d // pr
-            # squarest factorization
-            best_pr = pr
-            for cand in range(1, int(math.isqrt(d)) + 1):
-                if d % cand == 0:
-                    best_pr = cand
-            pr = best_pr
-            pc = d // pr
-            mesh2 = make_mesh_2d(pr, pc)
-            A = shard_ell_2d(H, mesh2)
-            x = pad_vector_2d(A, xh)
-
-            def make_chain_2d(comm):
-                @jax.jit
-                def chain(A, v):
-                    def body(_, v):
-                        return dist_ell_2d_spmv(A, v, comm=comm) * scale
-                    return jax.lax.fori_loop(0, iters, body, v)
-                return chain
-
-            t_dist = _timed_chain(make_chain_2d(True), A, x, iters=iters)
-            t_nocomm = _timed_chain(make_chain_2d(False), A, x,
-                                    iters=iters)
-            emit("ell2d", t_dist,
-                 dict(grid=f"{pr}x{pc}",
-                      t_single_us=round(t_single * 1e6, 1),
-                      t_nocomm_us=round(t_nocomm * 1e6, 1),
-                      t_dist_us=round(t_dist * 1e6, 1),
-                      shardmap_share=round((t_nocomm - t_single)
-                                           / t_single, 3),
-                      collective_share=round((t_dist - t_nocomm)
-                                             / t_single, 3)))
 
         if "solve" in paths:
             # WHOLE-SOLVE weak scaling (VERDICT r3 item 4, REBUILT for

@@ -6,8 +6,13 @@ from .spmv import (ShardedDia, ShardedEll, ShardedEllHalo, shard_dia,
 from .precond import (BlockJacobiILU, build_block_jacobi_ilu,
                       block_jacobi_apply,
                       BlockJacobiILUPreconditionerType)
-from .spmv2d import (ShardedEll2D, make_mesh_2d, shard_ell_2d,
-                     dist_ell_2d_spmv, pad_vector_2d, unpad_vector_2d)
+# The 2-D (pr x pc) ELL partition (spmv2d.py) was RETIRED in round 5:
+# its shard-local ELL gather measures 39x the DIA kernel on the real
+# TPU chip (single-chip probe, our_results/ell2d_decision_r5.jsonl) —
+# intrinsic to gather-based local formats on this backend, not the CPU
+# artifact the r4 decomposition hypothesized.  The 1-D band-slab
+# ppermute layout (ShardedDia / ShardedEllHalo) is the TPU-viable
+# distribution for banded operators.
 
 __all__ = [
     "make_mesh", "row_sharding", "replicated", "ROW_AXIS",
@@ -17,6 +22,4 @@ __all__ = [
     "pad_vector_ell_halo",
     "BlockJacobiILU", "build_block_jacobi_ilu", "block_jacobi_apply",
     "BlockJacobiILUPreconditionerType",
-    "ShardedEll2D", "make_mesh_2d", "shard_ell_2d", "dist_ell_2d_spmv",
-    "pad_vector_2d", "unpad_vector_2d",
 ]

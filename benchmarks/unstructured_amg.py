@@ -52,8 +52,10 @@ def load_problem(m: int, seed: int, cache_dir: str):
         gen_s = time.time() - t0
     t0 = time.time()
     perm = BwsMatrix._rcm_perm(A)
+    rcm_s = time.time() - t0
+    t0 = time.time()
     Ap = A.permute_symmetric(perm)
-    return Ap, gen_s, time.time() - t0
+    return Ap, gen_s, rcm_s, time.time() - t0
 
 
 def run(m: int, seed: int, tau: float, levels: int, num_iters: int,
@@ -66,7 +68,8 @@ def run(m: int, seed: int, tau: float, levels: int, num_iters: int,
     from pysolvers_tpu.api import PCG, CommonSolverArgs
     from pysolvers_tpu.linear.amg import AMGPreconditionerType
 
-    Ap, gen_s, reorder_s = load_problem(m, seed, cache_dir)
+    Ap, gen_s, rcm_s, permute_s = load_problem(m, seed, cache_dir)
+    reorder_s = rcm_s + permute_s
     n, nnz = Ap.shape[0], Ap.nnz
     rng = np.random.default_rng(7)
     x_true = rng.normal(size=n)
@@ -102,16 +105,54 @@ def run(m: int, seed: int, tau: float, levels: int, num_iters: int,
             wall_s=walls[len(walls) // 2],
             wall_range=[walls[0], walls[-1]], **{
                 k: med[k] for k in ("iters", "resid", "err", "success")},
-            gen_s=gen_s, reorder_s=reorder_s)
+            gen_s=gen_s, reorder_s=reorder_s, rcm_s=rcm_s,
+            permute_s=permute_s)
         rows.append(row)
         return row
 
-    print(f"n={n} nnz={nnz} (reorder {reorder_s:.1f}s)", flush=True)
+    print(f"n={n} nnz={nnz} (reorder {reorder_s:.1f}s = "
+          f"rcm {rcm_s:.1f} + permute {permute_s:.1f})", flush=True)
     amg = lambda: AMGPreconditionerType(  # noqa: E731
         num_iters=num_iters, num_levels=levels, galerkin="host",
         matrix_format="bws")
     one_solve(f"pcg_samg_l{levels}i{num_iters}", amg)
     one_solve("plain_cg", None)
+
+    # hierarchy REUSE (VERDICT r4 item 3b — freezeMatrix semantics,
+    # reference LinearSolver.py:35-42): ONE solver, one setup, then
+    # n_reuse fresh right-hand sides re-solved against the frozen
+    # operator/preconditioner.  setup_s = first-solve wall minus the
+    # median re-solve wall (the first call pays hierarchy build + pack
+    # + compile; later calls only the Krylov loop).
+    control = CommonSolverArgs(maxiter=maxiter_cg, tau=tau)
+    solver = PCG(control, precond=amg(), precision="mixed").make_solver()
+    t0 = time.time()
+    st0 = solver.solve(Ap, b)
+    first_s = time.time() - t0
+    re_walls, re_iters = [], []
+    n_reuse = 8
+    for j in range(n_reuse):
+        bj = Ap.matvec(rng.normal(size=n))
+        t0 = time.time()
+        stj = solver.solve(Ap, bj)
+        re_walls.append(time.time() - t0)
+        re_iters.append(int(stj.iters))
+        print(f"  [reuse {j}] {re_walls[-1]:.2f}s iters={stj.iters} "
+              f"success={stj.success}", flush=True)
+    re_walls_s = sorted(re_walls)
+    med_re = re_walls_s[len(re_walls_s) // 2]
+    row = dict(tag=f"pcg_samg_reuse_k{n_reuse}", n=n, nnz=nnz, tau=tau,
+               backend=str(jax.default_backend()),
+               first_solve_s=round(first_s, 2),
+               resolve_s=round(med_re, 2),
+               resolve_range=[round(re_walls_s[0], 2),
+                              round(re_walls_s[-1], 2)],
+               setup_s=round(first_s - med_re, 2),
+               iters=int(np.median(re_iters)),
+               success=bool(st0.success),
+               gen_s=gen_s, reorder_s=reorder_s, rcm_s=rcm_s,
+               permute_s=permute_s)
+    rows.append(row)
     return rows
 
 

@@ -42,6 +42,18 @@ The whole V-cycle executes inside ONE ``shard_map`` (manual SPMD): no
 GSPMD resharding surprises between levels.  Reference analog: the
 V-cycle recursion this policy wraps (VCycleManager.py:31-62); the
 reference itself has no distribution anywhere (SURVEY §2.3).
+
+Local-format caveat (measured round 5): the shard-local operators here
+are generic local-id ELL slabs (`jnp.take` gathers) because SA coarse
+operators/transfers are not banded in general.  On the real TPU chip an
+ELL gather runs ~39x slower than the DIA shift-FMA kernel
+(our_results/ell2d_decision_r5.jsonl) — on a real slice the sharded
+levels' local compute should be re-packed per shard into the BWS
+windowed kernel (ops/bws_spmv.py), which is exactly the single-chip
+answer to the same problem.  The communication structure (the point of
+this module: static per-cycle collective budget, one gather at the
+crossover) is format-independent and is what the committed CPU-mesh
+weak-scaling rows measure.
 """
 from __future__ import annotations
 

@@ -106,11 +106,17 @@ class BlockJacobiBdiaPreconditionerType(PreconditionerType):
 def bdia_dof_subsystem(A: BdiaMatrix, p: int):
     """Scalar per-dof subsystem S_p (HostCSR): S_p[i, i+off] =
     A[i·b+p, (i+off)·b+p] — the dof-p diagonal of every block plane
-    (planes[d·b+p, p, i], sparse/bdia.py layout)."""
+    (planes[d·b+p, p, i], sparse/bdia.py layout).
+
+    Slices the D needed plane rows ON DEVICE before the host fetch —
+    ``np.asarray(A.planes)`` pulled the whole b² block table through
+    the tunnel (b² times the bytes actually used; minutes at n=2.1M)."""
     import numpy as np
+
     from ..sparse.host import HostCSR
-    pl = np.asarray(A.planes)
     b, nb = A.b, A.nb
+    idx = jnp.asarray([d * b + p for d in range(len(A.offsets))])
+    pl = np.asarray(A.planes[idx, p, :])          # (D, nb_pad), one fetch
     rows_l, cols_l, vals_l = [], [], []
     for d, off in enumerate(A.offsets):
         i = np.arange(nb)
@@ -118,7 +124,7 @@ def bdia_dof_subsystem(A: BdiaMatrix, p: int):
         ok = (j >= 0) & (j < nb)
         rows_l.append(i[ok])
         cols_l.append(j[ok])
-        vals_l.append(pl[d * b + p, p, i[ok]])
+        vals_l.append(pl[d, i[ok]])
     return HostCSR.from_coo(np.concatenate(rows_l),
                             np.concatenate(cols_l),
                             np.concatenate(vals_l), (nb, nb))

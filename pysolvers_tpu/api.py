@@ -666,9 +666,14 @@ class IterativeLinearSolver(LinearSolver):
         if _dd_chain_enabled() and A64 is None \
                 and mx.get("Hp64") is not None:
             src = mx["Hp64"]
+            # non-banded operators use the SLOT-MAJOR ELL: the row-major
+            # (n, k) tables tile to 128/k times their data on TPU and
+            # OOM'd the n=4.2M unstructured solve (sparse.device
+            # EllTMatrix docstring)
+            from .sparse.device import EllTMatrix
             A64 = (DiaMatrix.from_host_csr(src, dtype=np.float64)
                    if DiaMatrix.is_profitable(src)
-                   else EllMatrix.from_host_csr(src, dtype=np.float64))
+                   else EllTMatrix.from_host_csr(src, dtype=np.float64))
             mx["A64"] = A64
         if _dd_chain_enabled() and A64 is not None:
             from .linear.refine import ir_solve_dd

@@ -260,12 +260,18 @@ def _cached_dd_chain(apply_fn, method, inner_maxiter, restart, chain,
         mv = lambda v: op_matvec(A_lo, v)
         papply = (precond_lo if apply_fn is None
                   else (lambda v: apply_fn(prec_state, v)))
-        from ..sparse.device import EllMatrix
-        # hi-precision residual matvec: split-gather for ELL; DIA f64 is
-        # gather-free (shift-and-fma) so the plain XLA path is already
-        # vector-emulated f64
-        mv_hi = (ell_spmv_f64_splitgather if isinstance(A64, EllMatrix)
-                 else (lambda M, v: op_matvec(M, v)))
+        from ..sparse.device import EllMatrix, EllTMatrix
+        # hi-precision residual matvec: split-gather for ELL (slot-major
+        # EllTMatrix preferred — the row-major tables tile to 128/k
+        # times their data); DIA f64 is gather-free (shift-and-fma) so
+        # the plain XLA path is already vector-emulated f64
+        if isinstance(A64, EllTMatrix):
+            from ..ops.spmv import ellt_spmv_f64_splitgather
+            mv_hi = ellt_spmv_f64_splitgather
+        elif isinstance(A64, EllMatrix):
+            mv_hi = ell_spmv_f64_splitgather
+        else:
+            mv_hi = lambda M, v: op_matvec(M, v)
         # internal target: `overshoot`·tol — driving the device solve
         # past the user tolerance is what bounds the SOLUTION error
         # (err = ‖A⁻¹r‖ fluctuates ~50× with the spectral direction of

@@ -83,6 +83,26 @@ def ell_spmv_f64_splitgather(A: EllMatrix, x: jax.Array) -> jax.Array:
     return y[:n]
 
 
+def ellt_spmv_f64_splitgather(A, x: jax.Array) -> jax.Array:
+    """``ell_spmv_f64_splitgather`` on the SLOT-MAJOR layout
+    (sparse.device.EllTMatrix): one flat 1-D vector-path gather per slot
+    stream instead of an (n, k) gather whose minor-k result tiles to
+    128/k times its data (the 2 GB-per-buffer OOM at n=4.2M).  Same
+    hi/lo split accuracy (~2^-48 relative capture of x)."""
+    n = A.n_rows
+    xh = x.astype(jnp.float32)
+    xl = (x - xh.astype(jnp.float64)).astype(jnp.float32)
+    npad = max(A.n_cols_pad, A.n_cols + 1)
+    xph = jnp.zeros((npad,), jnp.float32).at[: A.n_cols].set(xh[: A.n_cols])
+    xpl = jnp.zeros((npad,), jnp.float32).at[: A.n_cols].set(xl[: A.n_cols])
+    y = jnp.zeros((A.n_rows_pad,), jnp.float64)
+    for s in range(A.k):
+        g = (jnp.take(xph, A.cols_t[s]).astype(jnp.float64)
+             + jnp.take(xpl, A.cols_t[s]).astype(jnp.float64))
+        y = y + A.data_t[s].astype(jnp.float64) * g
+    return y[:n]
+
+
 # ---------------------------------------------------------------------------
 # DIA pallas kernel: y = sum_d diag_d * shift(x, off_d)
 # ---------------------------------------------------------------------------

@@ -131,6 +131,73 @@ class EllMatrix:
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
+class EllTMatrix:
+    """SLOT-MAJOR padded ELL: data_t/cols_t are (k, n_rows_pad).
+
+    Why a second ELL layout exists: XLA's TPU tiling pads the MINOR
+    dimension to the 128-lane granule, so the row-major (n, k) tables
+    of `EllMatrix` physically occupy 128/k times their data at small k
+    (measured: a 144 MB (4.2M, 9) table tiles to 2.00 GB — four such
+    buffers OOM'd the n=4.2M unstructured mixed solve).  With k on the
+    MAJOR axis each of the k slot streams is a flat (n,) lane-dense
+    vector; gathers become 1-D vector-path gathers and padding is the
+    8-sublane row granule only.  Used where an auxiliary ELL operator
+    rides inside big solve graphs (the dd-chain's f64 residual oracle);
+    `EllMatrix` remains the general-purpose/CPU container.
+    """
+
+    data_t: jax.Array
+    cols_t: jax.Array
+    shape: tuple = dataclasses.field(metadata=dict(static=True))
+    n_cols_pad: int = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def n_rows(self) -> int:
+        return self.shape[0]
+
+    @property
+    def n_cols(self) -> int:
+        return self.shape[1]
+
+    @property
+    def n_rows_pad(self) -> int:
+        return self.data_t.shape[1]
+
+    @property
+    def k(self) -> int:
+        return self.data_t.shape[0]
+
+    @property
+    def dtype(self):
+        return self.data_t.dtype
+
+    @staticmethod
+    def from_host_csr(A: HostCSR, dtype=None, row_tile: int = 8,
+                      k_align: int = 1) -> "EllTMatrix":
+        n, m = A.shape
+        counts = A.row_nnz()
+        k = max(int(counts.max()) if len(counts) else 1, 1)
+        k = _round_up(k, k_align)
+        n_pad = _round_up(max(n, 1), row_tile)
+        dtype = dtype or A.data.dtype
+        rows, cs, vs = A.to_coo()
+        slot = (np.arange(len(rows)) - A.indptr[rows]
+                if len(rows) else np.zeros(0, np.int64))
+        cols_t = np.full((k, n_pad), m, dtype=np.int32)
+        data_t = np.zeros((k, n_pad), dtype=dtype)
+        if len(rows):
+            cols_t[slot, rows] = cs
+            data_t[slot, rows] = vs
+        return EllTMatrix(jnp.asarray(data_t), jnp.asarray(cols_t),
+                          (n, m), _round_up(max(m, 1), row_tile))
+
+    def astype(self, dtype) -> "EllTMatrix":
+        return EllTMatrix(self.data_t.astype(dtype), self.cols_t,
+                          self.shape, self.n_cols_pad)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
 class DiaMatrix:
     """Banded matrix as dense diagonals (gather-free SpMV).
 

@@ -155,16 +155,22 @@ def _bws_call_classes(A, x2, n_groups, interpret):
     n_tiles = n_groups // gt
     x2, W_pad = _x_window_mode(x2, W)
     y = jnp.zeros((n_tiles, gt, group_rows), dtype=A.dtype)
+    S = A.n_segments
     for S_c, ids in A.s_classes:
         ids_arr = jnp.asarray(ids, dtype=jnp.int32)
         nt = len(ids)
-        # slice to the class's segment count OUTSIDE the kernel: Mosaic
-        # requires block dims to divide (8,128) or equal the array dims,
-        # so a (gt, S_c) block of the full (n_groups, S) array is illegal.
-        # XLA hoists these loop-invariant slices out of solver loops.
-        delta_c = A.delta[:, :S_c]
-        data_c = A.data[:, :S_c, :]
-        lidx_c = A.lidx[:, :S_c, :]
+        # Read a slot PREFIX of the full (n_groups, S, 128) tables
+        # straight through the BlockSpec: the block sublane dim must be
+        # a multiple of 8 or equal S (Mosaic tiling), so round the
+        # class's count up to 8 — extra slots hold zero data (unused
+        # segments are zero-filled at pack time) and contribute nothing.
+        # The earlier host-side `A.data[:, :S_c, :]` slices materialized
+        # a near-full HLO-temp COPY of every table per class (4×340 MB
+        # at n=4.2M), which OOM'd the unstructured mixed solve.
+        S_k = S if _ceil_to(S_c, 8) >= S else _ceil_to(S_c, 8)
+        delta_c = A.delta[:, :S_k]          # (n_groups, S_k) — tiny
+        data_c = A.data
+        lidx_c = A.lidx
         if W_pad:
             x_specs = [
                 pl.BlockSpec((W_pad, 128), lambda i, ids_ref, b:
@@ -180,18 +186,18 @@ def _bws_call_classes(A, x2, n_groups, interpret):
             num_scalar_prefetch=2,
             grid=(nt,),
             in_specs=[
-                pl.BlockSpec((gt, S_c),
+                pl.BlockSpec((gt, S_k),
                              lambda i, ids_ref, b: (ids_ref[i], 0)),
-                pl.BlockSpec((gt, S_c, 128),
+                pl.BlockSpec((gt, S_k, 128),
                              lambda i, ids_ref, b: (ids_ref[i], 0, 0)),
-                pl.BlockSpec((gt, S_c, 128),
+                pl.BlockSpec((gt, S_k, 128),
                              lambda i, ids_ref, b: (ids_ref[i], 0, 0)),
             ] + x_specs,
             out_specs=pl.BlockSpec((1, gt, group_rows),
                                    lambda i, ids_ref, b: (i, 0, 0)),
         )
         out = pl.pallas_call(
-            functools.partial(_bws_kernel_cls, S=S_c, W=W,
+            functools.partial(_bws_kernel_cls, S=S_k, W=W,
                               group_rows=group_rows, interpret=interpret,
                               fast_select=A.fast_select, gt=gt,
                               W_pad=W_pad),

@@ -125,15 +125,19 @@ class HostCSR:
         ent = _PERM_CACHE.get(key)
         if ent is None:
             n = self.shape[0]
-            iperm = np.empty(n, dtype=np.int64)
-            iperm[perm] = np.arange(n)
-            rows, cols, _ = self.to_coo()
-            r2, c2 = iperm[rows], iperm[cols]
-            order = np.lexsort((c2, r2))
-            indptr = np.zeros(n + 1, dtype=np.int64)
-            np.add.at(indptr, r2 + 1, 1)
-            np.cumsum(indptr, out=indptr)
-            ent = (order, indptr, c2[order].astype(np.int32))
+            from ..utils.native import csr_permute_plan
+            ent = csr_permute_plan(self.indptr, self.indices, perm)
+            if ent is None:         # no native lib: numpy fallback
+                iperm = np.empty(n, dtype=np.int64)
+                iperm[perm] = np.arange(n)
+                rows, cols, _ = self.to_coo()
+                r2, c2 = iperm[rows], iperm[cols]
+                # single fused sort key (row-major) beats the 2-key
+                # lexsort ~2x at 29M nnz; counts via bincount not add.at
+                order = np.argsort(r2 * np.int64(n) + c2, kind="stable")
+                indptr = np.zeros(n + 1, dtype=np.int64)
+                np.cumsum(np.bincount(r2, minlength=n), out=indptr[1:])
+                ent = (order, indptr, c2[order].astype(np.int32))
             if len(_PERM_CACHE) > 32:
                 _PERM_CACHE.pop(next(iter(_PERM_CACHE)))
             _PERM_CACHE[key] = ent

@@ -94,6 +94,11 @@ def get_lib() -> Optional[ctypes.CDLL]:
                                        f64p, f64p]
         except AttributeError:
             pass
+        try:                      # tolerate a stale .so predating it
+            lib.csr_permute_plan.argtypes = [ctypes.c_int64, i64p, i32p,
+                                             i64p, i64p, i32p, i64p]
+        except AttributeError:
+            pass
     except AttributeError:
         # stale .so missing a required symbol (e.g. a failed rebuild
         # left the old library): degrade to the numpy fallbacks the
@@ -194,6 +199,26 @@ def sym_rcm(indptr, indices, n):
     lib.sym_rcm(n, np.ascontiguousarray(indptr, np.int64),
                 np.ascontiguousarray(indices, np.int32), out)
     return out
+
+
+def csr_permute_plan(indptr, indices, perm):
+    """Reorder plan for P·A·Pᵀ (new row i = old row perm[i]): returns
+    (order, new_indptr, new_indices) — new data = old data[order] — or
+    None.  C++ segment-copy + per-row sort, parallel over row chunks;
+    replaces a 2-key numpy lexsort over nnz (~6 s → ~0.6 s at 29M nnz)."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "csr_permute_plan"):
+        return None
+    n = len(indptr) - 1
+    nnz = int(indptr[-1])
+    out_indptr = np.empty(n + 1, dtype=np.int64)
+    out_indices = np.empty(nnz, dtype=np.int32)
+    out_order = np.empty(nnz, dtype=np.int64)
+    lib.csr_permute_plan(n, np.ascontiguousarray(indptr, np.int64),
+                         np.ascontiguousarray(indices, np.int32),
+                         np.ascontiguousarray(perm, np.int64),
+                         out_indptr, out_indices, out_order)
+    return out_order, out_indptr, out_indices
 
 
 def csr_matvec(indptr, indices, data, x):

@@ -252,6 +252,42 @@ def test_permute_symmetric_matches_coo_route():
     np.testing.assert_allclose(got2.data, ref2.data)
 
 
+def test_permute_symmetric_native_plan_matches_numpy(monkeypatch):
+    """The C++ csr_permute_plan (segment copy + per-row sort, threaded)
+    must produce bit-identical plans to the numpy fused-argsort fallback
+    — both routes are live (the fallback runs under PST_NO_NATIVE)."""
+    import numpy as np
+    import pysolvers_tpu.sparse.host as host_mod
+    from pysolvers_tpu.sparse.host import HostCSR, _PERM_CACHE
+    from pysolvers_tpu.utils import native as native_mod
+
+    if native_mod.get_lib() is None:
+        import pytest
+        pytest.skip("native lib unavailable")
+
+    rng = np.random.default_rng(11)
+    n = 400
+    rows = np.repeat(np.arange(n), 6)
+    cols = (rows + rng.integers(-25, 25, len(rows))) % n
+    vals = rng.standard_normal(len(rows))
+    H = HostCSR.from_coo(rows, cols, vals, (n, n))
+    perm = rng.permutation(n)
+
+    _PERM_CACHE.clear()
+    got_native = H.permute_symmetric(perm)
+
+    _PERM_CACHE.clear()
+    monkeypatch.setattr(native_mod, "csr_permute_plan",
+                        lambda *a, **k: None)
+    # host.py imports the function at call time from utils.native
+    got_numpy = H.permute_symmetric(perm)
+
+    np.testing.assert_array_equal(got_native.indptr, got_numpy.indptr)
+    np.testing.assert_array_equal(got_native.indices, got_numpy.indices)
+    np.testing.assert_array_equal(got_native.data, got_numpy.data)
+    _PERM_CACHE.clear()
+
+
 class TestEllTMatrix:
     def test_slot_major_matches_row_major_splitgather(self):
         """EllTMatrix (slot-major) f64 split-gather == EllMatrix path ==

@@ -536,7 +536,16 @@ class IterativeLinearSolver(LinearSolver):
                 "refinement machinery's scaling analysis relies on it); "
                 f"norm={self.control.norm!r} is not supported there")
 
-        A_host, A_dev = self._split_matrix(A)
+        if isinstance(A, HostCSR):
+            # do NOT _split_matrix a host operator here: that eagerly
+            # builds a NATIVE-dtype row-major ELL device copy the mixed
+            # route never touches (it packs its own f32 BWS/DIA + f64
+            # slot-major oracle).  At n=4.2M the stray f64 (n, 9) tables
+            # tile to ~6 GB physical HBM (128-lane minor padding) and
+            # aborted the unstructured solve.
+            A_host, A_dev = A, None
+        else:
+            A_host, A_dev = self._split_matrix(A)
         if self.matrix_frozen() and getattr(self, "_mx", None) is not None:
             mx = self._mx
         else:
@@ -585,6 +594,16 @@ class IterativeLinearSolver(LinearSolver):
                 else:
                     (out_A,) = fused_build([], staged=staged)
                     A32 = asm_A(out_A)
+                import os as _os
+                if A_host.shape[0] > float(_os.environ.get(
+                        "PST_AMG_CLASS_ROWS", "2000000")):
+                    # same axon program guard as build_device_hierarchy
+                    # (linear/amg.py): the classed multi-kernel SpMV
+                    # composed with a V-cycle in one program faults the
+                    # backend at n=4.2M — one pallas call per matvec
+                    # above the limit
+                    import dataclasses as _dc
+                    A32 = _dc.replace(A32, s_classes=())
                 perm = np.asarray(perm)
                 # keep the inverse permutation HOST-side: a device fetch
                 # of A32.iperm intermittently stalls 20-660 s on the

@@ -167,13 +167,25 @@ def make_restriction(P: HostCSR, normalize: bool = True) -> HostCSR:
 
 
 def sa_coarsen(A: HostCSR, lvl_tol: float, omega: float = 2.0 / 3.0):
-    """One SA coarsening step: returns (P, R, A_coarse)."""
+    """One SA coarsening step: returns (P, R, A_coarse).
+
+    R = Pᵀ UNNORMALIZED: row-sum normalizing Pᵀ (the reference's
+    MLHierarchy.py:60-78 choice, kept behind ``make_restriction``'s
+    flag) makes the Galerkin product A_c = R·A·P NON-symmetric whenever
+    aggregate row sums vary — on structured grids the sums are uniform
+    so the scaling is a harmless scalar, but on unstructured aggregates
+    the coarse operators came out 10-20% asymmetric and the V-cycle
+    stopped being a valid SPD preconditioner: PCG on the n=4.2M
+    unstructured FEM problem stalled at rel 4e-2 after 30 iterations
+    (the inner f32 solve then span to maxiter and the remote TPU
+    runtime's watchdog killed the program).  With R = Pᵀ the same
+    problem converges to 1e-10 in 21 iterations."""
     strength = strength_neighbors(A, lvl_tol)   # one O(nnz) pass, shared
     agg = build_aggregates(A, lvl_tol, strength=strength)
     P_hat = tentative_prolongator(agg, dtype=A.data.dtype)
     A_f = filtered_matrix(A, lvl_tol, strength=strength)
     P = smooth_prolongator(A_f, P_hat, omega)
-    R = make_restriction(P)
+    R = make_restriction(P, normalize=False)
     A_c = R.matmat(A.matmat(P))
     return P, R, A_c
 
@@ -526,6 +538,28 @@ def build_device_hierarchy(mlh: MLHierarchy, smoother: str = "auto",
     else:
         A0 = A0_h.to_dense().astype(np.float64)
         A0_inv = jnp.asarray(np.linalg.inv(A0), dtype=out_dtype)
+    # Axon-runtime program guard: a V-cycle composing MANY classed BWS
+    # operators in one program dies with an opaque runtime INTERNAL at
+    # n=4.2M (bisected: the same cycle with s_classes stripped runs;
+    # every component individually runs; capacity is not the issue —
+    # compiled memory_analysis showed 8.2 GB of 15.75).  The per-tile
+    # segment-class machinery multiplies Mosaic kernel variants per
+    # operator; above PST_AMG_CLASS_ROWS fine rows (default 2M) strip
+    # classes from every hierarchy pack — each matvec becomes one
+    # pallas call at the global S (costs the ~35% slot savings, buys a
+    # working program).  Set PST_AMG_CLASS_ROWS=inf to disable.
+    import os as _os
+    _limit = float(_os.environ.get("PST_AMG_CLASS_ROWS", "2000000"))
+    if mlh.matrices[-1].shape[0] > _limit:
+        import dataclasses as _dc
+        from ..sparse.bws import BwsMatrix as _Bws
+        levels = [
+            _dc.replace(L, **{
+                f_: (_dc.replace(getattr(L, f_), s_classes=())
+                     if isinstance(getattr(L, f_), _Bws)
+                     else getattr(L, f_))
+                for f_ in ("A_dev", "P_dev", "R_dev")})
+            for L in levels]
     return DeviceHierarchy(levels, A0_inv, smoother, nu_pre, nu_post)
 
 

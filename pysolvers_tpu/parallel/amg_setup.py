@@ -83,11 +83,12 @@ def _setup_products(A_dev, Af_dev, dinv_f, agg_arr, *, nc, omega, dtype):
     P_hat = jax.nn.one_hot(agg_arr, nc, dtype=dtype)      # (n, nc)
     P = P_hat - omega * (dinv_f[:, None] * matmat(Af_dev, P_hat))
     AP = matmat(A_dev, P)                                  # (n, nc)
-    M = jnp.einsum("nc,nk->ck", P, AP, precision=_HI)      # Pᵀ A P
-    s = jnp.sum(P, axis=0)                                 # R row sums
-    s = jnp.where(s == 0, 1.0, s)
-    A_c = M / s[:, None]                                   # diag(1/s)·
-    R = (P / s[None, :]).T                                 # (nc, n)
+    # R = Pᵀ UNNORMALIZED, matching amg.sa_coarsen: the row-sum scaled
+    # variant makes A_c non-symmetric on unstructured aggregates, which
+    # breaks the V-cycle as an SPD PCG preconditioner (amg.sa_coarsen
+    # docstring — PCG stalled at n=4.2M until this was removed)
+    A_c = jnp.einsum("nc,nk->ck", P, AP, precision=_HI)    # Pᵀ A P
+    R = P.T                                                # (nc, n)
     return P, R, A_c
 
 

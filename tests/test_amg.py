@@ -175,3 +175,31 @@ class TestBwsHierarchy:
         mlh = build_sa_hierarchy(H, num_levels=2)
         with _pytest.raises(ValueError, match="float32"):
             build_device_hierarchy(mlh, matrix_format="bws")
+
+
+class TestGalerkinSymmetry:
+    def test_sa_coarse_operators_symmetric_unstructured(self):
+        """R = P^T (unnormalized) must produce SYMMETRIC Galerkin coarse
+        operators on unstructured aggregates.  The row-sum-normalized
+        restriction (reference MLHierarchy.py:60-78) made A_c 10-20%
+        asymmetric on unstructured FEM and the V-cycle stopped being a
+        valid SPD preconditioner — PCG at n=4.2M stalled at rel 4e-2
+        (amg.sa_coarsen docstring)."""
+        import numpy as np
+        from pysolvers_tpu.problems.fem import fem_poisson_2d_unstructured
+        from pysolvers_tpu.linear.amg import build_sa_hierarchy
+
+        A = fem_poisson_2d_unstructured(49, seed=3)
+        mlh = build_sa_hierarchy(A, num_levels=3)
+        assert len(mlh.matrices) >= 2
+        for k, M in enumerate(mlh.matrices):
+            Mt = M.transpose()
+            assert np.array_equal(Mt.indptr, M.indptr)
+            assert np.array_equal(Mt.indices, M.indices)
+            rel = np.abs(Mt.data - M.data).max() / np.abs(M.data).max()
+            assert rel < 1e-12, f"level {k} asymmetric: {rel}"
+        for P, R in zip(mlh.prolongators, mlh.restrictions):
+            Pt = P.transpose()
+            assert np.array_equal(Pt.indptr, R.indptr)
+            assert np.array_equal(Pt.indices, R.indices)
+            np.testing.assert_allclose(Pt.data, R.data, rtol=0, atol=0)

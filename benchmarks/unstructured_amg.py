@@ -59,7 +59,7 @@ def load_problem(m: int, seed: int, cache_dir: str):
 
 
 def run(m: int, seed: int, tau: float, levels: int, num_iters: int,
-        maxiter_cg: int, runs: int, cache_dir: str):
+        maxiter_cg: int, runs: int, cache_dir: str, only: str = ""):
     import jax
     jax.config.update("jax_enable_x64", True)
     jax.config.update("jax_compilation_cache_dir", "/tmp/pst_jax_cache")
@@ -115,8 +115,17 @@ def run(m: int, seed: int, tau: float, levels: int, num_iters: int,
     amg = lambda: AMGPreconditionerType(  # noqa: E731
         num_iters=num_iters, num_levels=levels, galerkin="host",
         matrix_format="bws")
-    one_solve(f"pcg_samg_l{levels}i{num_iters}", amg)
-    one_solve("plain_cg", None)
+    # ``only``: comma list of row groups ("samg", "cg", "reuse") so
+    # each group can run in its OWN process — the remote TPU worker has
+    # died mid-battery after ~10 min of continuous dispatches (observed
+    # at n=4.2M), which otherwise takes the later rows down with it.
+    sel = set(only.split(",")) if only else {"samg", "cg", "reuse"}
+    if "samg" in sel:
+        one_solve(f"pcg_samg_l{levels}i{num_iters}", amg)
+    if "cg" in sel:
+        one_solve("plain_cg", None)
+    if "reuse" not in sel:
+        return rows
 
     # hierarchy REUSE (VERDICT r4 item 3b — freezeMatrix semantics,
     # reference LinearSolver.py:35-42): ONE solver, one setup, then
@@ -168,9 +177,11 @@ def main():
     ap.add_argument("--cache", default=os.path.join(
         os.path.dirname(__file__), "data"))
     ap.add_argument("--out", default=None)
+    ap.add_argument("--only", default="",
+                    help="comma list of row groups: samg,cg,reuse")
     args = ap.parse_args()
     rows = run(args.m, args.seed, args.tau, args.levels, args.num_iters,
-               args.maxiter, args.runs, args.cache)
+               args.maxiter, args.runs, args.cache, only=args.only)
     for row in rows:
         line = json.dumps(row, default=float)
         print(line)

@@ -450,6 +450,17 @@ def ir_solve_dd(mv_hi_host, b, *, A_lo, A64, tau=1e-10, inner_tau=1e-6,
         chain = 1
     apply_fn, prec_state = (precond_pair if precond_pair is not None
                             else (None, None))
+    # Remote-runtime watchdog guard: one device dispatch running many
+    # minutes gets its worker killed by the tunnel server (observed at
+    # n=4.2M: an unpreconditioned rr-CG pass of ~10^4 iterations died
+    # with UNAVAILABLE "worker crashed"; the 56 s AMG chain survived).
+    # Bound per-dispatch work to ~1.7e10 row-iterations (~40-60 s at
+    # measured SpMV rates); the host loop continues from the returned x,
+    # so semantics are a restarted refinement pass, not a failure.
+    _req_maxiter = inner_maxiter
+    _cap = max(1000, int(6e9 / max(int(b.shape[0]) * max(chain, 1), 1)))
+    inner_maxiter = min(inner_maxiter, _cap)
+    _capped = inner_maxiter < _req_maxiter
     run = _cached_dd_chain((apply_fn, precond_lo), method, inner_maxiter,
                            restart, chain, float(first_tau),
                            hi_matvec=hi_matvec, replace_every=replace_every)
@@ -467,6 +478,10 @@ def ir_solve_dd(mv_hi_host, b, *, A_lo, A64, tau=1e-10, inner_tau=1e-6,
     reason = StopReason.MAXITER
     f_obs = 0.0
     max_disp = max(1, -(-max_outer // chain))
+    if _capped:
+        # watchdog-capped passes: let the caller's full iteration budget
+        # still be reachable across re-dispatches
+        max_disp = max(max_disp, -(-_req_maxiter // inner_maxiter))
     from ..utils.timing import Timer
     for disp in range(max_disp):
         with Timer("refine.dd_compute"):
@@ -478,7 +493,8 @@ def ir_solve_dd(mv_hi_host, b, *, A_lo, A64, tau=1e-10, inner_tau=1e-6,
         with Timer("refine.dd_fetch"):
             packed = np.asarray(fut)
         x_h = packed[:-3]
-        inner_total += int(packed[-3])
+        pass_k = int(packed[-3])
+        inner_total += pass_k
         rn_dev = float(packed[-2])
         f_obs = float(packed[-1])
         # exact host residual: covers the 2^-48 in-graph representation
@@ -487,7 +503,14 @@ def ir_solve_dd(mv_hi_host, b, *, A_lo, A64, tau=1e-10, inner_tau=1e-6,
         if rn <= tol:
             reason = StopReason.CONVERGED
             break
-        if rn >= rn_prev * 0.5 and rn_dev >= rn_prev * 0.5:
+        # a watchdog-capped pass that spent its whole budget and still
+        # made progress is NOT a stall — the budget ran out, not the
+        # method; only the floor-style (<2x) check applies to passes
+        # that returned early
+        budget_limited = (_capped
+                          and pass_k >= inner_maxiter * max(chain, 1))
+        floor = 0.98 if budget_limited else 0.5
+        if rn >= rn_prev * floor and rn_dev >= rn_prev * floor:
             reason = (StopReason.MAXITER if rn <= b_norm * 1e-3
                       else StopReason.BREAKDOWN)
             break
@@ -709,6 +732,16 @@ def ir_solve_host(matvec_hi, matvec_lo, b, *, tau: float = 1e-10,
     # the host picks the chained graph only when more than ~one plain
     # pass of reduction is still needed
     _CHAIN_FAR = 1e4
+
+    # remote-runtime watchdog guard — see ir_solve_dd: bound the work a
+    # single device dispatch can run so the tunnel server doesn't kill
+    # the worker on big-n long inner solves (~45 s at measured rates;
+    # a ~135 s dispatch died, 40-60 s dispatches survive)
+    _req_mi = inner_maxiter
+    inner_maxiter = min(inner_maxiter, max(1000, int(
+        6e9 / max(int(np.asarray(b_h).shape[0]) * max(chain, 1), 1))))
+    if inner_maxiter < _req_mi:
+        max_outer = max(max_outer, -(-_req_mi // inner_maxiter))
 
     if A_lo is not None and precond_pair is not None:
         # operator, preconditioner state and tolerance all traced:
